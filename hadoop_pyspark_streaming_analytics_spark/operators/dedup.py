@@ -1,0 +1,199 @@
+"""Deduplication operators for LLM training-data pipelines (BASELINE.json
+north star; beyond the reference's own surface).
+
+Four tiers, each a pure DataFrame composition (no Python in the hot path):
+
+1. exact:       content fingerprint (md5 of normalized text) → hash groupBy.
+2. n-gram Jaccard: shingle → inverted-index self-join → exact similarity.
+                Quadratic in the candidate set — the CORRECTNESS baseline.
+3. MinHash+LSH: shingle → K minhashes → band buckets → bucket join.
+                The 100 TB path: candidate generation is linear in corpus
+                size + bucket-local joins; no all-pairs shuffle.
+4. SimHash:     per-token hash bit-votes → 16-bit fingerprint; equal
+                fingerprints ≈ near-duplicates.
+
+Determinism note: minhash/simhash are usually built on murmur-style hashes,
+which differ across engines.  Here the hash primitive is md5-hex (identical
+in Spark and DuckDB), with minhash taken as the LEXICOGRAPHIC min of the
+salted hex digests — engine-portable, and exactly as uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .text import STOP_WORDS, TOKEN_PATTERN
+
+#: minhash signature size and LSH banding (bands * rows = num_perm).
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def normalized_text(col):
+    """Whitespace-collapsed, lowercased, trimmed content — the canonical
+    form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one hash-groupBy, keeping the
+    smallest doc_id as canonical.  At 100 TB this is the cheapest possible
+    dedup: a single shuffle on a 128-bit key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: tokenize (same tokenizer
+    as the Q1 text module, q1_mapper.py:19-23) then slide an n-window via
+    ``transform`` over index sequences — all higher-order functions, no UDF.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0).alias("t"),
+    ).filter(F.size("t") >= n)
+    parts = " , ".join(f"t[i + {j}]" for j in range(n))
+    shingled = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
+        ).alias("shingles"),
+    )
+    return shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    docs sharing >= 1 shingle are candidates; |A∩B| from the join,
+    |A∪B| = |A|+|B|-|A∩B|.
+
+    The shingle self-join is the scale hazard (hot shingles fan out
+    quadratically) — at 100 TB you front this with the MinHash-LSH candidate
+    generator below and only Jaccard-verify the candidates.
+    """
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"), n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+                + F.lit(1e-8),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """K minhashes per doc in ONE aggregation: permutation k is simulated by
+    salting the shingle with k before hashing; the minhash is the
+    lexicographic min of the salted md5 digests."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(num_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs — the sub-quadratic 100 TB path.
+
+    signature → ``bands`` band digests (md5 of ``rows`` concatenated
+    minhashes) → explode to (band_id, band_hash, doc_id) → docs sharing a
+    bucket pair up.  With 4x4 banding, pairs at Jaccard ~0.5+ are caught
+    with high probability while unrelated docs almost never collide, so the
+    bucket join is tiny even at corpus scale.
+    """
+    sigs = minhash_signatures(
+        doc_shingles(load_table(spark, sf_dir, "documents"), n), bands * rows
+    )
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *members)).alias("band_hash"),
+            )
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash: each token votes its md5 bits (+1/-1); the
+    sign of each bit-sum forms the fingerprint.  Near-duplicate documents
+    land on nearby (often equal) fingerprints.
+
+    Bit j is read from md5 nibble j (low bit) — portable across engines.
+    One explode + one groupBy with ``bits`` conditional sums; stop words are
+    excluded like all text stats (q1_mapper.py:11).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).alias("word"),
+    ).filter(~F.col("word").isin(*STOP_WORDS))
+    hashed = toks.withColumn("h", F.md5("word"))
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return votes.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,76 @@
+"""Window operators (SURVEY.md §2.6, W1-W5) — Q2 Part B semantics
+(q2_ecommerce_analysis.py:146-205) on the driver star schema.
+
+Per customer-order: chronological order number (rank, ties share — W2),
+previous order date (lag — W3), day gap (datediff — W4), and first/last
+product over the unbounded frame (W5).
+
+Scale note: every window here partitions by the customer key, so the whole
+module is ONE shuffle on c_custkey reused across all four window specs
+(Catalyst plans consecutive windows over the same partitioning in a single
+exchange + sort).  Skewed mega-customers would be the hazard at 100 TB; AQE
+skew handling does not apply inside windows, so the guidance is salting the
+window key for known whales (documented, not needed at test SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round2
+from .relational import retail_base
+
+
+def customer_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 Part B (q2_ecommerce_analysis.py:146-205), deterministic variant.
+
+    The reference's unbounded first/last window orders by timestamp only and
+    is tie-nondeterministic (SURVEY.md §7); we extend the ordering with
+    (o_orderkey, l_linenumber) so every frame is total-ordered.
+    """
+    base = retail_base(spark, sf_dir)
+
+    # W5: first/last product over the unbounded frame, computed at line level
+    # BEFORE the order-level agg so they ride along as group keys
+    # (q2_ecommerce_analysis.py:169-186).
+    # NOTE: l_linenumber is NOT unique within an order in the testdata, so
+    # l_partkey joins the ordering to keep the frame total-ordered.
+    w_lines = (
+        Window.partitionBy("c_custkey")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    lines = base.withColumn("first_product", F.first("l_partkey").over(w_lines)).withColumn(
+        "last_product", F.last("l_partkey").over(w_lines)
+    )
+
+    orders = lines.groupBy(
+        "c_custkey", "l_orderkey", "o_orderdate", "first_product", "last_product"
+    ).agg(round2(F.sum("amount")).alias("order_value"))
+
+    # W2: rank (NOT row_number) so equal-timestamp orders share a number and
+    # leave gaps (q2_ecommerce_analysis.py:191-196, README.md:174).
+    w_rank = Window.partitionBy("c_custkey").orderBy("o_orderdate")
+    # W3: lag needs a total order or tied rows make it nondeterministic.
+    w_lag = Window.partitionBy("c_custkey").orderBy("o_orderdate", "l_orderkey")
+
+    return (
+        orders.withColumn("order_number", F.rank().over(w_rank))  # W2
+        .withColumn("prev_order_date", F.lag("o_orderdate").over(w_lag))  # W3
+        .withColumn(  # W4 (q2_ecommerce_analysis.py:198-201)
+            "days_between_orders",
+            F.datediff(F.col("o_orderdate"), F.col("prev_order_date")),
+        )
+        .drop("prev_order_date")  # P7
+    )
+
+
+def avg_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (q2_ecommerce_analysis.py:252-257): global scalar aggregate over
+    the non-null day gaps (P10)."""
+    return (
+        customer_orders_window(spark, sf_dir)
+        .filter(F.col("days_between_orders").isNotNull())
+        .agg(round2(F.avg("days_between_orders")).alias("avg_days_between_orders"))
+    )

@@ -1,0 +1,427 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 as a named
+(spark_builder, duckdb_oracle_sql) pair — the driver contract surface.
+
+Naming rule (driver compare sorts columns by NAME before hashing): every
+computed/aggregate column is aliased identically in the Spark plan and the
+oracle SQL.  Types are cast in the oracle where DuckDB's natural type
+differs from Spark's (rank/length/datediff → INTEGER).
+
+Float policy: sums/avgs of noisy doubles are rounded (money → 2dp,
+measurements → 4dp) on BOTH sides so summation-order noise cannot break the
+value hash; min/max/counts and sums of integral doubles are exact and left
+unrounded (SURVEY.md §7 "rounding parity").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
+from ..operators import nested, relational, text, windows
+from ..operators.relational import retail_base
+from ..sources.readers import load_table
+from ..streaming import queries as stream_q
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# Mirrors operators/relational.py:retail_base (cleaning P1-P4 + projection).
+SQL_BASE = """
+base AS (
+  SELECT o.o_custkey AS c_custkey, l.l_orderkey AS l_orderkey,
+         l.l_partkey AS l_partkey, l.l_linenumber AS l_linenumber,
+         o.o_orderdate AS o_orderdate,
+         l.l_extendedprice * (1 - l.l_discount) AS amount
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_quantity > 0 AND l.l_extendedprice > 0
+    AND o.o_orderstatus NOT LIKE 'C%' AND o.o_orderdate IS NOT NULL
+)"""
+
+SQL_CUST_SUMMARY = """
+ov AS (
+  SELECT c_custkey, l_orderkey, sum(amount) AS order_value
+  FROM base GROUP BY 1, 2
+),
+cust AS (
+  SELECT c_custkey, count(DISTINCT l_orderkey) AS num_orders,
+         round(sum(order_value) + 1e-6, 2) AS total_spent
+  FROM ov GROUP BY 1
+),
+summary AS (
+  SELECT c_custkey, num_orders, total_spent,
+         round(total_spent / num_orders + 1e-6, 2) AS avg_order_value
+  FROM cust
+)"""
+
+# Mirrors operators/windows.py:customer_orders_window.
+SQL_Q2B = f"""
+WITH {SQL_BASE},
+lines AS (
+  SELECT base.*,
+         first_value(l_partkey) OVER w AS first_product,
+         last_value(l_partkey) OVER w AS last_product
+  FROM base
+  WINDOW w AS (
+    PARTITION BY c_custkey
+    ORDER BY o_orderdate, l_orderkey, l_linenumber, l_partkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+ord AS (
+  SELECT c_custkey, l_orderkey, o_orderdate, first_product, last_product,
+         round(sum(amount) + 1e-6, 2) AS order_value
+  FROM lines GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c_custkey, l_orderkey, o_orderdate, first_product, last_product,
+       order_value,
+       CAST(rank() OVER (PARTITION BY c_custkey ORDER BY o_orderdate)
+            AS INTEGER) AS order_number,
+       CAST(date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY c_custkey
+                 ORDER BY o_orderdate, l_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_between_orders
+FROM ord"""
+
+SQL_TOKENS = """
+tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+words AS (
+  SELECT word FROM tok WHERE word NOT IN ('the', 'is', 'an', 'a', 'are')
+)"""
+
+
+def _summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_summary(retail_base(spark, sf_dir))
+
+
+def _bonus_join(how: str) -> Builder:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        summary = _summary_df(spark, sf_dir)
+        freq = relational.frequent_customers(summary, min_orders=5)
+        return relational.join_summary_frequent(summary, freq, how)
+
+    return build
+
+
+def _bonus_join_sql(how: str) -> str:
+    return f"""
+WITH {SQL_BASE},{SQL_CUST_SUMMARY},
+frequent AS (
+  SELECT c_custkey, 'frequent' AS customer_type
+  FROM summary WHERE num_orders >= 5
+)
+SELECT s.c_custkey, s.num_orders, s.total_spent, s.avg_order_value,
+       f.customer_type
+FROM summary s {how.upper()} JOIN frequent f USING (c_custkey)"""
+
+
+def _categorize(fn) -> Builder:
+    """U1 (bonus.py:51-80): order-size categories over order values,
+    aggregated to category counts for a stable comparison surface."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ov = relational.order_values(retail_base(spark, sf_dir))
+        return (
+            ov.withColumn("order_size_category", fn(F.round(F.col("order_value"), 2)))
+            .groupBy("order_size_category")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("order_value"), 2).alias("category_total"),
+            )
+        )
+
+    return build
+
+
+SQL_CATEGORIZE = f"""
+WITH {SQL_BASE},
+ov AS (
+  SELECT c_custkey, l_orderkey, sum(amount) AS order_value
+  FROM base GROUP BY 1, 2
+),
+cat AS (
+  SELECT order_value,
+         CASE WHEN round(order_value, 2) IS NULL THEN 'Unknown'
+              WHEN round(order_value, 2) < 50 THEN 'Small'
+              WHEN round(order_value, 2) <= 200 THEN 'Medium'
+              ELSE 'Large' END AS order_size_category
+  FROM ov
+)
+SELECT order_size_category, count(*) AS cnt,
+       round(sum(order_value) + 1e-6, 2) AS category_total
+FROM cat GROUP BY 1"""
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"COALESCE(sum(CASE WHEN p.p_brand = 'Brand#{i}' THEN l.l_quantity END), 0)"
+        f" AS brand_{i}"
+        for i in range(1, 26)
+    )
+    return f"""
+SELECT o.o_custkey AS customer_id,
+       {cols},
+       sum(l.l_quantity) AS total_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+CATALOG: list[QuerySpec] = [
+    # --- Q2 Part A: flagship (S1,P1-P5,A1-A6,W1,J1,O1) ---
+    QuerySpec(
+        "q2a_customer_summary",
+        relational.customer_summary_with_top_product,
+        f"""
+WITH {SQL_BASE},{SQL_CUST_SUMMARY},
+prod AS (
+  SELECT c_custkey, l_partkey,
+         count(DISTINCT l_orderkey) AS order_frequency,
+         round(sum(amount) + 1e-6, 2) AS product_total_spent
+  FROM base GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_custkey, l_partkey,
+         rank() OVER (PARTITION BY c_custkey
+                      ORDER BY order_frequency DESC,
+                               product_total_spent DESC, l_partkey) AS rk
+  FROM prod
+),
+top AS (SELECT c_custkey, l_partkey AS top_product FROM ranked WHERE rk = 1)
+SELECT s.c_custkey, s.num_orders, s.total_spent, s.avg_order_value,
+       t.top_product
+FROM summary s LEFT JOIN top t USING (c_custkey)""",
+        headline=True,
+        tags=("q2", "flagship"),
+    ),
+    # --- Q2 Part B: windows (W2-W5,P7,P10,A11) ---
+    QuerySpec(
+        "q2b_customer_orders_window",
+        windows.customer_orders_window,
+        SQL_Q2B,
+        headline=True,
+        tags=("q2", "window"),
+    ),
+    QuerySpec(
+        "q2b_avg_days_between_orders",
+        windows.avg_days_between_orders,
+        f"""
+WITH q2b AS ({SQL_Q2B})
+SELECT round(avg(days_between_orders) + 1e-6, 2) AS avg_days_between_orders
+FROM q2b WHERE days_between_orders IS NOT NULL""",
+        tags=("q2", "window"),
+    ),
+    QuerySpec(
+        "q2_order_count_thresholds",
+        relational.order_count_thresholds,
+        f"""
+WITH {SQL_BASE},
+pc AS (
+  SELECT c_custkey, count(DISTINCT l_orderkey) AS num_orders
+  FROM base GROUP BY 1
+)
+SELECT count(*) FILTER (num_orders = 1) AS single_order_customers,
+       count(*) FILTER (num_orders > 1) AS multi_order_customers,
+       count(*) AS total_customers,
+       round(avg(num_orders) + 1e-6, 2) AS avg_orders_per_customer
+FROM pc""",
+        tags=("q2",),
+    ),
+    QuerySpec(
+        "q2_top_customers_by_spend",
+        relational.top_customers_by_spend,
+        f"""
+WITH {SQL_BASE},{SQL_CUST_SUMMARY}
+SELECT c_custkey, num_orders, total_spent, avg_order_value
+FROM summary ORDER BY total_spent DESC, c_custkey LIMIT 20""",
+        tags=("q2", "topk"),
+    ),
+    # --- bonus: UDF tiers (U1) + inner/left join contrast (J2/J3,P11,F6) ---
+    QuerySpec(
+        "bonus_categorize_expr",
+        _categorize(categorize_expr),
+        SQL_CATEGORIZE,
+        tags=("bonus", "udf"),
+    ),
+    QuerySpec(
+        "bonus_categorize_python_udf",
+        _categorize(categorize_python_udf),
+        SQL_CATEGORIZE,
+        tags=("bonus", "udf"),
+    ),
+    QuerySpec(
+        "bonus_categorize_pandas_udf",
+        _categorize(categorize_pandas_udf),
+        SQL_CATEGORIZE,
+        tags=("bonus", "udf"),
+    ),
+    QuerySpec(
+        "bonus_inner_join",
+        _bonus_join("inner"),
+        _bonus_join_sql("inner"),
+        tags=("bonus", "join"),
+    ),
+    QuerySpec(
+        "bonus_left_join",
+        _bonus_join("left"),
+        _bonus_join_sql("left"),
+        tags=("bonus", "join"),
+    ),
+    # --- Q3: nested documents (F7/F8,A7-A10) ---
+    QuerySpec(
+        "q3a_product_statistics",
+        nested.product_statistics,
+        """
+SELECT l.l_partkey AS product_id, p.p_name AS product_name,
+       sum(l.l_quantity) AS total_quantity,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS total_revenue,
+       count(DISTINCT l.l_orderkey) AS num_orders
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2""",
+        headline=True,
+        tags=("q3", "nested"),
+    ),
+    QuerySpec(
+        "q3b_customer_brand_pivot",
+        nested.customer_brand_pivot,
+        _pivot_sql(),
+        headline=True,
+        tags=("q3", "pivot"),
+    ),
+    # --- Q1: word statistics (F11-F13,P9,A14-A16,O2,O4) ---
+    QuerySpec(
+        "q1_word_count_top20",
+        text.word_count_topk,
+        f"""
+WITH {SQL_TOKENS}
+SELECT word, count(*) AS cnt FROM words
+GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""",
+        headline=True,
+        tags=("q1", "text"),
+    ),
+    QuerySpec(
+        "q1_word_length_histogram",
+        text.word_length_histogram,
+        f"""
+WITH {SQL_TOKENS}
+SELECT CAST(length(word) AS INTEGER) AS length, count(*) AS cnt
+FROM words GROUP BY 1""",
+        tags=("q1", "text"),
+    ),
+    QuerySpec(
+        "q1_corpus_stats",
+        text.corpus_stats,
+        f"""
+WITH {SQL_TOKENS}
+SELECT count(*) AS total_words, count(DISTINCT word) AS unique_words,
+       round(avg(length(word)) + 1e-6, 2) AS avg_word_length
+FROM words""",
+        tags=("q1", "text"),
+    ),
+]
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-twins (T1-T4): the SAME builder functions used by the
+# Structured Streaming module, compiled over the batch `events` table — the
+# incremental-query equivalence Structured Streaming is built on.  The real
+# streaming execution (file source → memory sink, watermarks, triggers) is
+# exercised in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_events
+
+    return load_events(spark, sf_dir).withColumn("event_time", F.col("ts"))
+
+
+def _events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_q.running_sensor_stats(
+        _events(spark, sf_dir), key_col="user_id", value_col="value"
+    )
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_q.tumbling_window_stats(_events(spark, sf_dir), value_col="value")
+
+
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_q.sliding_window_max(
+        _events(spark, sf_dir), key_col="user_id", value_col="value"
+    )
+
+
+CATALOG += [
+    QuerySpec(
+        "events_running_stats",
+        _events_running,
+        """
+SELECT user_id, round(avg(value) + 1e-8, 4) AS avg_value,
+       count(*) AS reading_count, min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1""",
+        tags=("q4", "streaming-twin"),
+    ),
+    QuerySpec(
+        "events_tumbling_5min",
+        _events_tumbling,
+        """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+         AS window_end,
+       round(avg(value) + 1e-8, 4) AS avg_value, count(*) AS reading_count
+FROM events GROUP BY 1, 2""",
+        headline=True,
+        tags=("q4", "streaming-twin", "window"),
+    ),
+    QuerySpec(
+        "events_sliding_10min_5min",
+        _events_sliding,
+        """
+WITH offs AS (SELECT unnest([0, 1]) AS k),
+slid AS (
+  SELECT e.user_id, e.value,
+         time_bucket(INTERVAL '5 minutes', e.ts)
+           - to_minutes(5 * o.k) AS window_start
+  FROM events e CROSS JOIN offs o
+)
+SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+       user_id, max(value) AS max_value, count(*) AS reading_count
+FROM slid GROUP BY 1, 2, 3""",
+        headline=True,
+        tags=("q4", "streaming-twin", "window"),
+    ),
+]
+
+
+def get(name: str) -> QuerySpec:
+    for spec in CATALOG:
+        if spec.name == name:
+            return spec
+    raise KeyError(name)

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference creates one session per script with
+``spark.sql.shuffle.partitions`` hand-pinned to 4/8 for a tiny lab cluster
+(reference: q2_ecommerce_analysis.py:16-23, bonus.py:18-25, q4_streaming.ipynb
+cell-1 lines 16-25).  At 100 TB that knob must come from AQE instead: we
+enable adaptive execution + partition coalescing and leave the initial
+shuffle partition count an env-tunable (default 32 to match local[32]
+testing; a real cluster would set it to ~2-3x total cores and let AQE
+coalesce).
+
+Timezone is pinned to UTC so timestamp semantics are reproducible (the
+reference leaked a ``-05:00`` session offset into its golden CSVs —
+SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # broadcast conversion) — the scale-out replacement for the reference's
+    # hand-pinned shuffle.partitions=4.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / mapInPandas path (10-100x over row UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scan hygiene: pushdown + pruning are the difference between
+    # reading 100 TB and reading the 2 columns a query needs.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark
+    # rejects by default; read it as a long (nanos since epoch) and convert
+    # at the source (sources/readers.py:load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "hadoop-pyspark-streaming-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    cluster master is configured, so tests and bench share one code path.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

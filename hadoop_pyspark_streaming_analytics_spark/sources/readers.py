@@ -1,0 +1,165 @@
+"""Sources (SURVEY.md §2.1, S1-S4).
+
+The reference relies on schema *inference* for its batch CSV/JSON scans
+(reference: q2_ecommerce_analysis.py:38-43, q3_json_processing.py:25-30) —
+an extra full pass over the data that is unaffordable at 100 TB and
+nondeterministic under dirty rows.  Every reader here takes an explicit
+``StructType``; inference is opt-in for exploration only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Pin the runtime SQL confs the engine's semantics depend on, so query
+    builders behave identically under ANY caller-provided session (the
+    driver constructs its own):
+
+    - nanosAsLong: the testdata's events.ts is parquet TIMESTAMP(NANOS),
+      which Spark otherwise refuses to scan;
+    - UTC session timezone: timestamp values must collect as the same wall
+      times the DuckDB oracle sees (SURVEY.md §7 timezone-offset hazard).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — session.py's defaults already cover it
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table (TESTDATA.md).
+
+    Parquet + explicit column selection downstream gives Catalyst predicate
+    pushdown and column pruning for free — ``.explain`` must show
+    ``PushedFilters`` / a narrowed ``ReadSchema`` on the 100 TB path.
+    """
+    _ensure_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with a true TIMESTAMP ``ts``.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as nanos-long,
+    converted here to a microsecond timestamp (sub-microsecond truncation is
+    irrelevant at the engine's window grains).
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# --- S1: retail transactions CSV (reference: q2_ecommerce_analysis.py:38-43) ---
+
+RETAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("InvoiceNo", T.StringType()),
+        T.StructField("StockCode", T.StringType()),
+        T.StructField("Description", T.StringType()),
+        T.StructField("Quantity", T.IntegerType()),
+        T.StructField("InvoiceDate", T.StringType()),
+        T.StructField("UnitPrice", T.DoubleType()),
+        T.StructField("CustomerID", T.LongType()),
+        T.StructField("Country", T.StringType()),
+    ]
+)
+
+
+def read_retail_csv(spark: SparkSession, path: str, infer: bool = False) -> DataFrame:
+    """CSV scan with header (S1). Explicit schema by default; PERMISSIVE mode
+    keeps malformed rows as nulls for the cleaning pipeline to drop
+    (the reference's dirty-data contract, q2_ecommerce_analysis.py:49-61)."""
+    reader = spark.read.option("header", True).option("mode", "PERMISSIVE")
+    if infer:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(RETAIL_SCHEMA)
+    return reader.csv(path)
+
+
+# --- S2: nested orders JSON-lines (reference: q3_json_processing.py:25-30) ---
+
+ORDERS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType()),
+        T.StructField("customer_name", T.StringType()),
+        T.StructField("order_date", T.StringType()),
+        T.StructField("total_amount", T.DoubleType()),
+        T.StructField(
+            "products",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("price", T.DoubleType()),
+                        T.StructField("product_id", T.StringType()),
+                        T.StructField("quantity", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def read_orders_json(spark: SparkSession, path: str, infer: bool = False) -> DataFrame:
+    """JSON-lines scan (S2), multiLine=False — one order document per line."""
+    reader = spark.read.option("multiLine", False)
+    if not infer:
+        reader = reader.schema(ORDERS_JSON_SCHEMA)
+    return reader.json(path)
+
+
+# --- S3: streaming sensor JSON file source (reference: q4_streaming.ipynb cell-1 lines 32-42) ---
+
+SENSOR_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType(), nullable=False),
+        T.StructField("temperature", T.DoubleType()),
+        T.StructField("timestamp", T.StringType()),
+    ]
+)
+
+
+def read_sensor_stream(
+    spark: SparkSession, watch_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming JSON file source over a watched directory (S3).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size — at scale an unbounded
+    file source can pull an arbitrarily large batch and blow state in one
+    trigger.
+    """
+    reader = spark.readStream.schema(SENSOR_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(watch_dir)
+
+
+# --- S4: text-line source (reference: q1_mapper.py:43-46 reads stdin) ---
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text line source (S4): one row per line, column ``value``."""
+    return spark.read.text(path)
