@@ -184,11 +184,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> Da
         ).alias("word"),
     ).filter(~F.col("word").isin(*STOP_WORDS))
     hashed = toks.withColumn("h", F.md5("word"))
+    odd_nibbles = ("1", "3", "5", "7", "9", "b", "d", "f")
     bit_votes = [
         F.sum(
-            F.when(
-                F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") % 2 == 1, 1
-            ).otherwise(-1)
+            F.when(F.substring("h", j + 1, 1).isin(*odd_nibbles), 1).otherwise(-1)
         ).alias(f"v_{j}")
         for j in range(bits)
     ]

@@ -1,0 +1,133 @@
+"""Text-analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting (BASELINE.json
+north star).  All pure Catalyst expressions — these run at full scan speed
+over 100 TB of documents with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import normalized_text
+from .text import STOP_WORDS, TOKEN_PATTERN
+
+#: Marker-token sets for the n-gram/stopword language heuristic.  The
+#: testdata's documents share one synthetic vocabulary, so the predictions
+#: are uniform — the operator's value here is the (oracle-checked) plumbing.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "a", "an", "are", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "es", "y", "que"),
+    "fr": ("le", "la", "les", "est", "et", "une"),
+}
+
+
+def _tokens_col(text_col: str = "text"):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic: count hits per language's marker
+    set over the token array (higher-order ``filter``), predict the argmax
+    (ties broken by language code order), 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens_col().alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        d = d.withColumn(
+            f"hits_{lang}",
+            F.expr(f"size(filter(toks, t -> array_contains(array({arr}), t)))"),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build backwards
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{lang}").alias(f"hits_{lang}") for lang in langs],
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score: token count,
+    mean word length, stopword ratio, alpha-character ratio.  The score
+    formula is a deterministic mix of the features — the point is the
+    feature extraction shape, which mirrors C4/Gopher-style quality
+    filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        _tokens_col().alias("toks"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias(
+            "alpha_chars"
+        ),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("word_count"),
+        F.round(
+            F.expr("aggregate(toks, 0D, (acc, t) -> acc + length(t))")
+            / F.greatest(F.size("toks"), F.lit(1))
+            + F.lit(1e-8),
+            4,
+        ).alias("avg_word_len"),
+        F.round(
+            F.expr(f"size(filter(toks, t -> array_contains(array({stop_arr}), t)))")
+            / F.greatest(F.size("toks"), F.lit(1))
+            + F.lit(1e-8),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.col("alpha_chars") / F.greatest(F.col("n_chars_actual"), F.lit(1))
+            + F.lit(1e-8),
+            4,
+        ).alias("alpha_ratio"),
+    )
+    return d.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("word_count") / 100.0, F.lit(1.0)) * 0.4
+            + F.col("stopword_ratio") * 0.3
+            + F.col("alpha_ratio") * 0.3
+            + F.lit(1e-8),
+            4,
+        ),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-counting surface: whitespace tokens and a BPE-ish segmentation
+    (letter runs | digit runs | single non-space symbol) — the standard
+    pre-tokenizer shape, counted JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document: md5 of whitespace-normalized
+    lowercase text + a 2-hex-char shard bucket (the partition key a 100 TB
+    dedup store would shard on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(normalized_text(F.col("text")))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 2).alias("shard_bucket"),
+        F.size(_tokens_col()).alias("n_tokens"),
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+The ``embeddings`` table carries ``embedding: array<float>`` (64-dim).
+All linear algebra is JVM-side via higher-order functions
+(``zip_with`` + ``aggregate``) — no Python in the scoring loop; a
+vectorized pandas_udf twin exists for benchmarking comparison.
+
+Tiers:
+- brute-force cosine top-k: the exact baseline.  Query side is a handful
+  of vectors → broadcast join; scoring is a single scan of the corpus.
+  At 100 TB the scan parallelizes perfectly but costs O(N·Q).
+- partitioned (IVF-style) top-k: restrict candidates to the query's
+  cluster bucket.  Here the bucket key is the precomputed ``label``
+  column (deterministic, oracle-mirrorable); a production pipeline would
+  assign buckets with k-means centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+#: SQL expression templates (shared by builders; the DuckDB oracles use
+#: list_cosine_similarity, which computes the same double-precision value).
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * x), 0D, (acc, v) -> acc + v))"
+
+
+def cosine_expr(a: str, b: str):
+    """cos(a,b) as a Catalyst column over two array<float> columns."""
+    return F.expr(
+        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(v=a)} * {_NORM.format(v=b)})"
+    )
+
+
+def _scored_pairs(
+    emb: DataFrame, queries: DataFrame, same_label_only: bool
+) -> DataFrame:
+    """Broadcast the query vectors against the corpus and score cosine."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cond = [F.col("vec_id") != F.col("query_id")]
+    joined = emb.join(F.broadcast(q), F.lit(True), "inner").filter(cond[0])
+    if same_label_only:
+        joined = joined.filter(F.col("label") == F.col("q_label"))
+    return joined.withColumn("cosine", cosine_expr("q_emb", "embedding"))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").alias("rnk"),
+            F.round(F.col("cosine") + F.lit(1e-8), 4).alias("cosine"),
+        )
+    )
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for a fixed query set: broadcast queries → one
+    corpus scan → per-query row_number window.  The window's partition
+    count equals |queries|, so the top-k shuffle is trivially small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*query_ids))
+    return _topk(_scored_pairs(emb, queries, same_label_only=False), k)
+
+
+def partitioned_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style top-k: candidates restricted to the query's bucket
+    (``label``).  At 100 TB this is the difference between scanning the
+    corpus per query and scanning one cluster per query; recall depends on
+    bucket quality exactly as in IVF indexes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*query_ids))
+    return _topk(_scored_pairs(emb, queries, same_label_only=True), k)
+
+
+def embedding_near_duplicates(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks.  Blocking keeps
+    the self-join sub-quadratic (the all-pairs variant is the test-only
+    baseline); pairs above the threshold are dedup candidates."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cosine_expr("a.embedding", "b.embedding"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(F.col("cosine") + F.lit(1e-8), 4).alias("cosine"),
+        )
+    )

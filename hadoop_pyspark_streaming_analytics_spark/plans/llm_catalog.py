@@ -1,0 +1,292 @@
+"""Catalog entries for the LLM-training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal) — BASELINE.json's "beyond the
+reference surface" requirement, with DuckDB oracles.
+
+Hash-portability: minhash/simhash/fingerprints are built on md5-hex, which
+is bit-identical across Spark and DuckDB (the usual murmur hashes are not);
+minhash is the lexicographic min of salted hex digests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, quality, similarity
+from ..operators.quality import LANG_MARKERS
+from ..operators.text import STOP_WORDS
+from .catalog import QuerySpec
+
+_STOPS = ", ".join(f"'{w}'" for w in STOP_WORDS)
+
+# Shared shingle CTE (mirrors operators/dedup.py:doc_shingles, n=3;
+# DuckDB lists are 1-indexed → range(1, len-1) ≡ Spark sequence(0, size-3)).
+SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
+
+
+def _minhash_lsh_sql(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(bands * rows)
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {SQL_SHINGLES},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+tw AS (SELECT doc_id, md5(word) AS h FROM t WHERE word NOT IN ({_STOPS})),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM tw GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes"""
+
+
+def _lang_id_sql() -> str:
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains([{arr}], t))) AS INTEGER)"
+            f" AS hits_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    case = " ".join(
+        f"WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, {', '.join(hit_cols)} FROM d
+)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
+       {', '.join('hits_' + lang for lang in langs)}
+FROM hits"""
+
+
+_ANN_SQL_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id{label_pred}
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+       round(cosine + 1e-8, 4) AS cosine
+FROM ranked WHERE rnk <= 10"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') AS toks,
+         length(text) AS n_chars_actual,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS word_count,
+         round(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+               / greatest(len(toks), 1) + 1e-8, 4) AS avg_word_len,
+         round(len(list_filter(toks, t -> list_contains([{_STOPS}], t)))::DOUBLE
+               / greatest(len(toks), 1) + 1e-8, 4) AS stopword_ratio,
+         round(alpha_chars::DOUBLE / greatest(n_chars_actual, 1) + 1e-8, 4)
+           AS alpha_ratio
+  FROM d
+)
+SELECT doc_id, word_count, avg_word_len, stopword_ratio, alpha_ratio,
+       round(least(word_count / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+             + alpha_ratio * 0.3 + 1e-8, 4) AS quality_score
+FROM feat"""
+
+
+LLM_CATALOG: list[QuerySpec] = [
+    # --- dedup ---
+    QuerySpec(
+        "dedup_exact",
+        dedup.exact_duplicates,
+        r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1""",
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        dedup.ngram_jaccard_pairs,
+        f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, intersection, sa.n AS size_a, sb.n AS size_b,
+         round(intersection::DOUBLE / (sa.n + sb.n - intersection) + 1e-8, 4)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM jac WHERE jaccard >= 0.5""",
+        headline=True,
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_minhash_lsh",
+        dedup.minhash_lsh_candidates,
+        _minhash_lsh_sql(),
+        headline=True,
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_simhash",
+        dedup.simhash_fingerprints,
+        _simhash_sql(),
+        tags=("llm", "dedup"),
+    ),
+    # --- similarity search ---
+    QuerySpec(
+        "ann_brute_force_topk",
+        similarity.brute_force_topk,
+        _ANN_SQL_TEMPLATE.format(label_pred=""),
+        headline=True,
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
+        "ann_partitioned_topk",
+        similarity.partitioned_topk,
+        _ANN_SQL_TEMPLATE.format(label_pred=" AND e.label = q.q_label"),
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
+        "embedding_near_duplicates",
+        similarity.embedding_near_duplicates,
+        """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) + 1e-8, 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.99""",
+        tags=("llm", "similarity"),
+    ),
+    # --- text analysis ---
+    QuerySpec(
+        "text_language_id",
+        quality.language_id,
+        _lang_id_sql(),
+        tags=("llm", "text-analysis"),
+    ),
+    QuerySpec(
+        "text_quality_scores",
+        quality.quality_scores,
+        _quality_sql(),
+        headline=True,
+        tags=("llm", "text-analysis"),
+    ),
+    QuerySpec(
+        "text_token_counts",
+        quality.token_counts,
+        r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INTEGER) AS bpe_ish_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents""",
+        tags=("llm", "text-analysis"),
+    ),
+    QuerySpec(
+        "text_document_fingerprints",
+        quality.document_fingerprints,
+        r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, fingerprint, substr(fingerprint, 1, 2) AS shard_bucket, n_tokens
+FROM fp""",
+        tags=("llm", "text-analysis"),
+    ),
+    # --- multimodal ---
+    QuerySpec(
+        "multimodal_decoded_metadata",
+        multimodal.decoded_metadata,
+        """
+SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
+       CAST(strlen(text) % 64 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height,
+       3 AS channels, 'stub' AS decode_status
+FROM documents""",
+        tags=("llm", "multimodal"),
+    ),
+    QuerySpec(
+        "multimodal_frame_sample",
+        multimodal.frame_sample,
+        """
+SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5
+FROM documents WHERE doc_id % 10 = 0""",
+        tags=("llm", "multimodal"),
+    ),
+]

@@ -1,0 +1,124 @@
+"""Semantic tests for the LLM-pipeline operators (beyond oracle parity):
+planted near-duplicates are found, LSH candidates cover Jaccard pairs,
+similarity ranking is sane, the multimodal stub boundary is explicit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.operators import (
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+)
+
+SF = "/root/testdata/sf0.01"  # sf0.001 has too few docs for planted pairs
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark):
+    pairs = dedup.ngram_jaccard_pairs(spark, SF, threshold=0.5).collect()
+    assert len(pairs) >= 10  # the generator plants ~25 near-dup pairs
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_minhash_lsh_covers_high_jaccard_pairs(spark):
+    """LSH candidates must contain (almost all of) the true Jaccard>=0.5
+    pairs — the banding theorem's guarantee at 4x4 is ~96% for j=0.5 and
+    >99.9% for j>=0.7, and the planted pairs are high-similarity."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF, threshold=0.7).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(spark, SF).collect()
+    }
+    assert true_pairs, "expected planted near-dup pairs in testdata"
+    missed = true_pairs - cands
+    assert len(missed) <= max(1, len(true_pairs) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark):
+    """Near-duplicate documents (high Jaccard) should agree on most SimHash
+    bits; random pairs should not systematically."""
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(spark, SF).collect()}
+    near = dedup.ngram_jaccard_pairs(spark, SF, threshold=0.8).collect()
+    assert near
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    for r in near:
+        assert hamming(fps[r["doc_a"]], fps[r["doc_b"]]) <= 4
+
+
+def test_brute_force_topk_shape_and_order(spark):
+    rows = similarity.brute_force_topk(spark, SF, query_ids=(0, 1), k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3, 4, 5]
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_partitioned_topk_is_subset_semantics(spark):
+    """IVF-style candidates come only from the query's bucket, so its top-1
+    cosine can never exceed brute force's top-1."""
+    bf = {
+        r["query_id"]: r["cosine"]
+        for r in similarity.brute_force_topk(spark, SF).collect()
+        if r["rnk"] == 1
+    }
+    part = {
+        r["query_id"]: r["cosine"]
+        for r in similarity.partitioned_topk(spark, SF).collect()
+        if r["rnk"] == 1
+    }
+    for q, c in part.items():
+        assert c <= bf[q] + 1e-9
+
+
+def test_multimodal_stub_boundary(spark):
+    """stub=True exercises the full Arrow round trip; stub=False must raise
+    NotImplementedError (the decode codec is explicitly not shipped)."""
+    meta = multimodal.decoded_metadata(spark, SF)
+    row = meta.orderBy("doc_id").first()
+    assert row["decode_status"] == "stub"
+    assert row["channels"] == 3
+    assert 16 <= row["width"] < 80 and 16 <= row["height"] < 80
+
+    ingest = multimodal.binary_ingest(spark, SF)
+    failing = ingest.mapInPandas(
+        multimodal.decode_image_batch(stub=False), schema=multimodal.DECODED_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        failing.collect()
+
+
+def test_binary_ingest_payload_roundtrip(spark):
+    """The binary column must round-trip the exact UTF-8 payload."""
+    row = (
+        multimodal.binary_ingest(spark, SF)
+        .filter(F.col("doc_id") == 0)
+        .first()
+    )
+    assert bytes(row["content"]).decode("utf-8")
+    assert len(bytes(row["content"])) == row["n_bytes"]
+
+
+def test_quality_scores_ranges(spark):
+    rows = quality.quality_scores(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0 + 1e-6
+        assert r["word_count"] > 0
