@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §7 and
+the 100 TB design notes promise must be visible in ``explain`` output —
+pushdown, pruning, broadcast, partial aggregation, top-k without global
+sort.  These guard against silent plan regressions (e.g. a refactor that
+breaks filter pushdown)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from hadoop_pyspark_streaming_analytics_spark.operators.relational import (
+    customer_summary_with_top_product,
+    retail_base,
+    top_customers_by_spend,
+)
+from hadoop_pyspark_streaming_analytics_spark.operators.text import word_count_topk
+
+
+def plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_cleaning_filters_push_down_to_parquet(spark, sf_dir):
+    plan = plan_of(retail_base(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,0.0)" in plan
+    assert "StringStartsWith(o_orderstatus,C)" in plan
+
+
+def test_base_scan_prunes_columns(spark, sf_dir):
+    """The lineitem scan must read only the columns the query needs — a
+    scan with l_shipdate/l_returnflag in ReadSchema would be reading 2x the
+    bytes at 100 TB."""
+    plan = plan_of(retail_base(spark, sf_dir))
+    assert "l_shipdate" not in plan
+    assert "l_returnflag" not in plan
+    assert "o_totalprice" not in plan
+
+
+def test_flagship_broadcasts_order_side(spark, sf_dir):
+    """orders (thin, filtered) must broadcast into lineitem — a sort-merge
+    join here would shuffle the fact table twice."""
+    plan = plan_of(customer_summary_with_top_product(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    """Map-side combine (partial_sum before the exchange) is what keeps the
+    customer-level shuffle proportional to |customers|, not |lineitems|."""
+    plan = plan_of(customer_summary_with_top_product(spark, sf_dir))
+    assert "partial_sum" in plan
+
+
+def test_rank_filter_uses_window_group_limit(spark, sf_dir):
+    """filter(rank == 1) must plan as WindowGroupLimit (per-partition top-1
+    pushdown) — without it every (customer, product) row sorts through the
+    full window."""
+    plan = plan_of(customer_summary_with_top_product(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — per-partition
+    heaps + driver merge, not a full exchange-and-sort."""
+    plan = plan_of(top_customers_by_spend(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    plan2 = plan_of(word_count_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan2
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """The scan→filter→project→partial-agg pipeline must fuse into
+    whole-stage-generated code (AQE hides the ids in pre-execution plans, so
+    ask the codegen explain mode directly)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(customer_summary_with_top_product(spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
