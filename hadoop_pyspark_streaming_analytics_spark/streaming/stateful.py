@@ -1,0 +1,125 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` —
+the escape hatch for semantics Spark's built-in streaming aggregations
+cannot express (SURVEY.md §2.10 lists this whole tier as absent from the
+reference).
+
+Operator: per-key EWMA (exponentially weighted moving average) with
+anomaly flagging.  A windowed avg forgets nothing inside the window and
+everything outside it; an EWMA needs *ordered, carried* state — exactly
+the applyInPandasWithState shape.  State per key is three numbers, so
+state size is O(keys), not O(events): safe on an unbounded stream.
+
+Scale notes: state lives in the executor state store partitioned by the
+group key (one shuffle); Arrow batches amortize the Python crossing; an
+opt-in processing-time timeout evicts idle keys so sensor churn cannot
+grow state forever.  The timeout is OFF by default because a registered
+processing-time timer makes the engine schedule micro-batches continuously
+(to fire timers), which breaks deterministic ``processAllAvailable()``
+test harnesses — enable it on real deployments, not in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = (
+    "sensor_id string, n_seen long, ewma double, last_value double, "
+    "is_anomaly boolean"
+)
+EWMA_STATE_SCHEMA = "n long, ewma double"
+
+
+def make_ewma_fn(
+    alpha: float = 0.3,
+    anomaly_factor: float = 1.5,
+    idle_timeout_ms: int | None = None,
+):
+    """Build the per-group update function.
+
+    Rows inside each micro-batch are sorted by event time before folding,
+    so the EWMA is deterministic regardless of shuffle order.  The emitted
+    row per (key, batch) carries the post-batch EWMA and whether the LAST
+    value deviated from the pre-update EWMA by more than ``anomaly_factor``.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # idle-key eviction: drop state, emit nothing
+            state.remove()
+            return
+        if state.exists:
+            n, ewma = state.get
+        else:
+            n, ewma = 0, None
+        last_value = None
+        is_anomaly = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time")
+            for v in pdf["value"].tolist():
+                if v is None or pd.isna(v):
+                    continue
+                prev = ewma
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+                n += 1
+                last_value = v
+                is_anomaly = (
+                    prev is not None
+                    and abs(v) > 1e-12
+                    and abs(v - prev) > anomaly_factor * max(abs(prev), 1e-12)
+                )
+        if last_value is None:  # batch had only null values for this key
+            return
+        state.update((n, float(ewma)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "sensor_id": [key[0]],
+                "n_seen": [n],
+                "ewma": [float(ewma)],
+                "last_value": [float(last_value)],
+                "is_anomaly": [bool(is_anomaly)],
+            }
+        )
+
+    return update
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str = "sensor_id",
+    value_col: str = "temperature",
+    event_time_col: str = "event_time",
+    alpha: float = 0.3,
+    anomaly_factor: float = 1.5,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key streaming EWMA with anomaly flags.  Input: a streaming
+    DataFrame with (key, value, event_time).  Output: one row per key per
+    micro-batch in update mode.  Pass ``idle_timeout_ms`` (e.g. 1h) on real
+    deployments to evict idle keys; leave ``None`` for deterministic tests
+    (a registered timer forces continuous empty micro-batches)."""
+    from pyspark.sql import functions as F
+
+    normalized = df.select(
+        F.col(key_col).alias("sensor_id"),
+        F.col(value_col).alias("value"),
+        F.col(event_time_col).alias("event_time"),
+    )
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return normalized.groupBy("sensor_id").applyInPandasWithState(
+        make_ewma_fn(alpha, anomaly_factor, idle_timeout_ms),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

@@ -1,0 +1,89 @@
+"""applyInPandasWithState operator tests: EWMA state carries across
+micro-batches, matches the hand-computed fold, flags anomalies."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_pyspark_streaming_analytics_spark.sources.readers import read_sensor_stream
+from hadoop_pyspark_streaming_analytics_spark.streaming.harness import (
+    MemorySinkRun,
+    write_json_batch,
+)
+from hadoop_pyspark_streaming_analytics_spark.streaming.queries import with_event_time
+from hadoop_pyspark_streaming_analytics_spark.streaming.stateful import ewma_per_key
+
+ALPHA = 0.5
+
+
+def expected_ewma(values, alpha=ALPHA):
+    e = None
+    for v in values:
+        e = v if e is None else alpha * v + (1 - alpha) * e
+    return e
+
+
+def test_ewma_carries_state_across_batches(spark, tmp_path):
+    watch = str(tmp_path / "sensors")
+    b0 = [
+        {"sensor_id": "S1", "temperature": 10.0, "timestamp": "2024-01-16T00:01:00"},
+        {"sensor_id": "S1", "temperature": 20.0, "timestamp": "2024-01-16T00:02:00"},
+        # out-of-order inside the batch: must fold in event-time order
+        {"sensor_id": "S1", "temperature": 30.0, "timestamp": "2024-01-16T00:01:30"},
+    ]
+    b1 = [
+        {"sensor_id": "S1", "temperature": 40.0, "timestamp": "2024-01-16T00:03:00"},
+        {"sensor_id": "S2", "temperature": 5.0, "timestamp": "2024-01-16T00:03:10"},
+    ]
+    write_json_batch(watch, b0, 0)
+    stream = with_event_time(read_sensor_stream(spark, watch, max_files_per_trigger=1))
+    run = MemorySinkRun(
+        spark, ewma_per_key(stream, alpha=ALPHA), output_mode="update"
+    )
+    try:
+        run.process_all()
+        write_json_batch(watch, b1, 1)
+        run.process_all()
+        rows = run.table().collect()
+        latest = {}
+        for r in rows:  # memory sink appends per batch; keep the last per key
+            latest[r["sensor_id"]] = r
+        s1 = latest["S1"]
+        assert s1["n_seen"] == 4
+        # event-time order: 10 (00:01), 30 (00:01:30), 20 (00:02), 40 (00:03)
+        assert s1["ewma"] == pytest.approx(expected_ewma([10.0, 30.0, 20.0, 40.0]))
+        assert latest["S2"]["n_seen"] == 1
+        assert latest["S2"]["ewma"] == pytest.approx(5.0)
+    finally:
+        run.stop()
+
+
+def test_ewma_flags_anomaly(spark, tmp_path):
+    watch = str(tmp_path / "sensors")
+    write_json_batch(
+        watch,
+        [
+            {"sensor_id": "S1", "temperature": 10.0, "timestamp": "2024-01-16T00:01:00"},
+            {"sensor_id": "S1", "temperature": 11.0, "timestamp": "2024-01-16T00:02:00"},
+        ],
+        0,
+    )
+    stream = with_event_time(read_sensor_stream(spark, watch, max_files_per_trigger=1))
+    run = MemorySinkRun(
+        spark,
+        ewma_per_key(stream, alpha=ALPHA, anomaly_factor=1.5),
+        output_mode="update",
+    )
+    try:
+        run.process_all()
+        write_json_batch(
+            watch,
+            [{"sensor_id": "S1", "temperature": 99.0, "timestamp": "2024-01-16T00:03:00"}],
+            1,
+        )
+        run.process_all()
+        rows = sorted(run.table().collect(), key=lambda r: r["n_seen"])
+        assert rows[0]["is_anomaly"] is False  # 10 → 11 is calm
+        assert rows[-1]["is_anomaly"] is True  # 99 vs ewma ~10.5 spikes
+    finally:
+        run.stop()
