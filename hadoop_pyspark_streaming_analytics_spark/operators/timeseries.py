@@ -1,0 +1,124 @@
+"""Time-series / training-pipeline operators over the ``events`` table —
+extensions BEYOND the reference surface (SURVEY.md §2.5 lists grouping
+sets/rollup and percentiles as "not present"; sessionization is the batch
+twin of Structured Streaming's ``session_window``).
+
+Every operator here is a stock-Catalyst plan (no UDFs):
+
+- ``hourly_rollup`` — multi-grain aggregation in ONE pass (`ROLLUP`), the
+  hypertable-rollup shape: Spark expands grouping sets map-side, so the
+  cost is one shuffle regardless of grain count, vs one job per grain if
+  done naively.
+- ``user_sessions`` — native ``session_window`` (dynamic-gap merging is
+  state-store-backed in streaming and a single sort-based aggregation in
+  batch); the DuckDB oracle proves it equals classic gaps-and-islands SQL.
+- ``event_type_percentiles`` — exact ``percentile`` (sort-based, per-group;
+  at 100 TB switch to ``approx_percentile`` with a documented error bound —
+  t-digest sketches merge map-side and cut the shuffle to O(sketch)).
+- ``top_users_per_type`` — top-K per group: partial agg then a bounded
+  per-group window; the window's partition count equals |event_type|, so
+  skew is bounded by K not by group size.
+- ``props_avg_k`` — semi-structured extraction: ``get_json_object`` is
+  JVM-side (Jackson) and codegen-friendly; at scale, promote hot JSON paths
+  to real columns at ingest instead of re-parsing per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round2
+from ..sources.readers import load_events
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, hour): per-hour-per-type, per-type subtotals, and
+    a grand total in one shuffle.  ``grouping_level`` (SQL-standard
+    GROUPING_ID bitmask) disambiguates the NULLs rollup introduces."""
+    ev = load_events(spark, sf_dir).withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return (
+        ev.rollup("event_type", "hour")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count(F.lit(1)).alias("cnt"),
+            round2(F.sum("value")).alias("total_value"),
+            F.round(F.avg("value") + F.lit(1e-8), 4).alias("avg_value"),
+        )
+        .select(
+            "event_type", "hour", "grouping_level", "cnt", "total_value", "avg_value"
+        )
+    )
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessionization with the native ``session_window`` operator:
+    events closer than ``gap`` merge into one session.  Batch and streaming
+    share this exact plan shape (streaming adds a watermark); the oracle is
+    the classic lag/cumsum gaps-and-islands derivation."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            round2(F.sum("value")).alias("total_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "total_value")
+    )
+
+
+def event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of ``value`` per event type (linear interpolation,
+    matching DuckDB's ``quantile_cont``)."""
+    ev = load_events(spark, sf_dir)
+
+    def pct(q: float, alias: str):
+        return F.round(
+            F.expr(f"percentile(value, {q})") + F.lit(1e-8), 4
+        ).alias(alias)
+
+    return ev.groupBy("event_type").agg(
+        pct(0.5, "p50"),
+        pct(0.9, "p90"),
+        pct(0.99, "p99"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def top_users_per_type(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-K users per event type by event count (spend tiebreak → user_id).
+    Aggregate first (shrinks the window input to |type × user|), then a
+    per-type row_number — the bounded top-K-per-group pattern."""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        round2(F.sum("value")).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("event_type", "user_id", "cnt", "total_value", "rnk")
+    )
+
+
+def props_avg_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column (JVM-side ``get_json_object``) and aggregate per event type."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("k") + F.lit(1e-8), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("k").alias("cnt"),
+    )

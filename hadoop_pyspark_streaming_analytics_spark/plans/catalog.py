@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
-from ..operators import nested, relational, text, windows
+from ..operators import nested, relational, text, timeseries, windows
 from ..operators.relational import retail_base
 from ..sources.readers import load_table
 from ..streaming import queries as stream_q
@@ -416,6 +416,99 @@ SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
 FROM slid GROUP BY 1, 2, 3""",
         headline=True,
         tags=("q4", "streaming-twin", "window"),
+    ),
+]
+
+
+# ---------------------------------------------------------------------------
+# Time-series / training-pipeline extensions (operators/timeseries.py):
+# rollup grouping sets, native session windows, exact percentiles, top-K per
+# group, JSON path extraction — shapes a 100 TB pipeline needs that the
+# reference lacks (SURVEY.md §2.5 "not present" list).
+# ---------------------------------------------------------------------------
+
+CATALOG += [
+    QuerySpec(
+        "events_hourly_rollup",
+        timeseries.hourly_rollup,
+        """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+)
+SELECT event_type, hour,
+       CAST(GROUPING(event_type, hour) AS INTEGER) AS grouping_level,
+       count(*) AS cnt, round(sum(value) + 1e-6, 2) AS total_value,
+       round(avg(value) + 1e-8, 4) AS avg_value
+FROM ev GROUP BY ROLLUP (event_type, hour)""",
+        headline=True,
+        tags=("timeseries", "rollup"),
+    ),
+    QuerySpec(
+        "events_user_sessions",
+        timeseries.user_sessions,
+        """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_event,
+       count(*) AS n_events, round(sum(value) + 1e-6, 2) AS total_value
+FROM sess GROUP BY user_id, sid""",
+        headline=True,
+        tags=("timeseries", "session"),
+    ),
+    QuerySpec(
+        "events_type_percentiles",
+        timeseries.event_type_percentiles,
+        """
+SELECT event_type,
+       round(quantile_cont(value, 0.5) + 1e-8, 4) AS p50,
+       round(quantile_cont(value, 0.9) + 1e-8, 4) AS p90,
+       round(quantile_cont(value, 0.99) + 1e-8, 4) AS p99,
+       count(*) AS cnt
+FROM events GROUP BY 1""",
+        tags=("timeseries", "percentile"),
+    ),
+    QuerySpec(
+        "events_top_users_per_type",
+        timeseries.top_users_per_type,
+        """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS cnt,
+         round(sum(value) + 1e-6, 2) AS total_value
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY cnt DESC, total_value DESC, user_id) AS INTEGER) AS rnk
+  FROM counts
+)
+SELECT event_type, user_id, cnt, total_value, rnk
+FROM ranked WHERE rnk <= 3""",
+        tags=("timeseries", "topk"),
+    ),
+    QuerySpec(
+        "events_props_avg_k",
+        timeseries.props_avg_k,
+        """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, round(avg(k) + 1e-8, 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k, count(k) AS cnt
+FROM ev GROUP BY 1""",
+        tags=("timeseries", "json"),
     ),
 ]
 

@@ -112,6 +112,37 @@ def sliding_window_max(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    key_col: str = "sensor_id",
+    value_col: str = "temperature",
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Session windows (beyond the reference surface): events within ``gap``
+    of each other merge into one per-key session.  In streaming the session
+    state is watermark-bounded (a session closes once the watermark passes
+    its end); the SAME plan compiles for batch input — the DuckDB
+    gaps-and-islands oracle for ``events_user_sessions`` proves the
+    semantics (plans/catalog.py)."""
+    windowed = (
+        df.withWatermark(event_time_col, watermark)
+        .groupBy(F.session_window(event_time_col, gap), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum(value_col)).alias("total_value"),
+        )
+    )
+    return windowed.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        key_col,
+        "n_events",
+        "total_value",
+    )
+
+
 def start_console_query(
     df: DataFrame,
     query_name: str,

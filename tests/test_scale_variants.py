@@ -1,0 +1,34 @@
+"""Scale-path variants: operators that trade exactness for 100 TB
+feasibility must stay within their documented error bounds at test SF."""
+
+from __future__ import annotations
+
+from hadoop_pyspark_streaming_analytics_spark.operators.relational import (
+    agg_customer_orders_approx,
+    customer_summary,
+    retail_base,
+)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    base = retail_base(spark, sf_dir).cache()
+    try:
+        exact = {
+            r["c_custkey"]: r["num_orders"]
+            for r in customer_summary(base).collect()
+        }
+        approx = {
+            r["c_custkey"]: r["approx_num_orders"]
+            for r in agg_customer_orders_approx(base, rsd=0.05).collect()
+        }
+        assert set(approx) == set(exact)
+        # HLL++ error is relative (rsd=5%) but quantized at tiny
+        # cardinalities (±2 at n<~20 observed); guard gross regressions,
+        # not sketch noise.
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(3, 0.25 * n), (k, n, approx[k])
+        total_exact = sum(exact.values())
+        total_err = sum(abs(approx[k] - n) for k, n in exact.items())
+        assert total_err <= 0.1 * total_exact
+    finally:
+        base.unpersist()

@@ -158,3 +158,53 @@ def test_stream_batch_equivalence(spark, watch_dir):
         assert got == want
     finally:
         run.stop()
+
+
+def test_session_window_merges_within_gap(spark, watch_dir):
+    """session_window: events within the gap merge per key; a gap larger
+    than 10 minutes opens a new session.  Streaming session windows only
+    support append mode — a session is emitted exactly once, after the
+    watermark passes its end."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.queries import (
+        session_window_stats,
+    )
+
+    b0 = [
+        {"sensor_id": "S001", "temperature": 1.0, "timestamp": "2024-01-16T00:00:00"},
+        {"sensor_id": "S001", "temperature": 2.0, "timestamp": "2024-01-16T00:05:00"},
+        {"sensor_id": "S002", "temperature": 9.0, "timestamp": "2024-01-16T00:00:00"},
+    ]
+    # 00:05 + 10min gap = 00:15 — 00:20 starts a NEW S001 session; it also
+    # advances the watermark to 00:18, finalizing both batch-0 sessions.
+    b1 = [
+        {"sensor_id": "S001", "temperature": 4.0, "timestamp": "2024-01-16T00:20:00"},
+    ]
+    # Advances the watermark to 00:38 > 00:30, flushing the 00:20 session.
+    b2 = [
+        {"sensor_id": "S002", "temperature": 7.0, "timestamp": "2024-01-16T00:40:00"},
+    ]
+    write_json_batch(watch_dir, b0, 0)
+    run = _start(
+        spark,
+        watch_dir,
+        lambda s: session_window_stats(s, gap="10 minutes"),
+        output_mode="append",
+    )
+    try:
+        run.process_all()
+        write_json_batch(watch_dir, b1, 1)
+        run.process_all()
+        write_json_batch(watch_dir, b2, 2)
+        run.process_all()
+        sessions = sorted(
+            run.table().collect(), key=lambda r: (r["sensor_id"], r["session_start"])
+        )
+        assert [(r["sensor_id"], r["n_events"], r["total_value"]) for r in sessions] == [
+            ("S001", 2, 3.0),  # 00:00 + 00:05 merged (within 10-min gap)
+            ("S001", 1, 4.0),  # 00:20 — new session
+            ("S002", 1, 9.0),
+        ]
+        # session end = last event + gap; appended exactly once each
+        assert sessions[0]["session_end"].isoformat() == "2024-01-16T00:15:00"
+    finally:
+        run.stop()
