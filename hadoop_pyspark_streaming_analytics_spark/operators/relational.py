@@ -73,7 +73,13 @@ def customer_summary(base: DataFrame) -> DataFrame:
     return (
         ov.groupBy("c_custkey")
         .agg(
-            F.countDistinct("l_orderkey").alias("num_orders"),  # A2
+            # A2: distinct order count.  ov is grouped by (c_custkey,
+            # l_orderkey), so every orderkey is unique within its customer
+            # group — count(1) ≡ countDistinct(l_orderkey) but skips the
+            # Expand + second distinct-agg pass (one shuffle saved; the
+            # true countDistinct shape lives in top_product_per_customer
+            # and product_statistics where lines repeat per key).
+            F.count(F.lit(1)).alias("num_orders"),
             round2(F.sum("order_value")).alias("total_spent"),  # A3
         )
         .withColumn(  # A4: derived ratio after the agg

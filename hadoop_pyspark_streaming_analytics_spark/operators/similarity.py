@@ -96,6 +96,46 @@ def partitioned_topk(
     return _topk(_scored_pairs(emb, queries, same_label_only=True), k)
 
 
+def ivf_assign(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """IVF index BUILD: assign every vector to its nearest centroid.
+
+    Centroids here are the ``k`` lowest-id vectors (deterministic,
+    oracle-mirrorable); a production build would Lloyd-iterate — the
+    assignment pass below IS the iteration's inner loop and the final
+    index-partitioning step.  Shape: corpus ⨯ broadcast(centroids) scored
+    JVM-side, then argmax via a map-side-combinable ``max(struct)`` — NO
+    per-vector window shuffle, so the plan is one scan + one shuffle of
+    (vec_id, best) pairs.  At 100 TB, write the output partitioned by
+    ``centroid_id`` and ``partitioned_topk`` probes only the query's
+    cluster."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        # 6dp pre-round so float summation noise cannot flip the argmax
+        # tiebreak across engines; negative id → highest cosine wins, then
+        # LOWEST centroid id.
+        "cos",
+        F.round(cosine_expr("embedding", "c_emb") + F.lit(1e-8), 6),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"),
+                (-F.col("centroid_id")).alias("neg_id"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_id")).cast("bigint").alias("centroid_id"),
+        F.round(F.col("m.cos"), 4).alias("cosine"),
+    )
+
+
 def embedding_near_duplicates(
     spark: SparkSession, sf_dir: str, threshold: float = 0.99
 ) -> DataFrame:

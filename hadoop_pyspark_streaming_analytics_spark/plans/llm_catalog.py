@@ -215,6 +215,29 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         tags=("llm", "similarity"),
     ),
     QuerySpec(
+        "ann_ivf_assign",
+        similarity.ivf_assign,
+        """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       round(cos, 4) AS cosine
+FROM ranked WHERE rn = 1""",
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
         "embedding_near_duplicates",
         similarity.embedding_near_duplicates,
         """

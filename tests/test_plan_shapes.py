@@ -81,3 +81,48 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in plan
     assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_rollup_is_single_shuffle(spark, sf_dir):
+    """ROLLUP must plan as Expand (grouping-set replication map-side) over
+    ONE exchange — multi-grain aggregation in one pass, not one job per
+    grain."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        hourly_rollup,
+    )
+
+    plan = plan_of(hourly_rollup(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange (") == 1
+
+
+def test_top_users_per_type_uses_window_group_limit(spark, sf_dir):
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        top_users_per_type,
+    )
+
+    plan = plan_of(top_users_per_type(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_sessionization_is_single_shuffle(spark, sf_dir):
+    """Batch session_window: one exchange on user_id, sessions merged by a
+    sort-based aggregation within partitions — no second shuffle."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        user_sessions,
+    )
+
+    plan = plan_of(user_sessions(spark, sf_dir))
+    assert plan.count("Exchange (") == 1
+
+
+def test_customer_summary_has_no_distinct_expand(spark, sf_dir):
+    """num_orders counts rows of an already-(custkey, orderkey)-grouped
+    intermediate; a countDistinct here would plan an Expand + second
+    distinct-agg pass for nothing.  Guards the rewrite staying rewritten."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.relational import (
+        customer_summary,
+    )
+
+    plan = plan_of(customer_summary(retail_base(spark, sf_dir)))
+    assert "Expand" not in plan
