@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
-from ..operators import nested, relational, text, timeseries, windows
+from ..operators import nested, relational, temporal, text, timeseries, windows
 from ..operators.relational import retail_base
 from ..sources.readers import load_table
 from ..streaming import queries as stream_q
@@ -520,6 +520,67 @@ SELECT event_type, round(avg(k) + 1e-8, 4) AS avg_k,
        min(k) AS min_k, max(k) AS max_k, count(k) AS cnt
 FROM ev GROUP BY 1""",
         tags=("timeseries", "json"),
+    ),
+]
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of join, interval join, range
+# window frame — operators Spark lacks natively, composed scale-first and
+# verified against DuckDB's native ASOF JOIN / interval predicates.
+# ---------------------------------------------------------------------------
+
+CATALOG += [
+    QuerySpec(
+        "temporal_asof_last_click",
+        temporal.asof_last_click,
+        """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts,
+       c.ts AS last_click_ts, c.click_event_id AS last_click_id,
+       round(epoch(e.ts) - epoch(c.ts), 3) AS secs_since_click
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        headline=True,
+        tags=("temporal", "asof"),
+    ),
+    QuerySpec(
+        "temporal_click_error_pairs",
+        temporal.click_error_pairs,
+        """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT event_id AS error_id, user_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.click_id, e.error_id,
+       round(epoch(e.error_ts) - epoch(c.click_ts), 3) AS secs_between
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND e.error_ts > c.click_ts
+ AND e.error_ts <= c.click_ts + INTERVAL '5 minutes'""",
+        tags=("temporal", "interval-join"),
+    ),
+    QuerySpec(
+        "temporal_clicks_trailing_5min",
+        temporal.clicks_in_trailing_window,
+        """
+SELECT event_id, user_id, ts,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL '5 minutes' PRECEDING AND CURRENT ROW
+       ) AS clicks_trailing
+FROM events""",
+        tags=("temporal", "range-frame"),
     ),
 ]
 

@@ -32,3 +32,24 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert total_err <= 0.1 * total_exact
     finally:
         base.unpersist()
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """approx_percentile (the 100 TB path for events_type_percentiles) must
+    land within a small quantile-rank distance of the exact percentile."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        event_type_percentiles,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from pyspark.sql import functions as F
+
+    exact = {r["event_type"]: r["p90"] for r in event_type_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r["a90"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, 0.9, 1000)").alias("a90"))
+        .collect()
+    }
+    for t, p in exact.items():
+        assert abs(approx[t] - p) <= max(0.5, 0.1 * abs(p)), (t, p, approx[t])
