@@ -51,14 +51,9 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def user_sessions(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
-) -> DataFrame:
-    """Per-user sessionization with the native ``session_window`` operator:
-    events closer than ``gap`` merge into one session.  Batch and streaming
-    share this exact plan shape (streaming adds a watermark); the oracle is
-    the classic lag/cumsum gaps-and-islands derivation."""
-    ev = load_events(spark, sf_dir)
+def sessionize(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Core sessionization over any (user_id, ts, value) DataFrame — see
+    :func:`user_sessions`."""
     return (
         ev.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
@@ -69,6 +64,16 @@ def user_sessions(
         )
         .select("user_id", "session_start", "last_event", "n_events", "total_value")
     )
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessionization with the native ``session_window`` operator:
+    events closer than ``gap`` merge into one session.  Batch and streaming
+    share this exact plan shape (streaming adds a watermark); the oracle is
+    the classic lag/cumsum gaps-and-islands derivation."""
+    return sessionize(load_events(spark, sf_dir), gap)
 
 
 def event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): operator invariants that must hold
+for ALL inputs, not just the fixtures — the layer golden files can't give.
+
+Examples are kept small and few (each example is a Spark job); the point is
+adversarial input shapes (empty strings, ties, None, boundary values), not
+volume — volume is the oracle sweep's job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.functions.udfs import (
+    categorize_expr,
+    categorize_python_udf,
+)
+from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+    doc_shingles,
+    normalized_text,
+)
+from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import sessionize
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Amounts around the categorization boundaries (50 / 200) plus None.
+amounts = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from([49.99, 50.0, 50.01, 200.0, 200.01]),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(amounts)
+@SETTINGS
+def test_categorize_tiers_agree(spark, values):
+    """The Catalyst when/otherwise twin and the row-at-a-time Python UDF
+    must categorize identically — incl. None→Unknown and both boundaries."""
+    df = spark.createDataFrame([(v,) for v in values], "order_value double")
+    rows = df.select(
+        categorize_expr(F.col("order_value")).alias("a"),
+        categorize_python_udf(F.col("order_value")).alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"]
+
+
+texts = st.lists(
+    st.text(alphabet=" \t\nabAB.,", min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+
+@given(texts)
+@SETTINGS
+def test_normalized_text_is_idempotent(spark, docs):
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    rows = df.select(
+        normalized_text(F.col("text")).alias("once"),
+        normalized_text(normalized_text(F.col("text"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+
+
+@given(texts)
+@SETTINGS
+def test_shingle_count_bound(spark, docs):
+    """A doc with k tokens yields between 1 and k-n+1 DISTINCT n-shingles
+    (k >= n), each of exactly n tokens; docs with k < n yield none."""
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    tok_counts = {
+        r["doc_id"]: len(r["t"])
+        for r in df.select(
+            "doc_id",
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("t"),
+        ).collect()
+    }
+    got = doc_shingles(df, n=n).collect()
+    per_doc: dict[int, int] = {}
+    for r in got:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert len(r["shingle"].split(" ")) == n
+    for doc_id, k in tok_counts.items():
+        cnt = per_doc.get(doc_id, 0)
+        if k < n:
+            assert cnt == 0
+        else:
+            assert 1 <= cnt <= k - n + 1
+
+
+# Event offsets in minutes — ties and >30-minute gaps both likely.
+offsets = st.lists(
+    st.integers(min_value=0, max_value=200), min_size=1, max_size=12
+)
+
+
+@given(offsets, offsets)
+@SETTINGS
+def test_sessionization_partitions_events(spark, offs_a, offs_b):
+    """Sessions partition each user's events exactly (counts sum), sessions
+    of one user never overlap, and consecutive sessions are >= gap apart."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(minutes=m), 1.0) for u, offs in (("a", offs_a), ("b", offs_b)) for m in offs]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    sessions = sessionize(df, gap="30 minutes").collect()
+    by_user: dict[str, list] = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    for user, offs in (("a", offs_a), ("b", offs_b)):
+        sess = sorted(by_user.get(user, []), key=lambda s: s["session_start"])
+        assert sum(s["n_events"] for s in sess) == len(offs)
+        for s in sess:
+            assert s["session_start"] <= s["last_event"]
+        for prev, nxt in zip(sess, sess[1:]):
+            gap = (nxt["session_start"] - prev["last_event"]).total_seconds()
+            assert gap >= 30 * 60, (prev, nxt)
