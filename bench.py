@@ -54,6 +54,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[spec.name] = round(best, 3)
 
+    streaming = _bench_streaming(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -63,10 +65,62 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **streaming,
             }
         )
     )
     spark.stop()
+
+
+def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
+    """The reference's ONE published performance fact is streaming lag: its
+    3 concurrent queries (running stats / tumbling / sliding) took
+    ~16.4-18.0 s per ~100-150-row micro-batch against a 10 s trigger
+    (BASELINE.md, q4_streaming.ipynb warnings).  Measure the same 3-query
+    workload here: one micro-batch of ``n_rows`` sensor readings processed
+    to completion by all three queries concurrently."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        read_sensor_stream,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.streaming.harness import MemorySinkRun
+    from hadoop_pyspark_streaming_analytics_spark.streaming.queries import (
+        running_sensor_stats,
+        sliding_window_max,
+        tumbling_window_stats,
+        with_event_time,
+    )
+
+    watch = tempfile.mkdtemp(prefix="bench_stream_")
+    base = dt.datetime(2024, 1, 16)
+    with open(f"{watch}/batch0.json", "w") as f:
+        for i in range(n_rows):
+            ts = (base + dt.timedelta(seconds=i % 1800)).isoformat()
+            f.write(
+                '{"sensor_id": "S%03d", "temperature": %.1f, "timestamp": "%s"}\n'
+                % (i % 10 + 1, 50.0 + (i % 400) / 10.0, ts)
+            )
+    runs = []
+    try:
+        t0 = time.perf_counter()
+        stream = with_event_time(read_sensor_stream(spark, watch))
+        runs = [
+            MemorySinkRun(spark, running_sensor_stats(stream), output_mode="update"),
+            MemorySinkRun(spark, tumbling_window_stats(stream), output_mode="update"),
+            MemorySinkRun(spark, sliding_window_max(stream), output_mode="update"),
+        ]
+        for r in runs:
+            r.process_all()
+        wall = round(time.perf_counter() - t0, 3)
+    finally:
+        for r in runs:
+            r.stop()
+        shutil.rmtree(watch, ignore_errors=True)
+    return {"streaming_3query_rows": n_rows, "streaming_3query_wall_sec": wall}
 
 
 if __name__ == "__main__":
