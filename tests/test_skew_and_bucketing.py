@@ -1,0 +1,76 @@
+"""Skew/bucketing scale primitives: salting must be result-identical to the
+plain spellings; bucketed tables must join with NO exchange (the co-located
+large-large join SCALE.md promises)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.operators.skew import (
+    salted_count,
+    salted_join,
+)
+from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+from .test_plan_shapes import plan_of
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = lineitem.join(dim, "l_orderkey")
+    salted = salted_join(lineitem, dim, "l_orderkey", n_salts=4)
+    assert sorted(plain.columns) == sorted(salted.columns)
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_count_equals_plain_count(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_orderkey"]: r["cnt"]
+        for r in lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {r["l_orderkey"]: r["cnt"] for r in salted_count(lineitem, "l_orderkey").collect()}
+    assert salted == plain
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_dir, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{loc}'")
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"bucketed.{name}_b")
+        )
+    yield "bucketed"
+    spark.sql("DROP DATABASE bucketed CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_db):
+    """Both sides bucketed (8, orderkey) → the join is co-located: the plan
+    must contain NO Exchange.  This is the zero-shuffle large-large join
+    the 100 TB layout buys (SCALE.md 'Joins')."""
+    li = spark.table("bucketed.lineitem_b")
+    od = spark.table("bucketed.orders_b")
+    # At test SF the dim side broadcasts (also shuffle-free, and the right
+    # call) — disable broadcast to surface the large-large case bucketing
+    # exists for.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = plan_of(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
