@@ -129,10 +129,13 @@ def ivf_assign(
             )
         ).alias("m")
     )
+    # Emit the 6dp score as-is: re-rounding it to 4dp would double-round —
+    # the first rounding manufactures exact .xxxx50 midpoints whose second
+    # rounding is representation-sensitive and flips across engines.
     return best.select(
         "vec_id",
         (-F.col("m.neg_id")).cast("bigint").alias("centroid_id"),
-        F.round(F.col("m.cos"), 4).alias("cosine"),
+        F.col("m.cos").alias("cosine"),
     )
 
 

@@ -544,7 +544,11 @@ errors AS (
 )
 SELECT e.event_id, e.user_id, e.ts,
        c.ts AS last_click_ts, c.click_event_id AS last_click_id,
-       round(epoch(e.ts) - epoch(c.ts), 3) AS secs_since_click
+       -- integer microseconds / 1e6: bit-identical to Spark's unix_micros
+       -- arithmetic (epoch() double subtraction loses sub-us precision at
+       -- round-boundary values)
+       round(date_diff('microsecond', c.ts, e.ts) / 1000000.0, 3)
+         AS secs_since_click
 FROM errors e ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND e.ts >= c.ts""",
         headline=True,
@@ -563,7 +567,8 @@ errors AS (
   FROM events WHERE event_type = 'error'
 )
 SELECT c.user_id, c.click_id, e.error_id,
-       round(epoch(e.error_ts) - epoch(c.click_ts), 3) AS secs_between
+       round(date_diff('microsecond', c.click_ts, e.error_ts) / 1000000.0, 3)
+         AS secs_between
 FROM clicks c JOIN errors e
   ON c.user_id = e.user_id
  AND e.error_ts > c.click_ts

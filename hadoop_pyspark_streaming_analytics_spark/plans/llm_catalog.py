@@ -233,7 +233,7 @@ ranked AS (
   FROM scored
 )
 SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
-       round(cos, 4) AS cosine
+       cos AS cosine
 FROM ranked WHERE rn = 1""",
         tags=("llm", "similarity"),
     ),
