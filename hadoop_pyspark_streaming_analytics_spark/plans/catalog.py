@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
-from ..operators import nested, relational, temporal, text, timeseries, windows
+from ..operators import nested, relational, skew, temporal, text, timeseries, windows
 from ..operators.relational import retail_base
 from ..sources.readers import load_table
 from ..streaming import queries as stream_q
@@ -586,6 +586,21 @@ SELECT event_id, user_id, ts,
        ) AS clicks_trailing
 FROM events""",
         tags=("temporal", "range-frame"),
+    ),
+]
+
+
+def _salted_lineitem_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew.salted_count(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+CATALOG += [
+    QuerySpec(
+        "skew_salted_count",
+        _salted_lineitem_count,
+        """
+SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1""",
+        tags=("skew",),
     ),
 ]
 

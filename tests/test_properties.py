@@ -27,6 +27,7 @@ from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import sessio
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # deterministic examples — no flaky driver runs
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
