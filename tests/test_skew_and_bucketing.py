@@ -74,3 +74,22 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_db):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
     assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Events written partitioned by event_type: a single-type query must
+    prune to that partition at PLANNING time (PartitionFilters on the scan,
+    non-matching directories never listed into tasks) — the layout decision
+    that deletes whole directories from a 100 TB scan."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "events_by_type")
+    write_parquet(load_events(spark, sf_dir), out, partition_by=["event_type"])
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = plan_of(pruned)
+    pf_line = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "event_type" in pf_line and "click" in pf_line, plan
+    # the filter is partition-level only — it must NOT also run row-by-row
+    if "PushedFilters" in plan:
+        assert "EqualTo(event_type" not in plan.split("PushedFilters")[1].split("\n")[0]
