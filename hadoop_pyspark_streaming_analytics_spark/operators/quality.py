@@ -131,3 +131,33 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(fp, 1, 2).alias("shard_bucket"),
         F.size(_tokens_col()).alias("n_tokens"),
     )
+
+
+def train_split_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket = md5(doc_id) mod 100.
+
+    Hash-based (not random) so the split is (a) reproducible across runs,
+    engines, and partitionings with NO seed plumbing, (b) stable under
+    re-ingestion — a re-crawled doc keeps its split, so no train/test
+    leakage across dataset versions, and (c) joinable — any table keyed by
+    doc_id can recover the split without storing it.  One scan, zero
+    shuffle (the per-split counts aggregate map-side)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -250,6 +250,22 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.99""",
         tags=("llm", "similarity"),
     ),
+    QuerySpec(
+        "train_split_assign",
+        quality.train_split_assign,
+        """
+WITH b AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1""",
+        tags=("llm", "split"),
+    ),
     # --- text analysis ---
     QuerySpec(
         "text_language_id",
