@@ -74,3 +74,27 @@ def avg_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("days_between_orders").isNotNull())
         .agg(round2(F.avg("days_between_orders")).alias("avg_days_between_orders"))
     )
+
+
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions BEYOND the reference surface
+    (SURVEY.md §2.6 lists ntile / percent_rank / dense_rank / cume_dist as
+    "not present"): quartile, percentile rank, dense rank, and cumulative
+    distribution of every customer by total spend.
+
+    One global window (un-partitioned) — acceptable for a |customers|-sized
+    aggregate output; at 100 TB partition by a region/segment key or use
+    approx_percentile cutpoints instead of a global sort.
+    """
+    from .relational import customer_summary, retail_base
+
+    summary = customer_summary(retail_base(spark, sf_dir))
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+    return summary.select(
+        "c_custkey",
+        "total_spent",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-8), 6).alias("pct_rank"),
+        F.dense_rank().over(w).cast("int").alias("dense_rnk"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-8), 6).alias("cume"),
+    )

@@ -235,6 +235,20 @@ FROM q2b WHERE days_between_orders IS NOT NULL""",
         tags=("q2", "window"),
     ),
     QuerySpec(
+        "q2_spend_distribution",
+        windows.customer_spend_distribution,
+        f"""
+WITH {SQL_BASE},{SQL_CUST_SUMMARY}
+SELECT c_custkey, total_spent,
+       CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+       round(percent_rank() OVER w + 1e-8, 6) AS pct_rank,
+       CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+       round(cume_dist() OVER w + 1e-8, 6) AS cume
+FROM summary
+WINDOW w AS (ORDER BY total_spent DESC, c_custkey)""",
+        tags=("q2", "window", "distribution"),
+    ),
+    QuerySpec(
         "q2_order_count_thresholds",
         relational.order_count_thresholds,
         f"""
