@@ -157,6 +157,22 @@ def read_sensor_stream(
     return reader.json(watch_dir)
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 100, start_ts_ms: int = 0
+) -> DataFrame:
+    """Deterministic synthetic stream (``rate-micro-batch``): every trigger
+    emits exactly ``rows_per_batch`` rows with consecutive ``value`` longs —
+    load/soak testing without a watched directory, and fully reproducible
+    (unlike the wall-clock ``rate`` source).  Batch k carries values
+    [k*rows_per_batch, (k+1)*rows_per_batch)."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_ts_ms)
+        .load()
+    )
+
+
 # --- S4: text-line source (reference: q1_mapper.py:43-46 reads stdin) ---
 
 

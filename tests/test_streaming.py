@@ -208,3 +208,43 @@ def test_session_window_merges_within_gap(spark, watch_dir):
         assert sessions[0]["session_end"].isoformat() == "2024-01-16T00:15:00"
     finally:
         run.stop()
+
+
+def test_rate_micro_batch_source_is_deterministic(spark):
+    """rate-micro-batch (S3's deterministic test twin): availableNow emits
+    exactly rowsPerBatch consecutive values, composable with the standard
+    aggregation builders."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        read_rate_stream,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.streaming.queries import (
+        running_sensor_stats,
+    )
+
+    stream = read_rate_stream(spark, rows_per_batch=40).select(
+        (F.col("value") % 4).cast("string").alias("sensor_id"),
+        F.col("value").cast("double").alias("temperature"),
+        F.col("timestamp").alias("event_time"),
+    )
+    q = (
+        running_sensor_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_agg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = {r["sensor_id"]: r for r in spark.table("rate_agg").collect()}
+    assert set(rows) == {"0", "1", "2", "3"}
+    # sensor k holds values k, k+4, ..., k+36 → count 10, min k, max k+36
+    for k in range(4):
+        r = rows[str(k)]
+        assert r["reading_count"] == 10
+        assert r["min_value"] == float(k)
+        assert r["max_value"] == float(k + 36)
