@@ -35,9 +35,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``n_salts``
     partitions.  Result is column-identical to ``big.join(small, key,
-    how)`` (the salt column never escapes)."""
+    how)`` (the salt column never escapes).
+
+    Only inner/left/semi/anti are supported: with a right/full join each
+    unmatched small-side replica would emit its own null-padded row.
+    """
+    if how.replace("outer", "").strip("_") not in ("inner", "left", "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    # salt on a per-row id, not row content: duplicate hot-key rows must
+    # still spread across salts (content hashes collide on duplicates)
     big_s = big.withColumn(
-        SALT, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        SALT,
+        F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)),
     )
     small_s = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -51,7 +60,8 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     half the table — then an associative merge over n_salts rows per key."""
     partial = (
         df.withColumn(
-            SALT, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+            SALT,
+            F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)),
         )
         .groupBy(key, SALT)
         .agg(F.count(F.lit(1)).alias("partial_cnt"))

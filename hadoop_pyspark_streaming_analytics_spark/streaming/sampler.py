@@ -56,6 +56,8 @@ def make_sampler_fn(k: int = 8):
             current = set()
         for pdf in pdfs:
             for doc_id in pdf["doc_id"].tolist():
+                if doc_id is None or pd.isna(doc_id):  # null ids: skip, don't crash
+                    continue
                 current.add((_priority(int(doc_id)), int(doc_id)))
         best = sorted(current)[:k]
         state.update(([p for p, _ in best], [d for _, d in best]))

@@ -58,20 +58,24 @@ def make_ewma_fn(
             n, ewma = 0, None
         last_value = None
         is_anomaly = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time")
-            for v in pdf["value"].tolist():
-                if v is None or pd.isna(v):
-                    continue
-                prev = ewma
-                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
-                n += 1
-                last_value = v
-                is_anomaly = (
-                    prev is not None
-                    and abs(v) > 1e-12
-                    and abs(v - prev) > anomaly_factor * max(abs(prev), 1e-12)
-                )
+        # Concatenate ALL Arrow chunks before sorting: a large group arrives
+        # as multiple pandas chunks in arbitrary order, so per-chunk sorting
+        # would fold later-arriving earlier timestamps last.  mergesort +
+        # value tiebreak keeps equal-timestamp rows deterministic too.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["event_time", "value"], kind="mergesort")
+        for v in batch["value"].tolist():
+            if v is None or pd.isna(v):
+                continue
+            prev = ewma
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+            n += 1
+            last_value = v
+            is_anomaly = (
+                prev is not None
+                and abs(v) > 1e-12
+                and abs(v - prev) > anomaly_factor * max(abs(prev), 1e-12)
+            )
         if last_value is None:  # batch had only null values for this key
             return
         state.update((n, float(ewma)))
