@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
-from ..operators import nested, relational, skew, temporal, text, timeseries, windows
+from ..operators import (
+    nested,
+    relational,
+    setops,
+    skew,
+    temporal,
+    text,
+    timeseries,
+    windows,
+)
 from ..operators.relational import retail_base
 from ..sources.readers import load_table
 from ..streaming import queries as stream_q
@@ -615,6 +624,63 @@ CATALOG += [
         """
 SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1""",
         tags=("skew",),
+    ),
+]
+
+# --- set operations / collection aggs / cube (beyond ref: §2.8 "None",
+# §2.5 "not present" list) ---
+CATALOG += [
+    QuerySpec(
+        "set_union_active_users",
+        setops.active_users_union,
+        """
+SELECT o_custkey AS user_id FROM orders WHERE o_custkey IS NOT NULL
+UNION
+SELECT user_id FROM events WHERE user_id IS NOT NULL""",
+        tags=("setops",),
+    ),
+    QuerySpec(
+        "set_intersect_buyers_with_events",
+        setops.buyers_with_events,
+        """
+SELECT o_custkey AS user_id FROM orders WHERE o_custkey IS NOT NULL
+INTERSECT
+SELECT user_id FROM events WHERE user_id IS NOT NULL""",
+        tags=("setops",),
+    ),
+    QuerySpec(
+        "set_except_buyers_without_events",
+        setops.buyers_without_events,
+        """
+SELECT o_custkey AS user_id FROM orders WHERE o_custkey IS NOT NULL
+EXCEPT
+SELECT user_id FROM events WHERE user_id IS NOT NULL""",
+        tags=("setops",),
+    ),
+    QuerySpec(
+        "agg_order_baskets",
+        setops.order_baskets,
+        """
+SELECT l_orderkey,
+       count(DISTINCT l_partkey) AS basket_size,
+       array_to_string(list_sort(list(DISTINCT l_partkey)), ',')
+         AS products_distinct_csv,
+       array_to_string(list_sort(list(l_partkey)), ',') AS products_all_csv
+FROM lineitem GROUP BY 1""",
+        tags=("setops", "collect"),
+    ),
+    QuerySpec(
+        "events_type_hour_cube",
+        setops.event_type_hour_cube,
+        """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+)
+SELECT event_type, hour,
+       CAST(GROUPING(event_type, hour) AS INTEGER) AS grouping_level,
+       count(*) AS cnt, round(sum(value) + 1e-6, 2) AS total_value
+FROM ev GROUP BY CUBE (event_type, hour)""",
+        tags=("setops", "cube"),
     ),
 ]
 

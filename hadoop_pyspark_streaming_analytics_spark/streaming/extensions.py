@@ -59,6 +59,42 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    bound: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join on ``key`` bounded to an event-time interval:
+    a right row matches a left row when ``left_time <= right_time <=
+    left_time + bound``.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — the combination is what lets Spark EXPIRE join state (left rows
+    older than watermark+bound can never match again and are evicted).  An
+    unbounded stream-stream join without both is a state leak, not a plan.
+    ``left_time`` and ``right_time`` must be distinct names; the right-side
+    key is dropped from the output.
+    """
+    if left_time == right_time:
+        raise ValueError("left_time and right_time must be distinct column names")
+    lhs = left.withWatermark(left_time, watermark).alias("l")
+    rhs = right.withWatermark(right_time, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {bound}")
+        )
+    )
+    return lhs.join(rhs, cond, how).drop(F.col(f"r.{key}"))
+
+
 def foreach_batch_parquet(
     path: str,
     partition_by: list[str] | None = None,

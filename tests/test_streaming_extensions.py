@@ -9,6 +9,7 @@ from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
     foreach_batch_parquet,
     stream_fingerprint_dedup,
     stream_static_enrich,
+    stream_stream_interval_join,
 )
 from hadoop_pyspark_streaming_analytics_spark.streaming.harness import (
     MemorySinkRun,
@@ -101,3 +102,54 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
         "src1",
         "src2",
     ]
+
+
+CLICK_SCHEMA = "user_id long, page string, ts string"
+BUY_SCHEMA = "user_id long, amount double, ts string"
+
+CLICKS = [
+    {"user_id": 1, "page": "home", "ts": "2024-01-16T00:01:00"},
+    {"user_id": 2, "page": "search", "ts": "2024-01-16T00:02:00"},
+    {"user_id": 3, "page": "home", "ts": "2024-01-16T00:03:00"},
+]
+BUYS = [
+    {"user_id": 1, "amount": 9.5, "ts": "2024-01-16T00:04:00"},   # 3 min after click: match
+    {"user_id": 2, "amount": 20.0, "ts": "2024-01-16T00:09:00"},  # 7 min after click: outside bound
+    {"user_id": 3, "amount": 5.0, "ts": "2024-01-16T00:02:00"},   # before the click: no match
+]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join their preceding click only within the 5-minute bound;
+    both sides watermarked so join state expires."""
+    from pyspark.sql import functions as F
+
+    click_dir, buy_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    write_json_batch(click_dir, CLICKS, 0)
+    write_json_batch(buy_dir, BUYS, 0)
+    clicks = (
+        spark.readStream.schema(CLICK_SCHEMA).json(click_dir)
+        .withColumn("click_time", F.to_timestamp("ts")).drop("ts")
+    )
+    buys = (
+        spark.readStream.schema(BUY_SCHEMA).json(buy_dir)
+        .withColumn("buy_time", F.to_timestamp("ts")).drop("ts")
+    )
+    joined = stream_stream_interval_join(
+        clicks, buys, key="user_id", left_time="click_time", right_time="buy_time"
+    )
+    run = MemorySinkRun(spark, joined, output_mode="append")
+    try:
+        run.process_all()
+        rows = [(r["user_id"], r["page"], r["amount"]) for r in run.table().collect()]
+        assert rows == [(1, "home", 9.5)]
+    finally:
+        run.stop()
+
+
+def test_stream_stream_join_rejects_shared_time_name(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).withColumn("t", F.current_timestamp())
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(df, df, key="id", left_time="t", right_time="t")
