@@ -6,9 +6,19 @@ built by composing orders+lineitem+part into an array-of-structs column
 (``collect_list(struct(...))``) — exercising the inverse of explode — and
 then flattened back with ``explode`` exactly as the reference does
 (q3_json_processing.py:36-45).
+
+Scale note: Catalyst does NOT prune struct fields through
+``collect_list`` → ``explode`` (the ObjectHashAggregate materializes the
+whole struct), so every field in the struct rides the nest shuffle even if
+no consumer reads it.  ``nested_orders`` therefore takes an explicit
+``fields`` subset and each consumer requests only what it reads — at 100 TB
+the difference is shipping 2 narrow columns vs 6 (incl. a ~30-byte product
+name string) per lineitem through the exchange.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,59 +32,70 @@ from ..sources.readers import load_table
 #: At scale the value list must be explicit (SURVEY.md §7).
 BRAND_VALUES = [f"Brand#{i}" for i in range(1, 26)]
 
+#: Full product-struct field set (FIXTURES.md §2 document shape) and the
+#: source column each is drawn from.  Fields prefixed ``p_`` require the
+#: part join; a ``fields`` subset without them skips that join entirely.
+PRODUCT_FIELD_SOURCES = {
+    "name": "p_name",
+    "price": "l_extendedprice",
+    "discount": "l_discount",
+    "product_id": "l_partkey",
+    "brand": "p_brand",
+    "quantity": "l_quantity",
+}
+ALL_PRODUCT_FIELDS = tuple(PRODUCT_FIELD_SOURCES)
 
-def nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def nested_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    fields: Sequence[str] = ALL_PRODUCT_FIELDS,
+    include_total: bool = True,
+) -> DataFrame:
     """Build the array-of-structs order document: one row per order with a
     ``products`` array (FIXTURES.md §2 schema shape).
 
-    collect_list is a single shuffle on the order key; struct fields carry
-    everything downstream consumers need so the exploded view loses nothing.
+    collect_list is a single shuffle on the order key; ``fields`` bounds
+    what that shuffle carries (see module docstring).  ``total_amount`` is
+    aggregated from the flat line columns BEFORE nesting so it never forces
+    price/discount into the struct.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part")
-    lines = (
-        lineitem.join(part, lineitem.l_partkey == part.p_partkey, "inner")
-        .join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        .select(
-            F.col("o_orderkey").alias("order_id"),
-            F.col("o_custkey").alias("customer_id"),
-            F.col("o_orderdate").alias("order_date"),
-            F.struct(
-                F.col("p_name").alias("name"),
-                F.col("l_extendedprice").alias("price"),
-                F.col("l_discount").alias("discount"),
-                F.col("l_partkey").alias("product_id"),
-                F.col("p_brand").alias("brand"),
-                F.col("l_quantity").alias("quantity"),
-            ).alias("product"),
-        )
+    lines = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+    if any(PRODUCT_FIELD_SOURCES[f].startswith("p_") for f in fields):
+        part = load_table(spark, sf_dir, "part")
+        lines = lines.join(part, lineitem.l_partkey == part.p_partkey, "inner")
+    lines = lines.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.struct(
+            *[F.col(PRODUCT_FIELD_SOURCES[f]).alias(f) for f in fields]
+        ).alias("product"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
     )
-    return lines.groupBy("order_id", "customer_id", "order_date").agg(
-        F.collect_list("product").alias("products"),
-        round2(F.sum(F.col("product.price") * (1 - F.col("product.discount")))).alias(
-            "total_amount"
-        ),
-    )
+    aggs = [F.collect_list("product").alias("products")]
+    if include_total:
+        aggs.append(round2(F.sum("amount")).alias("total_amount"))
+    return lines.groupBy("order_id", "customer_id", "order_date").agg(*aggs)
 
 
 def exploded_products(nested: DataFrame) -> DataFrame:
-    """F7+F8+P6 (q3_json_processing.py:36-45): explode the products array and
-    project struct fields with renames."""
+    """F7+F8+P6 (q3_json_processing.py:36-45): explode the products array
+    and project struct fields with renames.  Projects whatever fields the
+    struct carries (``name`` surfaces as ``product_name``)."""
     ex = nested.select(
         "order_id",
         "customer_id",
         F.explode("products").alias("product"),  # F7
     )
+    present = [f.name for f in ex.schema["product"].dataType.fields]
+    renames = {"name": "product_name"}
     return ex.select(
         "order_id",
         "customer_id",
-        F.col("product.product_id").alias("product_id"),  # F8/P6
-        F.col("product.name").alias("product_name"),
-        F.col("product.brand").alias("brand"),
-        F.col("product.price").alias("price"),
-        F.col("product.discount").alias("discount"),
-        F.col("product.quantity").alias("quantity"),
+        *[F.col(f"product.{f}").alias(renames.get(f, f)) for f in present],  # F8/P6
     )
 
 
@@ -85,7 +106,14 @@ def product_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantically identity with a direct lineitem⋈part aggregation (the
     oracle); the nest→explode roundtrip is the point of the exercise.
     """
-    ex = exploded_products(nested_orders(spark, sf_dir))
+    ex = exploded_products(
+        nested_orders(
+            spark,
+            sf_dir,
+            fields=("product_id", "name", "price", "discount", "quantity"),
+            include_total=False,
+        )
+    )
     return ex.groupBy("product_id", "product_name").agg(
         F.sum("quantity").alias("total_quantity"),
         round2(F.sum(F.col("price") * (1 - F.col("discount")))).alias("total_revenue"),
@@ -99,9 +127,13 @@ def customer_brand_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pivoting on brand (25 values) rather than raw part keys keeps the
     dynamic-column set bounded — the 100 TB rule for pivot is "explicit,
-    small, known domain".
+    small, known domain".  The nest shuffle carries only (brand, quantity).
     """
-    ex = exploded_products(nested_orders(spark, sf_dir))
+    ex = exploded_products(
+        nested_orders(
+            spark, sf_dir, fields=("brand", "quantity"), include_total=False
+        )
+    )
     pivoted = (
         ex.groupBy("customer_id")
         .pivot("brand", BRAND_VALUES)  # A8, explicit domain
