@@ -173,6 +173,98 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node starts labeled with itself; each round
+    every node takes the min label among itself and its neighbors; fixpoint
+    = components, labeled by their smallest member.
+
+    Returns (node, component) for every node that appears in ``edges``.
+
+    Scale notes (this is an iterative algorithm — the driver loop is
+    orchestration only; every round is a distributed join + groupBy):
+
+    * Rounds needed = graph diameter.  Near-dup clusters are dense and tiny
+      (diameter ~1-2), so this converges in 2-3 rounds regardless of corpus
+      size.  For adversarial long-chain graphs use the large-star/small-star
+      alternation (Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC'14) which converges in O(log^2 n) rounds; not needed for
+      dedup workloads.
+    * ``localCheckpoint(eager=True)`` per round truncates lineage — without
+      it round k replays rounds 1..k-1 and the plan grows exponentially.
+    * Convergence probe: min-propagation is MONOTONE (labels only ever
+      decrease), so fixpoint ⟺ sum(component) unchanged — one scalar agg
+      over the just-checkpointed frame instead of a self-join diff.
+    """
+    # Materialize the symmetrized edge list ONCE — it is re-joined every
+    # round, and without this the whole upstream plan (for dedup: the
+    # entire shingle→minhash→LSH pipeline) would replay per round.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("component"))
+        )
+        labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash-LSH candidate pairs into duplicate CLUSTERS:
+    (doc_id, component) where component = smallest doc_id in the cluster.
+    Docs with no near-duplicate candidate don't appear (they are their own
+    singleton cluster implicitly).
+
+    This is the step the pairwise dedup queries stop short of: A~B and B~C
+    must collapse to one cluster {A,B,C} even when A~C was never a
+    candidate pair (transitivity), which no per-pair filter can do.
+    """
+    edges = minhash_lsh_candidates(spark, sf_dir)
+    comp = connected_components(edges)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: the surviving corpus — every doc
+    that is either untouched by near-dup clustering or the canonical
+    (smallest-id) member of its cluster.
+
+    The cluster map is tiny relative to the corpus (only docs with a
+    candidate pair), so the attach-join broadcasts; the 100 TB shape is a
+    full-corpus scan + broadcast hash join, no shuffle of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = duplicate_components(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash: each token votes its md5 bits (+1/-1); the
     sign of each bit-sum forms the fingerprint.  Near-duplicate documents

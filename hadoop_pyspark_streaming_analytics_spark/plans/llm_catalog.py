@@ -32,7 +32,9 @@ sh AS (
 )"""
 
 
-def _minhash_lsh_sql(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
+def _lsh_ctes(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -> str:
+    """CTE chain ending in ``cand(doc_a, doc_b)`` — the LSH candidate pairs.
+    Shared by the pair query and the connected-components queries."""
     sig_cols = ",\n         ".join(
         f"min(md5('{k}|' || shingle)) AS mh_{k}" for k in range(bands * rows)
     )
@@ -43,8 +45,7 @@ def _minhash_lsh_sql(bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS) -
             f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH {SQL_SHINGLES},
+    return f"""{SQL_SHINGLES},
 sigs AS (
   SELECT doc_id,
          {sig_cols}
@@ -52,11 +53,52 @@ sigs AS (
 ),
 bands AS (
   {bands_sql}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-            AND a.doc_id < b.doc_id"""
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"WITH {_lsh_ctes()}\nSELECT doc_a, doc_b FROM cand"
+
+
+#: Transitive closure of the LSH candidate graph (recursive CTE), labeling
+#: each node with the smallest reachable node — the oracle for the Spark
+#: min-label-propagation loop in operators/dedup.py:connected_components.
+_COMPONENT_CTES = """
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+)"""
+
+
+def _components_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_lsh_ctes()},{_COMPONENT_CTES}\n"
+        "SELECT doc_id, component FROM comp"
+    )
+
+
+def _keep_canonical_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_lsh_ctes()},{_COMPONENT_CTES}\n"
+        """SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.component IS NULL OR c.component = d.doc_id"""
+    )
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -192,6 +234,18 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         dedup.minhash_lsh_candidates,
         _minhash_lsh_sql(),
         headline=True,
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_components",
+        dedup.duplicate_components,
+        _components_sql(),
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_keep_canonical",
+        dedup.keep_canonical,
+        _keep_canonical_sql(),
         tags=("llm", "dedup"),
     ),
     QuerySpec(

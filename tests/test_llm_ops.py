@@ -42,6 +42,39 @@ def test_minhash_lsh_covers_high_jaccard_pairs(spark):
     assert len(missed) <= max(1, len(true_pairs) // 10), f"LSH missed {missed}"
 
 
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must land in ONE cluster even though A~C is not an edge
+    (the transitivity the pairwise queries can't express), across a chain
+    long enough to need multiple propagation rounds."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_keep_canonical_drops_exactly_non_canonical_members(spark):
+    """Surviving corpus = all docs minus every cluster member except the
+    smallest; cluster canonicals and untouched docs all survive."""
+    comp = dedup.duplicate_components(spark, SF).collect()
+    assert comp, "expected planted near-dup clusters in testdata"
+    members = {r["doc_id"] for r in comp}
+    canonicals = {r["component"] for r in comp}
+    assert canonicals <= members
+    kept = {r["doc_id"] for r in dedup.keep_canonical(spark, SF).collect()}
+    total = dedup.exact_duplicates(spark, SF).agg(F.sum("dup_count")).first()[0]
+    assert kept & members == canonicals
+    assert len(kept) == total - (len(members) - len(canonicals))
+
+
 def test_simhash_near_dups_have_close_fingerprints(spark):
     """Near-duplicate documents (high Jaccard) should agree on most SimHash
     bits; random pairs should not systematically."""
