@@ -26,6 +26,7 @@ from ..operators import (
     relational,
     setops,
     skew,
+    star,
     temporal,
     text,
     timeseries,
@@ -681,6 +682,72 @@ SELECT event_type, hour,
        count(*) AS cnt, round(sum(value) + 1e-6, 2) AS total_value
 FROM ev GROUP BY CUBE (event_type, hour)""",
         tags=("setops", "cube"),
+    ),
+]
+
+
+# --- multi-way star-schema join chains (beyond ref: §2.4 has only
+# single-key equi-joins; these are the 100 TB bread-and-butter shapes) ---
+CATALOG += [
+    QuerySpec(
+        "star_pricing_summary",
+        star.pricing_summary,
+        f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+         AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2)
+         AS sum_charge,
+       round(avg(l_quantity) + 1e-8, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-8, 4) AS avg_price,
+       round(avg(l_discount) + 1e-8, 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{star.PRICING_CUTOFF}'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        headline=True,
+        tags=("star", "agg"),
+    ),
+    QuerySpec(
+        "star_shipping_priority",
+        star.shipping_priority,
+        f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{star.SHIP_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{star.SHIP_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{star.SHIP_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+        headline=True,
+        tags=("star", "join", "topk"),
+    ),
+    QuerySpec(
+        "star_local_supplier_volume",
+        star.local_supplier_volume,
+        f"""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{star.VOLUME_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '{star.VOLUME_START}'
+  AND o.o_orderdate < TIMESTAMP '{star.VOLUME_END}'
+GROUP BY 1
+ORDER BY revenue DESC, n_name""",
+        headline=True,
+        tags=("star", "join"),
     ),
 ]
 

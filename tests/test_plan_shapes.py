@@ -126,3 +126,38 @@ def test_customer_summary_has_no_distinct_expand(spark, sf_dir):
 
     plan = plan_of(customer_summary(retail_base(spark, sf_dir)))
     assert "Expand" not in plan
+
+
+def test_pricing_summary_is_joinless_pushed_partial_agg(spark, sf_dir):
+    """star_pricing_summary is the partial-aggregation probe: the shipdate
+    cutoff must reach the parquet scan, the aggregation must map-side
+    combine, and there must be no join anywhere."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import pricing_summary
+
+    plan = plan_of(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
+    """Top-10 must plan TakeOrderedAndProject (per-partition top-K, no
+    global sort); the filtered customer segment must broadcast."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import shipping_priority
+
+    plan = plan_of(shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Sort (" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
+    """The region→nation→supplier dim chain must broadcast — a sort-merge
+    join against a 5-row region would shuffle the fact table for nothing."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        local_supplier_volume,
+    )
+
+    plan = plan_of(local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
