@@ -147,6 +147,37 @@ def ewma_per_user(
     )
 
 
+def event_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth in one shuffle-free projection (SURVEY §2.9
+    lists date trunc/format/arithmetic, regex replace, and math beyond
+    ``* / round`` as absent from the reference): date_trunc, date_format,
+    ISO weekday, timestamp + interval, regexp_replace, abs/sign/sqrt/ln,
+    greatest.  Everything is a Catalyst built-in inside one
+    WholeStageCodegen span — the model for per-row feature derivation at
+    100 TB (a Python UDF doing the same work is the ~100x-slower trap).
+
+    Cross-engine notes: Spark ``weekday`` is 0=Monday vs DuckDB ``isodow``
+    1=Monday (hence +1); ``sign`` returns double in Spark, int in DuckDB
+    (hence the cast).
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("day_hour_str"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("retention_check_ts"),
+        F.regexp_replace("event_type", "[aeiou]", "").alias("etype_squeezed"),
+        F.round(F.abs("value") + F.lit(1e-8), 4).alias("value_abs"),
+        F.signum("value").cast("int").alias("value_sign"),
+        F.round(F.sqrt(F.abs("value")) + F.lit(1e-8), 4).alias("value_sqrt"),
+        F.round(F.log1p(F.abs("value")) + F.lit(1e-8), 4).alias("value_log1p"),
+        F.round(F.greatest(F.col("value"), F.lit(0.0)) + F.lit(1e-8), 4).alias(
+            "value_clipped"
+        ),
+    )
+
+
 def props_avg_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
     column (JVM-side ``get_json_object``) and aggregate per event type."""

@@ -545,6 +545,24 @@ SELECT event_type, round(avg(k) + 1e-8, 4) AS avg_k,
 FROM ev GROUP BY 1""",
         tags=("timeseries", "json"),
     ),
+    QuerySpec(
+        "events_scalar_features",
+        timeseries.event_scalar_features,
+        """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       strftime(ts, '%Y-%m-%d %H') AS day_hour_str,
+       CAST(isodow(ts) AS INTEGER) AS iso_dow,
+       ts + INTERVAL 7 DAY AS retention_check_ts,
+       regexp_replace(event_type, '[aeiou]', '', 'g') AS etype_squeezed,
+       round(abs(value) + 1e-8, 4) AS value_abs,
+       CAST(sign(value) AS INTEGER) AS value_sign,
+       round(sqrt(abs(value)) + 1e-8, 4) AS value_sqrt,
+       round(ln(1 + abs(value)) + 1e-8, 4) AS value_log1p,
+       round(greatest(value, 0.0) + 1e-8, 4) AS value_clipped
+FROM events""",
+        tags=("scalar-breadth",),
+    ),
 ]
 
 
