@@ -139,6 +139,58 @@ def ivf_assign(
     )
 
 
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF index QUERY — the scale path ``brute_force_topk`` is the
+    baseline for.  Per query: rank the ``n_centroids`` centroids by cosine,
+    probe the best ``nprobe`` clusters, and score ONLY vectors assigned to
+    those clusters (assignment = :func:`ivf_assign`, the index build).
+
+    Plan shape: centroids and the probe table are tiny → both broadcast;
+    the corpus is touched by exactly one scan joined to its (tiny)
+    assignment map.  At 100 TB the assignment is a partition COLUMN of the
+    stored index (written once by the build), so probing nprobe/n_centroids
+    clusters prunes the scan itself to that fraction — the candidate join
+    here is the test-scale stand-in for partition pruning.  Recall < 1.0 by
+    construction: a true neighbor assigned to an unprobed cluster is missed
+    — tested against the brute-force baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # 6dp pre-round mirrors ivf_assign: float noise must not flip the
+    # probe choice across engines.
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id", "q_emb")
+    )
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "embedding"))
+    )
+    return _topk(cand, k)
+
+
 def embedding_near_duplicates(
     spark: SparkSession, sf_dir: str, threshold: float = 0.99
 ) -> DataFrame:

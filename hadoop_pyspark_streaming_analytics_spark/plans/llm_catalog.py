@@ -169,6 +169,71 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
 FROM ranked WHERE rnk <= 10"""
 
 
+def _ivf_search_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> str:
+    """Mirror of operators/similarity.py:ivf_search — assignment, probe
+    ranking, and candidate scoring with the same 6dp/4dp rounding and
+    tiebreaks."""
+    qids = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+probe_scored AS (
+  SELECT q.query_id, c.centroid_id, q.q_emb,
+         round(list_cosine_similarity(q.q_emb::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS ccos
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, centroid_id, q_emb FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, centroid_id) AS pr
+    FROM probe_scored
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id,
+         list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+           AS cosine
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE e.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM cand
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
+       round(cosine + 1e-8, 4) AS cosine
+FROM ranked WHERE rnk <= {k}"""
+
+
 def _quality_sql() -> str:
     return f"""
 WITH d AS (
@@ -289,6 +354,12 @@ ranked AS (
 SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
        cos AS cosine
 FROM ranked WHERE rn = 1""",
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
+        "ann_ivf_search",
+        similarity.ivf_search,
+        _ivf_search_sql(),
         tags=("llm", "similarity"),
     ),
     QuerySpec(

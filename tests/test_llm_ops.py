@@ -120,6 +120,32 @@ def test_partitioned_topk_is_subset_semantics(spark):
         assert c <= bf[q] + 1e-9
 
 
+def test_ivf_search_recall_vs_brute_force(spark):
+    """Probing 2/8 clusters must still recover most true neighbors (the
+    planted clusters are compact), never ALL candidates (the point is to
+    scan less), and every returned neighbor must carry its true cosine —
+    i.e. ivf results are a subset of the brute-force ranking's pool."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(spark, SF, k=30).collect()
+    }
+    ivf_rows = similarity.ivf_search(spark, SF, k=10).collect()
+    by_q = {}
+    for r in ivf_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    hits = total = 0
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            total += 1
+            key = (q, r["neighbor_id"])
+            if key in bf:
+                hits += 1
+                assert abs(bf[key] - r["cosine"]) < 1e-6
+    assert hits / total >= 0.5, f"IVF recall collapsed: {hits}/{total}"
+
+
 def test_multimodal_stub_boundary(spark):
     """stub=True exercises the full Arrow round trip; stub=False must raise
     NotImplementedError (the decode codec is explicitly not shipped)."""
