@@ -120,6 +120,27 @@ def test_partitioned_topk_is_subset_semantics(spark):
         assert c <= bf[q] + 1e-9
 
 
+def test_arrow_cosine_twin_matches_jvm_path(spark):
+    """The numpy pandas_udf scorer and the JVM higher-order-function scorer
+    must produce the same ranking and (to float tolerance) the same
+    cosines.  float32 stacking + pairwise numpy summation vs per-element
+    double fold can differ in the last ulps, hence the 2e-4 tolerance on
+    the 4dp-rounded output."""
+    jvm = {
+        (r["query_id"], r["neighbor_id"]): (r["rnk"], r["cosine"])
+        for r in similarity.brute_force_topk(spark, SF, k=10).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): (r["rnk"], r["cosine"])
+        for r in similarity.brute_force_topk_arrow(spark, SF, k=10).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for key, (rnk, cos) in jvm.items():
+        a_rnk, a_cos = arrow[key]
+        assert abs(cos - a_cos) <= 2e-4
+        assert rnk == a_rnk or abs(cos - a_cos) > 0  # rank flips only on ties
+
+
 def test_ivf_search_recall_vs_brute_force(spark):
     """Probing 2/8 clusters must still recover most true neighbors (the
     planted clusters are compact), never ALL candidates (the point is to
