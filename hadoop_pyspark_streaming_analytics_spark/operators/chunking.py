@@ -1,0 +1,112 @@
+"""Document chunking and sequence packing — the two transforms between a
+cleaned corpus and a training loader (beyond the reference surface; part of
+the LLM-pipeline extension alongside dedup/similarity/quality).
+
+* :func:`chunk_documents` — fixed-size token windows with overlap (the
+  RAG / long-doc-training split).  Pure codegen: tokenize once, generate
+  window starts with ``sequence``, ``slice`` each window out, explode.
+  No shuffle at all — chunking is embarrassingly parallel per document.
+* :func:`pack_documents` — GPT-style sequence packing: per shard,
+  concatenate documents in doc_id order and cut the token stream into
+  fixed-capacity blocks; a document may span blocks.  One window cumsum
+  per shard.  The UNSHARDED version of this is the classic scale trap (a
+  single global running sum serializes the corpus through one partition),
+  so the shard key is part of the operator's contract: packing is exact
+  within a shard, shards are independent — exactly how a distributed
+  pretraining tokenizer shards its output files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish pre-tokenizer (quality.py)
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Overlapping token windows per document: starts at 0, step
+    ``chunk_tokens - overlap``; the final window may be short.  Empty
+    docs produce no chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+            ).alias("t"),
+        )
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    chunk = F.expr(f"slice(t, start + 1, {chunk_tokens})")
+    return starts.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.size(chunk).alias("chunk_len"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Map each document onto the packed token stream of its shard:
+    ``offset`` = tokens before it (doc_id order within the shard),
+    ``start_block``/``end_block`` = the capacity-sized blocks its first and
+    last token land in.  Blocks are what a loader reads; end > start means
+    the doc crosses a block boundary (standard in GPT-style packing).
+
+    Shard = ``doc_id % n_shards`` keeps every window partition-local; the
+    cumsum window is ordered by doc_id so re-runs are bit-stable.
+    """
+    counts = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("offset"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / capacity)
+            .cast("int")
+            .alias("start_block"),
+            F.floor((F.col("cum") - 1) / capacity).cast("int").alias("end_block"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

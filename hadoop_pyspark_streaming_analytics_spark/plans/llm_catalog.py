@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, quality, similarity
+from ..operators import chunking, dedup, multimodal, quality, similarity
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
 from .catalog import QuerySpec
@@ -432,6 +432,52 @@ WITH fp AS (
 SELECT doc_id, fingerprint, substr(fingerprint, 1, 2) AS shard_bucket, n_tokens
 FROM fp""",
         tags=("llm", "text-analysis"),
+    ),
+    # --- chunking / packing ---
+    QuerySpec(
+        "chunk_documents",
+        chunking.chunk_documents,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS t
+  FROM documents
+),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n, unnest(range(0, n, 40)) AS start FROM nz
+)
+SELECT doc_id,
+       CAST(start / 40 AS INTEGER) AS chunk_id,
+       CAST(start AS INTEGER) AS start,
+       CAST(least(50, n - start) AS INTEGER) AS chunk_len,
+       array_to_string(list_slice(t, start + 1, least(start + 50, n)), ' ')
+         AS chunk_text
+FROM starts""",
+        tags=("llm", "chunking"),
+    ),
+    QuerySpec(
+        "pack_documents",
+        chunking.pack_documents,
+        r"""
+WITH c AS (
+  SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS shard,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS INTEGER) AS n_tokens
+  FROM documents
+),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS offset,
+       CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS start_block,
+       CAST(floor((cum - 1) / 512.0) AS INTEGER) AS end_block
+FROM w WHERE n_tokens > 0""",
+        tags=("llm", "chunking"),
     ),
     # --- multimodal ---
     QuerySpec(

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoop_pyspark_streaming_analytics_spark.operators import (
+    chunking,
     dedup,
     multimodal,
     quality,
@@ -165,6 +166,65 @@ def test_ivf_search_recall_vs_brute_force(spark):
                 hits += 1
                 assert abs(bf[key] - r["cosine"]) < 1e-6
     assert hits / total >= 0.5, f"IVF recall collapsed: {hits}/{total}"
+
+
+def test_chunks_reconstruct_token_stream(spark):
+    """Dropping each chunk's ``overlap``-token prefix (except chunk 0) and
+    concatenating in chunk order must reproduce the document's full token
+    stream — no token lost or duplicated at window seams."""
+    chunk_tokens, overlap = 50, 10
+    rows = chunking.chunk_documents(
+        spark, SF, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    import re
+
+    docs = {
+        r["doc_id"]: re.findall(
+            "[a-z]+|[0-9]+|[^a-z0-9 ]", r["text"].lower()
+        )
+        for r in spark.read.parquet(SF + "/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    checked = 0
+    for doc_id, toks in docs.items():
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert chunks[0]["start"] == 0
+        rebuilt = []
+        for c in chunks:
+            words = c["chunk_text"].split(" ") if c["chunk_text"] else []
+            assert len(words) == c["chunk_len"] <= chunk_tokens
+            rebuilt.extend(words if c["chunk_id"] == 0 else words[overlap:])
+        assert rebuilt == toks, f"doc {doc_id} seam mismatch"
+        checked += 1
+    assert checked >= 10
+
+
+def test_packing_blocks_are_contiguous_per_shard(spark):
+    """Within a shard, offsets must tile the token stream exactly (each
+    doc starts where the previous ended) and block indices must match the
+    offsets; some docs must span a block boundary at capacity 512."""
+    rows = chunking.pack_documents(spark, SF, capacity=512).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    spans = 0
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rs:
+            assert r["offset"] == expect
+            assert r["start_block"] == r["offset"] // 512
+            assert r["end_block"] == (r["offset"] + r["n_tokens"] - 1) // 512
+            spans += r["end_block"] > r["start_block"]
+            expect = r["offset"] + r["n_tokens"]
+    assert spans > 0, "no doc spans a block boundary — capacity too large?"
 
 
 def test_multimodal_stub_boundary(spark):
