@@ -55,16 +55,23 @@ def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: tokenize (same tokenizer
-    as the Q1 text module, q1_mapper.py:19-23), then slide an n-window by
-    zipping n shifted slices of the token array and exploding.
+def doc_shingles(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: tokenize (same tokenizer as the
+    Q1 text module, q1_mapper.py:19-23), then slide an n-window by zipping
+    n shifted slices of the token array and exploding.
 
     The obvious spelling — ``transform(sequence(0, size-n), i -> ...)`` —
     is ~10x slower: lambda higher-order functions evaluate interpreted,
     outside whole-stage codegen, and allocate an index array per row.
     slice+arrays_zip+explode stays fully codegen'd (measured 10.7s → 1.1s
     on 5k docs / 260k shingles).
+
+    ``distinct=True`` (set semantics, a full (doc_id, shingle) shuffle) is
+    required by Jaccard |A∩B|/|A∪B| arithmetic.  Consumers that are
+    duplicate-INVARIANT — minhash: min over a multiset equals min over its
+    set — pass ``distinct=False`` and skip that shuffle entirely; their
+    own aggregation partial-aggregates map-side, so the only thing the
+    distinct bought them was a second full pass over every shingle.
     """
     toks = docs.select(
         "doc_id",
@@ -74,10 +81,11 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     zipped = toks.select(
         "doc_id", F.explode(F.arrays_zip(*shifted)).alias("z")
     )
-    return zipped.select(
+    out = zipped.select(
         "doc_id",
         F.concat_ws(" ", *[F.col(f"z.{k}") for k in range(n)]).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -148,7 +156,8 @@ def minhash_lsh_candidates(
     bucket join is tiny even at corpus scale.
     """
     sigs = minhash_signatures(
-        doc_shingles(load_table(spark, sf_dir, "documents"), n), bands * rows
+        doc_shingles(load_table(spark, sf_dir, "documents"), n, distinct=False),
+        bands * rows,
     )
     band_cols = []
     for b in range(bands):
