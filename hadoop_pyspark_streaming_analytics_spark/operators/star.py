@@ -90,6 +90,55 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
 
 
+def big_spender_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (existence filter, no fan-out): orders whose customer
+    has a high account balance, summarized by priority.  Semi-join is the
+    right operator when the probe side only gates — an inner join would
+    duplicate orders if the build side ever had duplicate keys, and carries
+    the build columns through the shuffle for nothing.  The filtered
+    customer key set broadcasts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round2(F.sum("o_totalprice")).alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with NO order in the window — the
+    retention / backfill-gap query shape.  Anti-join streams the big side
+    through a broadcast hash lookup of the (distinct, window-filtered)
+    order keys; the NOT-IN spelling would need null-safe special-casing
+    and the EXCEPT spelling loses the customer's columns."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(VOLUME_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(VOLUME_END).cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: per-nation revenue where customer and supplier share
     a nation, within one region and a date band.  region→nation→supplier are

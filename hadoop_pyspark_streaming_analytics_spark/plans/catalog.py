@@ -767,6 +767,33 @@ ORDER BY revenue DESC, n_name""",
         headline=True,
         tags=("star", "join"),
     ),
+    QuerySpec(
+        "star_semi_join_big_spenders",
+        star.big_spender_order_mix,
+        """
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice) + 1e-6, 2) AS total_value
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+GROUP BY 1 ORDER BY 1""",
+        tags=("star", "semi-join"),
+    ),
+    QuerySpec(
+        "star_anti_join_dormant_customers",
+        star.dormant_customers,
+        f"""
+SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{star.VOLUME_START}'
+    AND o.o_orderdate < TIMESTAMP '{star.VOLUME_END}'
+)""",
+        tags=("star", "anti-join"),
+    ),
 ]
 
 

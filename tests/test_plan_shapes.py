@@ -161,3 +161,17 @@ def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
     plan = plan_of(local_supplier_volume(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins_are_broadcast_existence_probes(spark, sf_dir):
+    """Semi/anti joins must plan as broadcast hash existence probes of the
+    (filtered, thin) key set — never inner-join + dedup, never shuffled."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        big_spender_order_mix,
+        dormant_customers,
+    )
+
+    semi = plan_of(big_spender_order_mix(spark, sf_dir))
+    assert "LeftSemi" in semi and "BroadcastHashJoin" in semi
+    anti = plan_of(dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
