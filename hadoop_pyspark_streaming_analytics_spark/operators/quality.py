@@ -133,6 +133,47 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stratified-sampling keep-rates per length bucket (percent): short docs
+#: are downsampled hard, long docs kept — the usual quality-weighting shape.
+SAMPLE_RATES = {"short": 10, "medium": 50, "long": 100}
+SHORT_MAX_TOKENS = 40
+MEDIUM_MAX_TOKENS = 80
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: bucket documents by length,
+    keep ``SAMPLE_RATES[bucket]`` percent of each stratum, decided by
+    md5(doc_id) mod 100 — the same seedless hash discipline as
+    :func:`train_split_assign`, so the sample is reproducible across runs,
+    engines, and partitionings, and a re-ingested doc keeps its fate.
+
+    ``DataFrame.sampleBy`` is the stock spelling but is seed-dependent and
+    partitioning-sensitive — unusable for a dataset that must be rebuilt
+    bit-identically.  One scan, zero shuffle; the filter is pure codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_col())
+    bucket = (
+        F.when(n_tokens < SHORT_MAX_TOKENS, "short")
+        .when(n_tokens < MEDIUM_MAX_TOKENS, "medium")
+        .otherwise("long")
+    )
+    rate = (
+        F.when(F.col("bucket") == "short", SAMPLE_RATES["short"])
+        .when(F.col("bucket") == "medium", SAMPLE_RATES["medium"])
+        .otherwise(SAMPLE_RATES["long"])
+    )
+    hash100 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .withColumn("keep_hash", hash100)
+        .filter(F.col("keep_hash") < rate)
+        .select("doc_id", "bucket", F.col("keep_hash").cast("int").alias("keep_hash"))
+    )
+
+
 def train_split_assign(
     spark: SparkSession,
     sf_dir: str,

@@ -376,6 +376,28 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         tags=("llm", "similarity"),
     ),
     QuerySpec(
+        "stratified_sample",
+        quality.stratified_sample,
+        f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+'))
+                   < {quality.SHORT_MAX_TOKENS} THEN 'short'
+              WHEN len(regexp_extract_all(lower(text), '[a-z]+'))
+                   < {quality.MEDIUM_MAX_TOKENS} THEN 'medium'
+              ELSE 'long' END AS bucket,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+           AS keep_hash
+  FROM documents
+)
+SELECT doc_id, bucket, CAST(keep_hash AS INTEGER) AS keep_hash
+FROM d
+WHERE keep_hash < CASE bucket WHEN 'short' THEN {quality.SAMPLE_RATES['short']}
+                              WHEN 'medium' THEN {quality.SAMPLE_RATES['medium']}
+                              ELSE {quality.SAMPLE_RATES['long']} END""",
+        tags=("llm", "sampling"),
+    ),
+    QuerySpec(
         "train_split_assign",
         quality.train_split_assign,
         """

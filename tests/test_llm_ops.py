@@ -168,6 +168,17 @@ def test_ivf_search_recall_vs_brute_force(spark):
     assert hits / total >= 0.5, f"IVF recall collapsed: {hits}/{total}"
 
 
+def test_stratified_sample_deterministic_and_rate_respecting(spark):
+    """The sample must be identical across runs (no seed, no partitioning
+    sensitivity) and every kept row must satisfy its stratum's hash-rate
+    gate; short docs must be the most aggressively downsampled."""
+    a = sorted(map(tuple, quality.stratified_sample(spark, SF).collect()))
+    b = sorted(map(tuple, quality.stratified_sample(spark, SF).collect()))
+    assert a == b and a
+    for doc_id, bucket, keep_hash in a:
+        assert keep_hash < quality.SAMPLE_RATES[bucket]
+
+
 def test_chunks_reconstruct_token_stream(spark):
     """Dropping each chunk's ``overlap``-token prefix (except chunk 0) and
     concatenating in chunk order must reproduce the document's full token
