@@ -34,7 +34,14 @@ def chunk_documents(
 ) -> DataFrame:
     """Overlapping token windows per document: starts at 0, step
     ``chunk_tokens - overlap``; the final window may be short.  Empty
-    docs produce no chunks."""
+    docs produce no chunks.
+
+    Start generation is capped at ``n - overlap - 1`` (not ``n - 1``) so a
+    chunk is only emitted when it contributes tokens beyond the previous
+    chunk's overlap — otherwise, whenever ``(n - 1) % step`` lands inside
+    the overlap region, the final window is a pure duplicate of the tail of
+    the previous one (``chunk_len <= overlap``) and a RAG/training consumer
+    would ingest the same content twice."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -53,9 +60,13 @@ def chunk_documents(
         "doc_id",
         "t",
         "n",
-        F.posexplode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))).alias(
-            "chunk_id", "start"
-        ),
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - overlap - 1, F.lit(0)),
+                F.lit(step),
+            )
+        ).alias("chunk_id", "start"),
     )
     chunk = F.expr(f"slice(t, start + 1, {chunk_tokens})")
     return starts.select(

@@ -20,6 +20,8 @@ salted hex digests — engine-portable, and exactly as uniform.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,7 +101,15 @@ def ngram_jaccard_pairs(
     quadratically) — at 100 TB you front this with the MinHash-LSH candidate
     generator below and only Jaccard-verify the candidates.
     """
-    sh = doc_shingles(load_table(spark, sf_dir, "documents"), n).cache()
+    # localCheckpoint, not .cache(): the shingle table feeds both the sizes
+    # agg and the self-join, but a cache() here would outlive the query (the
+    # caller never sees the handle to unpersist), accumulating storage
+    # memory across repeated catalog runs in one long-lived session.
+    # Checkpoint blocks are reclaimed by the ContextCleaner when the frame
+    # is GC'd.
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"), n).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -222,6 +232,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.u == labels.node)
@@ -236,8 +247,18 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Diameter > max_iter would silently return WRONG labels; surface it.
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels may be unconverged. "
+            "Raise max_iter or use large-star/small-star for deep graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -40,12 +40,18 @@ def prepare_documents(
     canonical = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     survivors = docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
 
-    # 2. near-dup removal: LSH candidates → exact Jaccard verify → drop the
-    #    higher doc_id of each verified pair (deterministic victim choice).
-    verified = dedup.ngram_jaccard_pairs(
-        spark, sf_dir, threshold=jaccard_threshold
-    ).select(F.col("doc_b").alias("doc_id"))
-    survivors = survivors.join(verified.distinct(), "doc_id", "left_anti")
+    # 2. near-dup removal: exact Jaccard verify → connected components over
+    #    the verified pairs → keep the per-cluster minimum doc_id (the same
+    #    canonical policy as dedup.keep_canonical).  A naive "drop doc_b of
+    #    every pair" over-deletes on chains: in A~B~C it removes both B and
+    #    C even though C's only above-threshold neighbor was B, which was
+    #    itself removed.
+    verified = dedup.ngram_jaccard_pairs(spark, sf_dir, threshold=jaccard_threshold)
+    clusters = dedup.connected_components(verified)
+    victims = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = survivors.join(victims, "doc_id", "left_anti")
 
     # 3. quality gate + features.
     feats = quality.quality_scores(spark, sf_dir)

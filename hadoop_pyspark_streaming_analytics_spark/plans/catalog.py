@@ -622,10 +622,10 @@ FROM clicks c JOIN errors e
         temporal.clicks_in_trailing_window,
         """
 SELECT event_id, user_id, ts,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
          PARTITION BY user_id ORDER BY ts
          RANGE BETWEEN INTERVAL '5 minutes' PRECEDING AND CURRENT ROW
-       ) AS clicks_trailing
+       ) AS BIGINT) AS clicks_trailing
 FROM events""",
         tags=("temporal", "range-frame"),
     ),

@@ -467,7 +467,10 @@ WITH toks AS (
 ),
 nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 starts AS (
-  SELECT doc_id, t, n, unnest(range(0, n, 40)) AS start FROM nz
+  -- cap mirrors chunk_documents: no start inside the final overlap region,
+  -- so the last chunk always contributes tokens beyond the previous one
+  SELECT doc_id, t, n, unnest(range(0, greatest(n - 10, 1), 40)) AS start
+  FROM nz
 )
 SELECT doc_id,
        CAST(start / 40 AS INTEGER) AS chunk_id,

@@ -61,9 +61,14 @@ def make_ewma_fn(
         # Concatenate ALL Arrow chunks before sorting: a large group arrives
         # as multiple pandas chunks in arbitrary order, so per-chunk sorting
         # would fold later-arriving earlier timestamps last.  mergesort +
-        # value tiebreak keeps equal-timestamp rows deterministic too.
+        # (seq, value) tiebreak keeps equal-timestamp rows deterministic AND
+        # matches the batch twin's (ts, event_id, value) fold order when the
+        # caller wires a sequence column (``seq`` is all-null otherwise, a
+        # no-op sort key).
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["event_time", "value"], kind="mergesort")
+        batch = batch.sort_values(
+            ["event_time", "seq", "value"], kind="mergesort", na_position="first"
+        )
         for v in batch["value"].tolist():
             if v is None or pd.isna(v):
                 continue
@@ -99,6 +104,7 @@ def ewma_per_key(
     key_col: str = "sensor_id",
     value_col: str = "temperature",
     event_time_col: str = "event_time",
+    seq_col: str | None = None,
     alpha: float = 0.3,
     anomaly_factor: float = 1.5,
     idle_timeout_ms: int | None = None,
@@ -107,13 +113,24 @@ def ewma_per_key(
     DataFrame with (key, value, event_time).  Output: one row per key per
     micro-batch in update mode.  Pass ``idle_timeout_ms`` (e.g. 1h) on real
     deployments to evict idle keys; leave ``None`` for deterministic tests
-    (a registered timer forces continuous empty micro-batches)."""
+    (a registered timer forces continuous empty micro-batches).
+
+    ``seq_col``: optional monotone id (event_id, offset).  With it, the fold
+    order is (event_time, seq, value) — identical to the batch twin
+    (operators/timeseries.py:ewma_per_user, which sorts (ts, event_id,
+    value)) even when one key has two different values at the SAME
+    timestamp.  Without it the tiebreak degrades to (event_time, value);
+    sources like the reference's sensor JSON (no id field) accept that
+    divergence on timestamp ties."""
     from pyspark.sql import functions as F
 
     normalized = df.select(
         F.col(key_col).alias("sensor_id"),
         F.col(value_col).alias("value"),
         F.col(event_time_col).alias("event_time"),
+        (
+            F.col(seq_col) if seq_col is not None else F.lit(None).cast("long")
+        ).alias("seq"),
     )
     timeout_conf = (
         GroupStateTimeout.NoTimeout
