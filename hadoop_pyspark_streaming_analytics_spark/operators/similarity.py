@@ -236,11 +236,15 @@ def ivf_search(
 
 
 def embedding_near_duplicates(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.99
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label blocks.  Blocking keeps
-    the self-join sub-quadratic (the all-pairs variant is the test-only
-    baseline); pairs above the threshold are dedup candidates."""
+    """Embedding-cosine near-dup pairs within label blocks — the
+    VERIFICATION baseline for :func:`embedding_near_duplicates_lsh`.
+    Blocking by ``label`` bounds the self-join, but all-pairs *within* a
+    block is still quadratic when blocks are few/large; the LSH variant
+    below is the 100 TB candidate generator.  The threshold filter runs on
+    the 4dp-rounded cosine (float policy: quantize BEFORE comparing so
+    summation-order noise cannot flip a boundary pair across engines)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     a = emb.alias("a")
     b = emb.alias("b")
@@ -250,11 +254,106 @@ def embedding_near_duplicates(
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cosine", cosine_expr("a.embedding", "b.embedding"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_expr("a.embedding", "b.embedding") + F.lit(1e-8), 4),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(F.col("cosine") + F.lit(1e-8), 4).alias("cosine"),
+            "cosine",
         )
+    )
+
+
+# --- random-hyperplane LSH (SimHash for vectors) -----------------------------
+
+#: 16 signature bits = 4 bands x 4 bits over 64-dim embeddings.  For pairs at
+#: cosine >= 0.99 (angle ~8.1 deg, per-bit agreement p = 1 - theta/pi ~ 0.955)
+#: the 4x4 banding catches a pair with P ~ 1 - (1 - p^4)^4 ~ 0.999; unrelated
+#: vectors (p ~ 0.5) collide in a band with P ~ 0.5^4 per band, keeping
+#: buckets small.
+RHP_BITS = 16
+RHP_BANDS = 4
+RHP_DIM = 64
+
+
+def hyperplanes(bits: int = RHP_BITS, dim: int = RHP_DIM) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: component (j, k) is the parity of the
+    first hex digit of md5("j|k").  No RNG, no engine-specific hash — the
+    same literal matrix is interpolated into the Spark plan and the DuckDB
+    oracle, so both engines bucket identically by construction.  (+-1
+    components lose nothing vs gaussian planes for sign-of-dot hashing.)"""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}|{k}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for k in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def _band_signatures(emb: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(vec_id, band_id, sig): one 4-char sign-bit string per band.  All
+    JVM-side — one projection computing ``bits`` fold-dots, then a 4-row
+    explode; no shuffle."""
+    planes = hyperplanes(bands * rows)
+    bits = []
+    for j in range(bands * rows):
+        lit = ", ".join(f"{x:.1f}D" for x in planes[j])
+        dot = _DOT.format(a="embedding", b=f"array({lit})")
+        bits.append(F.when(F.expr(dot) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(*bits[b * rows : (b + 1) * rows]).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", F.col("band.band_id").alias("band_id"), F.col("band.sig").alias("sig"))
+
+
+def embedding_near_duplicates_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    bands: int = RHP_BANDS,
+    rows: int = RHP_BITS // RHP_BANDS,
+) -> DataFrame:
+    """Embedding near-dup pairs with BUCKETED candidate generation — the
+    100 TB path (the label-blocked all-pairs variant above is the
+    verification baseline).  Shape mirrors the text MinHash-LSH operator
+    (dedup.py:minhash_lsh_candidates): sign-bit signature -> band buckets ->
+    equi-join within buckets -> exact cosine verify on the (tiny) candidate
+    set.  Candidate generation is linear in corpus size; no all-pairs or
+    label-wide cross join anywhere (plan-asserted in test_plan_shapes).
+
+    The verify step re-attaches embeddings to the candidate pairs via two
+    equi-joins rather than carrying 64-float arrays through the explode and
+    bucket shuffle — at scale the pair table is orders of magnitude smaller
+    than the corpus, so the array payload moves through the small side."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = _band_signatures(emb, bands, rows)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, on=["band_id", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn(
+            "cosine", F.round(cosine_expr("emb_a", "emb_b") + F.lit(1e-8), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

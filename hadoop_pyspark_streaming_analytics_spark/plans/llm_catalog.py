@@ -169,6 +169,56 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
 FROM ranked WHERE rnk <= 10"""
 
 
+def _rhp_lsh_sql(threshold: float = 0.4) -> str:
+    """Oracle for the random-hyperplane LSH near-dup pairs.  The +-1 plane
+    matrix is the SAME Python-generated literal the Spark plan embeds
+    (similarity.hyperplanes), and the dot is a list_reduce fold — the
+    identical left-to-right double additions as Spark's ``aggregate`` — so
+    sign bits, buckets, and candidates agree across engines by
+    construction."""
+    planes = similarity.hyperplanes()
+    values = ",\n    ".join(
+        "({j}, [{h}]::DOUBLE[])".format(
+            j=j, h=", ".join(f"{x:.1f}" for x in row)
+        )
+        for j, row in enumerate(planes)
+    )
+    rows = similarity.RHP_BITS // similarity.RHP_BANDS
+    return f"""
+WITH planes(j, h) AS (
+  VALUES
+    {values}
+),
+bits AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN list_reduce(
+                list_transform(range(1, {similarity.RHP_DIM} + 1),
+                               i -> e.embedding[i]::DOUBLE * p.h[i]),
+                (acc, v) -> acc + v) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+sigs AS (
+  SELECT vec_id, CAST(j // {rows} AS INTEGER) AS band_id,
+         string_agg(bit, '' ORDER BY j) AS sig
+  FROM bits GROUP BY vec_id, j // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT c.vec_a, c.vec_b,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]) + 1e-8, 4)
+           AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+) WHERE cosine >= {threshold}"""
+
+
 def _ivf_search_sql(
     query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
     k: int = 10,
@@ -366,13 +416,19 @@ FROM ranked WHERE rn = 1""",
         "embedding_near_duplicates",
         similarity.embedding_near_duplicates,
         """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                    b.embedding::DOUBLE[]) + 1e-8, 4) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      >= 0.99""",
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) + 1e-8, 4) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.4""",
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
+        "embedding_near_duplicates_lsh",
+        similarity.embedding_near_duplicates_lsh,
+        _rhp_lsh_sql(),
         tags=("llm", "similarity"),
     ),
     QuerySpec(

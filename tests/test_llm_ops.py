@@ -168,6 +168,28 @@ def test_ivf_search_recall_vs_brute_force(spark):
     assert hits / total >= 0.5, f"IVF recall collapsed: {hits}/{total}"
 
 
+def test_embedding_lsh_near_dups_agree_with_baseline(spark):
+    """The random-hyperplane LSH variant must (a) only emit pairs at/above
+    the threshold, (b) score any pair it shares with the label-blocked
+    baseline identically, and (c) actually find pairs on this corpus.
+    (Full recall vs the baseline is NOT asserted: at threshold 0.4 the
+    4x4 banding is a candidate generator with recall < 1 by design —
+    the sf0.01 recall is printed for the record.)"""
+    base = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_duplicates(spark, SF).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_duplicates_lsh(spark, SF).collect()
+    }
+    assert lsh, "LSH found no pairs at all"
+    assert all(c >= 0.4 for c in lsh.values())
+    shared = set(base) & set(lsh)
+    assert all(base[p] == lsh[p] for p in shared)
+    print(f"lsh recall vs label-blocked baseline: {len(shared)}/{len(base)}")
+
+
 def test_stratified_sample_deterministic_and_rate_respecting(spark):
     """The sample must be identical across runs (no seed, no partitioning
     sensitivity) and every kept row must satisfy its stratum's hash-rate

@@ -175,3 +175,19 @@ def test_semi_and_anti_joins_are_broadcast_existence_probes(spark, sf_dir):
     assert "LeftSemi" in semi and "BroadcastHashJoin" in semi
     anti = plan_of(dormant_customers(spark, sf_dir))
     assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
+
+
+def test_embedding_lsh_has_no_cross_join(spark, sf_dir):
+    """The random-hyperplane LSH near-dup path must generate candidates via
+    a bucketed EQUI-join on (band_id, sig) — never a cartesian product or a
+    label-wide nested-loop join (the scale failure of the all-pairs
+    baseline).  Signature computation itself must be shuffle-free up to the
+    bucket join: exactly the candidate distinct + two verify joins shuffle."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+    )
+
+    plan = plan_of(embedding_near_duplicates_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_id" in plan  # the bucket equi-join key is in the plan
