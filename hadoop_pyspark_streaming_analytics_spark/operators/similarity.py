@@ -183,6 +183,104 @@ def ivf_assign(
     )
 
 
+def _assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd inner loop: corpus x broadcast(centroids), 6dp pre-rounded
+    cosine, argmax via map-side-combinable ``max(struct)`` (highest cosine,
+    then LOWEST centroid id) — identical shape and tiebreak to
+    :func:`ivf_assign`, factored out so the k-means build reuses it."""
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.round(cosine_expr("embedding", "c_emb") + F.lit(1e-8), 6)
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"),
+                (-F.col("centroid_id")).alias("neg_id"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_id")).cast("bigint").alias("centroid_id"),
+        F.col("m.cos").alias("cosine"),
+    )
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, rounds: int = 2
+) -> DataFrame:
+    """Lloyd-iterated centroids over the embeddings corpus.
+
+    * Init: the ``k`` vectors with the smallest md5(vec_id) digests —
+      hash-sampled, deterministic, engine-portable (no RNG), and spread
+      uniformly over the corpus unlike lowest-id init.
+    * Each round: assign (cross join broadcast centroids, argmax — the
+      :func:`ivf_assign` inner loop) then update (per-dimension mean via
+      ``posexplode`` → map-side-combinable avg → rebuild array).  The
+      explode shuffles (centroid_id, dim) keys — k*dim groups, tiny — and
+      the corpus itself never shuffles: the wide side of every stage is a
+      scan.  Centroid means are rounded to 6dp so cross-engine summation-
+      order noise in the avg cannot leak into later rounds' argmax.
+    * Per-round centroids are collected to the driver (k rows of dim
+      doubles) and re-broadcast as literals — the standard distributed
+      k-means pattern (MLlib does the same); lineage stays flat without
+      checkpoints.  A cluster that loses all members drops out, exactly as
+      in the SQL mirror.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init_rows = (
+        emb.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init_rows)
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "centroid_id int, c_emb array<double>"
+    )
+    for _ in range(rounds):
+        assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+        dims = assign.join(emb, "vec_id").select(
+            "centroid_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        mean_rows = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")) + F.lit(1e-8), 6).alias("v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("v")))
+                ).alias("dv")
+            )
+            .select(
+                "centroid_id", F.expr("transform(dv, s -> s.v)").alias("c_emb")
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], r["c_emb"]) for r in mean_rows],
+            "centroid_id int, c_emb array<double>",
+        )
+    return cents
+
+
+def ivf_build_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = 8, rounds: int = 2
+) -> DataFrame:
+    """IVF index build with Lloyd-iterated centroids — the production twin
+    of :func:`ivf_assign` (whose fixed lowest-id "centroids" are the
+    deterministic baseline).  Output: (vec_id, centroid_id, cosine) — the
+    final assignment, i.e. the partition layout the stored index is written
+    with.  Recall of a search probing these clusters is measured against
+    brute force in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(spark, sf_dir, k, rounds)
+    return _assign_to_centroids(emb, cents)
+
+
 def ivf_search(
     spark: SparkSession,
     sf_dir: str,
@@ -190,9 +288,13 @@ def ivf_search(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF index QUERY — the scale path ``brute_force_topk`` is the
-    baseline for.  Per query: rank the ``n_centroids`` centroids by cosine,
+    baseline for.  Pass ``centroids`` (centroid_id, c_emb) — e.g. from
+    :func:`kmeans_centroids` — to probe a trained index; the default
+    lowest-id pseudo-centroids stay as the oracle-mirrorable baseline.
+    Per query: rank the ``n_centroids`` centroids by cosine,
     probe the best ``nprobe`` clusters, and score ONLY vectors assigned to
     those clusters (assignment = :func:`ivf_assign`, the index build).
 
@@ -206,10 +308,14 @@ def ivf_search(
     — tested against the brute-force baseline.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    if centroids is not None:
+        cents = centroids
+        assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+    else:
+        assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

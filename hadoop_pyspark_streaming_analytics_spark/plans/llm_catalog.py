@@ -169,6 +169,66 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
 FROM ranked WHERE rnk <= 10"""
 
 
+def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iteration mirroring similarity.ivf_build_kmeans:
+    hash-sampled init, then ``rounds`` x (assign -> 6dp-rounded per-dim
+    mean), then a final assignment.  Rounding the means at 6dp on both
+    sides keeps cross-engine avg summation-order noise out of later
+    rounds' argmax."""
+    init = f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              - 1 AS INTEGER) AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS c_emb
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= {k}
+)"""
+    stages = [init]
+    for r in range(rounds):
+        stages.append(f"""assign{r} AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> x::DOUBLE), c.c_emb)
+               + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cent{r} c
+),
+best{r} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rn
+    FROM assign{r}
+  ) WHERE rn = 1
+),
+cent{r + 1} AS (
+  SELECT centroid_id, list(v ORDER BY dim) AS c_emb FROM (
+    SELECT b.centroid_id, d.dim,
+           round(avg(e.embedding[d.dim]::DOUBLE) + 1e-8, 6) AS v
+    FROM best{r} b
+    JOIN embeddings e ON b.vec_id = e.vec_id
+    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS dim) d
+    GROUP BY b.centroid_id, d.dim
+  ) GROUP BY centroid_id
+)""")
+    ctes = ",\n".join(stages)
+    return f"""
+WITH {ctes},
+final_assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> x::DOUBLE), c.c_emb)
+               + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cent{rounds} c
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, cos AS cosine
+FROM (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id) AS rn
+  FROM final_assign
+) WHERE rn = 1"""
+
+
 def _rhp_lsh_sql(threshold: float = 0.4) -> str:
     """Oracle for the random-hyperplane LSH near-dup pairs.  The +-1 plane
     matrix is the SAME Python-generated literal the Spark plan embeds
@@ -410,6 +470,12 @@ FROM ranked WHERE rn = 1""",
         "ann_ivf_search",
         similarity.ivf_search,
         _ivf_search_sql(),
+        tags=("llm", "similarity"),
+    ),
+    QuerySpec(
+        "ann_ivf_build_kmeans",
+        similarity.ivf_build_kmeans,
+        _kmeans_sql(),
         tags=("llm", "similarity"),
     ),
     QuerySpec(
