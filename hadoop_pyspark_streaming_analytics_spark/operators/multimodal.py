@@ -44,35 +44,88 @@ def binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PNG color type → sample channels (PNG spec 11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(buf: bytes) -> tuple[int, int, int, str] | None:
+    """REAL pure-python header parse for the three trivially-parseable
+    container formats — (width, height, channels, format) or None.
+
+    This is the honest no-PIL decode tier: dimensions come from the actual
+    bytes (PNG IHDR big-endian, GIF logical-screen little-endian, BMP
+    BITMAPINFOHEADER little-endian), not from a fake.  Full pixel decode
+    (inflate + unfilter) still belongs to PIL/libvips — see
+    :func:`decode_image_batch`'s ``stub`` flag docs."""
+    if len(buf) >= 26 and buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        channels = _PNG_CHANNELS.get(buf[25], 0)
+        return (w, h, channels, "png")
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(buf[6:8], "little")
+        h = int.from_bytes(buf[8:10], "little")
+        return (w, h, 3, "gif")
+    if len(buf) >= 26 and buf[:2] == b"BM":
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        return (w, h, 3, "bmp")
+    return None
+
+
 def decode_image_batch(stub: bool = True):
     """Return the mapInPandas decode function.
 
     stub=True  → deterministic fake decode (dimensions derived from the
-                 payload size / id), exercising the full Arrow round trip.
-    stub=False → NotImplementedError: the real codec (PIL / libvips) is not
-                 available in this environment; the call site, schema, and
-                 batch shape are exactly what the real decoder needs.
+                 payload size / id), exercising the full Arrow round trip
+                 on payloads that are not images at all (the documents
+                 table's UTF-8 text).
+    stub=False → REAL header decode via :func:`parse_image_header`:
+                 PNG/GIF/BMP payloads get their true dimensions and
+                 ``decode_status='ok'``; unrecognized payloads get null
+                 dims and ``'not_an_image'``.  Pixel-level decode (inflate
+                 + unfilter + resample) would still need PIL/libvips — the
+                 header tier is what metadata extraction at 100 TB actually
+                 runs, and it needs no image library.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips; not shipped here"
+            if stub:
+                n_bytes = pdf["n_bytes"].astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["n_bytes"],
+                        "content_md5": pdf["content_md5"],
+                        # deterministic fake "decode": dims from size/id
+                        "width": (n_bytes % 64 + 16).astype("int32"),
+                        "height": (
+                            (pdf["doc_id"].astype("int64") * 7) % 64 + 16
+                        ).astype("int32"),
+                        "channels": 3,
+                        "decode_status": "stub",
+                    }
                 )
-            n_bytes = pdf["n_bytes"].astype("int64")
+                continue
+            parsed = [parse_image_header(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
                     "content_md5": pdf["content_md5"],
-                    # deterministic fake "decode": dims from payload size/id
-                    "width": (n_bytes % 64 + 16).astype("int32"),
-                    "height": ((pdf["doc_id"].astype("int64") * 7) % 64 + 16).astype(
-                        "int32"
+                    "width": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
                     ),
-                    "channels": 3,
-                    "decode_status": "stub",
+                    "height": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "decode_status": [
+                        "ok" if p else "not_an_image" for p in parsed
+                    ],
                 }
             )
 
@@ -86,6 +139,73 @@ def decoded_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_ingest(spark, sf_dir).mapInPandas(
         decode_image_batch(stub=True), schema=DECODED_SCHEMA
     )
+
+
+def make_png(width: int, height: int, seed: int) -> bytes:
+    """A COMPLETE, valid truecolor PNG (signature + IHDR + IDAT + IEND,
+    correct CRCs, zlib-deflated filtered scanlines) built with only the
+    stdlib — the deterministic image fixture for the real-decode path.
+    Pixel (x, y) = ((seed + x + y) % 256) across R/G/B."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + bytes(((seed + x + y) % 256) for x in range(width) for _ in range(3))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id) → real PNG payload with dimensions a
+    deterministic function of doc_id (width = doc_id % 64 + 16,
+    height = doc_id * 7 % 64 + 16 — the same formulas the stub tier fakes,
+    now carried by actual bytes)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"].astype("int64"):
+            w = int(doc_id % 64 + 16)
+            h = int(doc_id * 7 % 64 + 16)
+            png = make_png(w, h, int(doc_id))
+            rows.append((doc_id, png, len(png), hashlib.md5(png).hexdigest()))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "content", "n_bytes", "content_md5"]
+        )
+
+
+def png_roundtrip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode roundtrip — the non-stub multimodal path: synthesize a
+    valid PNG per document (Arrow-batched, dims derived from doc_id) →
+    parse the actual IHDR back with :func:`parse_image_header` →
+    (doc_id, width, height, channels, decode_status).  The oracle recomputes
+    the expected dims arithmetically, so a hash match proves the decoder
+    read the real bytes.  Plumbing is identical to what a PIL-backed decode
+    would use; only the pixel tier remains out of scope."""
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = doc_ids.mapInPandas(
+        synthesize_png_batch,
+        schema="doc_id bigint, content binary, n_bytes int, content_md5 string",
+    )
+    decoded = payloads.mapInPandas(
+        decode_image_batch(stub=False), schema=DECODED_SCHEMA
+    )
+    return decoded.select("doc_id", "width", "height", "channels", "decode_status")
 
 
 def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:

@@ -639,6 +639,17 @@ FROM documents""",
         tags=("llm", "multimodal"),
     ),
     QuerySpec(
+        "multimodal_png_decode",
+        multimodal.png_roundtrip_metadata,
+        """
+SELECT doc_id,
+       CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height,
+       3 AS channels, 'ok' AS decode_status
+FROM documents""",
+        tags=("llm", "multimodal"),
+    ),
+    QuerySpec(
         "multimodal_frame_sample",
         multimodal.frame_sample,
         """
