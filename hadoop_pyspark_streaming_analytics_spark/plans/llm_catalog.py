@@ -415,6 +415,7 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         "dedup_components",
         dedup.duplicate_components,
         _components_sql(),
+        headline=True,
         tags=("llm", "dedup"),
     ),
     QuerySpec(
@@ -470,6 +471,7 @@ FROM ranked WHERE rn = 1""",
         "ann_ivf_search",
         similarity.ivf_search,
         _ivf_search_sql(),
+        headline=True,
         tags=("llm", "similarity"),
     ),
     QuerySpec(
@@ -624,6 +626,7 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS start_block,
        CAST(floor((cum - 1) / 512.0) AS INTEGER) AS end_block
 FROM w WHERE n_tokens > 0""",
+        headline=True,
         tags=("llm", "chunking"),
     ),
     # --- multimodal ---

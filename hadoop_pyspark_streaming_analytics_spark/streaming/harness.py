@@ -55,3 +55,32 @@ class MemorySinkRun:
 
     def stop(self) -> None:
         self.query.stop()
+
+
+class ForeachBatchRun:
+    """Run a streaming DataFrame through ``foreachBatch``, recording each
+    micro-batch's (batch_id, rows) — the instrument for BATCH-BY-BATCH
+    parity tests against the reference's per-batch console tables
+    (q4_streaming.ipynb "Batch: 0"/"Batch: 1" output), which a memory sink
+    cannot reproduce (it appends without batch boundaries)."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame, output_mode: str = "update"):
+        self.batches: list[tuple[int, list]] = []
+
+        def capture(batch_df: DataFrame, batch_id: int) -> None:
+            self.batches.append((int(batch_id), batch_df.collect()))
+
+        self.query = (
+            df.writeStream.outputMode(output_mode).foreachBatch(capture).start()
+        )
+
+    def process_all(self) -> None:
+        self.query.processAllAvailable()
+
+    def nonempty(self) -> list[tuple[int, list]]:
+        """Batches that carried rows (stateful queries may schedule empty
+        watermark-advance batches — the reference's empty Batch 2/5/8)."""
+        return [(bid, rows) for bid, rows in self.batches if rows]
+
+    def stop(self) -> None:
+        self.query.stop()
