@@ -29,8 +29,14 @@ def customer_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tie-nondeterministic (SURVEY.md §7); we extend the ordering with
     (o_orderkey, l_linenumber) so every frame is total-ordered.
     """
-    base = retail_base(spark, sf_dir)
+    return customer_orders_window_from_base(retail_base(spark, sf_dir))
 
+
+def customer_orders_window_from_base(base: DataFrame) -> DataFrame:
+    """Q2 Part B over any canonical base frame (c_custkey, l_orderkey,
+    l_partkey, l_linenumber, o_orderdate, amount) — shared by the star-
+    schema catalog entry above and the reference-CSV golden pipeline
+    (operators/reference_golden.py)."""
     # W5: first/last product over the unbounded frame, computed at line level
     # BEFORE the order-level agg so they ride along as group keys
     # (q2_ecommerce_analysis.py:169-186).
