@@ -1,0 +1,197 @@
+"""Corpus-level text statistics for LLM training-data curation: vocabulary
+building, TF-IDF term weighting, and Gopher-style repetition signals.
+
+These complement the per-document features in :mod:`.quality` (which are
+single-scan, zero-shuffle): the operators here are the corpus-global tier —
+token frequencies across ALL documents (vocabulary, IDF) and within-document
+repetition ratios, the standard pre-training corpus filters (Rae et al.,
+"Scaling Language Models" — the Gopher repetition thresholds; Raffel et al.,
+C4).  All JVM-side: explode + two-level aggregation, no Python in the path.
+
+Scale notes (100 TB corpus):
+* The exploded token table is ~corpus-token-count rows, but both consumers
+  aggregate it immediately with map-side partial aggregation, so the shuffle
+  carries (token, partial-count) pairs — bounded by vocabulary size per
+  partition, not corpus size.
+* The vocabulary table itself is small (vocab sizes are millions of rows at
+  web scale, ~10^6-10^7): the global row_number() window and the IDF join
+  both operate on it — the window runs single-partition but over a
+  vocab-sized input (documented below), and the join side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .text import TOKEN_PATTERN
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) one row per token OCCURRENCE (not distinct)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+
+
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with contiguous frequency-ranked ids — the
+    token→id mapping a tokenizer-training or embedding-table step consumes.
+
+    ``token_id`` is row_number() over (freq DESC, token ASC): deterministic
+    across runs and engines.  The window is a single global partition BY
+    DESIGN — it runs over the already-aggregated vocabulary (one row per
+    distinct token), which is vocab-sized (10^6-ish), not corpus-sized; at
+    100 TB the heavy lifting is the map-side-combined explode→count below
+    it, and a vocab-sized single-partition sort is milliseconds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _doc_tokens(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return vocab.select(
+        F.row_number().over(w).cast("int").alias("token_id"),
+        "token",
+        "freq",
+        "doc_freq",
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic relevance /
+    keyword-extraction signal over a training corpus.
+
+    tf   = occurrences of token in doc / doc token count
+    idf  = ln((N + 1) / (doc_freq + 1)) + 1   (smoothed, sklearn-style)
+    Ranked per document by (tfidf DESC, token ASC); rank() keeps score
+    ties (like the q2a top-product policy, catalog.py).
+
+    Plan shape: one explode feeding a (doc_id, token) count (map-side
+    combined), a broadcast join against the vocab-sized doc_freq table,
+    and a per-document rank window — partitioned by doc_id, so the window
+    state is one document's distinct tokens.  No corpus-sized shuffle
+    carries text.
+
+    ``tf`` feeds three consumers (the scored rows, doc_len, doc_freq) and
+    Catalyst does not reuse common subplans — without materialization the
+    corpus would be scanned and exploded 3×.  ``localCheckpoint`` (the same
+    discipline as dedup.connected_components) pins the aggregated
+    (doc_id, token, count) table — far smaller than the raw corpus — so the
+    100 TB scan happens exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+        .localCheckpoint(eager=True)
+    )
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tok_count").alias("doc_tokens"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_len), "doc_id")
+        .join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tok_count",
+            F.round(
+                (F.col("tok_count") / F.col("doc_tokens"))
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1))
+                    + F.lit(1.0)
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.rank().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "token", "tok_count", "tfidf", F.col("rk").alias("term_rank"))
+    )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    * ``top_token_frac``      — occurrences of the most frequent token /
+      total tokens (Gopher filters docs where this exceeds ~0.2 for stop
+      words excluded; here raw).
+    * ``distinct_token_ratio`` — distinct tokens / total tokens.
+    * ``dup_bigram_frac``     — 1 - distinct bigrams / total bigrams
+      (Gopher's duplicate-n-gram fraction, n=2).
+
+    One explode into (doc_id, token) + one bigram derivation, each
+    immediately aggregated with map-side combine; the final per-document
+    join is on doc_id between two doc-count-sized aggregates.  Documents
+    with < 2 tokens report ``dup_bigram_frac`` 0.0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        # Guard the sequence: sequence(0, -1) is DESCENDING in Spark, so
+        # docs with < 2 tokens must short-circuit to an empty array.
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " transform(sequence(0, size(toks) - 2),"
+            "           i -> concat(toks[i], ' ', toks[i+1]))"
+            " ELSE cast(array() AS array<string>) END"
+        ).alias("bigrams"),
+    )
+    tok_stats = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_token_count"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+    bg_stats = (
+        base.filter(F.size("bigrams") > 0)
+        .select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("top_token_count") / F.col("n_tokens") + F.lit(1e-8), 4
+            ).alias("top_token_frac"),
+            F.round(
+                F.col("n_distinct_tokens") / F.col("n_tokens") + F.lit(1e-8), 4
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    - F.col("n_distinct_bigrams") / F.col("n_bigrams"),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import chunking, dedup, multimodal, quality, similarity
+from ..operators import chunking, corpus, dedup, multimodal, quality, similarity
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
 from .catalog import QuerySpec
@@ -659,5 +659,91 @@ FROM documents""",
 SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5
 FROM documents WHERE doc_id % 10 = 0""",
         tags=("llm", "multimodal"),
+    ),
+    # --- corpus-global statistics (operators/corpus.py) ---
+    QuerySpec(
+        "corpus_vocabulary",
+        corpus.vocabulary,
+        """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER)
+         AS token_id,
+       token, freq, doc_freq
+FROM vocab""",
+        tags=("llm", "corpus"),
+    ),
+    QuerySpec(
+        "corpus_tfidf_top_terms",
+        corpus.tfidf_top_terms,
+        """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tok_count FROM toks GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, sum(tok_count) AS doc_tokens FROM tf GROUP BY 1),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tok_count,
+         round((tf.tok_count::DOUBLE / dl.doc_tokens)
+               * (ln((n.n_docs + 1)::DOUBLE / (dfreq.doc_freq + 1)) + 1.0)
+               + 1e-8, 4) AS tfidf
+  FROM tf
+  JOIN doc_len dl USING (doc_id)
+  JOIN dfreq USING (token)
+  CROSS JOIN n
+),
+rk AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS INTEGER)
+              AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tok_count, tfidf, term_rank FROM rk WHERE term_rank <= 3""",
+        tags=("llm", "corpus"),
+    ),
+    QuerySpec(
+        "corpus_repetition_scores",
+        corpus.repetition_scores,
+        """
+WITH toks_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM toks_arr),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+tok_stats AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_count,
+         count(*) AS n_distinct_tokens
+  FROM tc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks_arr WHERE len(toks) >= 2
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+bg_stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       round(t.top_token_count::DOUBLE / t.n_tokens + 1e-8, 4)
+         AS top_token_frac,
+       round(t.n_distinct_tokens::DOUBLE / t.n_tokens + 1e-8, 4)
+         AS distinct_token_ratio,
+       round(coalesce(1.0 - b.n_distinct_bigrams::DOUBLE / b.n_bigrams, 0.0)
+             + 1e-8, 4) AS dup_bigram_frac
+FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
+        tags=("llm", "corpus"),
     ),
 ]

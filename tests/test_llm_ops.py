@@ -362,3 +362,73 @@ def test_quality_scores_ranges(spark):
         assert 0.0 <= r["alpha_ratio"] <= 1.0
         assert 0.0 <= r["quality_score"] <= 1.0 + 1e-6
         assert r["word_count"] > 0
+
+
+def test_vocabulary_ids_contiguous_and_frequency_ordered(spark):
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    rows = corpus.vocabulary(spark, "/root/testdata/sf0.001").collect()
+    rows.sort(key=lambda r: r["token_id"])
+    assert [r["token_id"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert 1 <= r["doc_freq"] <= r["freq"]
+    # equal-frequency runs must be token-ascending (deterministic ids)
+    for a, b in zip(rows, rows[1:]):
+        if a["freq"] == b["freq"]:
+            assert a["token"] < b["token"]
+
+
+def test_tfidf_rare_term_outranks_ubiquitous_term(spark):
+    """A token appearing in ONE document must out-score the everywhere
+    token within that document — the defining property of idf."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        tfidf_top_terms,
+    )
+
+    import hadoop_pyspark_streaming_analytics_spark.operators.corpus as c
+
+    # Equal tf within each doc so idf decides the ranking: "rare"/"zz"
+    # appear in 1 of 3 docs (idf = ln(4/2)+1), "common" in all 3 (idf = 1).
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common"), (3, "common zz")],
+        "doc_id long, text string",
+    )
+    orig = c.load_table
+    try:
+        c.load_table = lambda sp, d, t: docs  # noqa: ARG005
+        out = {
+            (r["doc_id"], r["token"]): (r["tfidf"], r["term_rank"])
+            for r in tfidf_top_terms(spark, "ignored").collect()
+        }
+    finally:
+        c.load_table = orig
+    assert out[(1, "rare")][0] > out[(1, "common")][0]
+    assert out[(1, "rare")][1] == 1
+    assert out[(3, "zz")][1] == 1
+
+
+def test_repetition_scores_flag_repetitive_doc(spark):
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus as c
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # fully repetitive
+            (2, "alpha beta gamma delta epsilon"),  # all distinct
+            (3, "solo"),  # <2 tokens -> dup_bigram_frac 0.0
+        ],
+        "doc_id long, text string",
+    )
+    orig = c.load_table
+    try:
+        c.load_table = lambda sp, d, t: docs  # noqa: ARG005
+        rows = {r["doc_id"]: r for r in c.repetition_scores(spark, "x").collect()}
+    finally:
+        c.load_table = orig
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] > 0.7  # 5 bigrams, 1 distinct -> 0.8
+    assert rows[2]["top_token_frac"] < 0.3
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[3]["top_token_frac"] == 1.0

@@ -191,3 +191,35 @@ def test_embedding_lsh_has_no_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_id" in plan  # the bucket equi-join key is in the plan
+
+
+def test_tfidf_broadcasts_stats_and_limits_window(spark, sf_dir):
+    """TF-IDF: doc_len / doc_freq / n_docs are vocab- or scalar-sized and
+    must broadcast into the (doc_id, token) counts; the top-k per document
+    must plan as WindowGroupLimit, not a full per-doc sort+filter.  The
+    corpus explode must hit exactly ONE parquet scan of documents — tf is
+    localCheckpoint-ed so the three consumers reuse it."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        tfidf_top_terms,
+    )
+
+    df = tfidf_top_terms(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    # one documents scan for the explode path (n_docs count scans no text)
+    assert plan.count("regexp_extract_all") <= 1
+
+
+def test_repetition_scores_map_side_combine(spark, sf_dir):
+    """Both the token and bigram paths must partially aggregate before
+    their exchanges — the shuffle carries (doc_id, gram, partial count),
+    bounded by distinct grams per partition, never raw exploded rows."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        repetition_scores,
+    )
+
+    plan = plan_of(repetition_scores(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
