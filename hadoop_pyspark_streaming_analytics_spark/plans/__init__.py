@@ -21,6 +21,11 @@ _TAIL = [
     "bonus_categorize_python_udf",   # twin of bonus_categorize_expr (U1)
     "bonus_categorize_pandas_udf",   # twin of bonus_categorize_expr (U1)
     "events_type_hour_cube",         # CUBE twin of events_hourly_rollup
+    # r01-green derivatives of in-window entries, displaced so the round-2
+    # corpus tier (never driver-gated) sits inside the window
+    "q2b_avg_days_between_orders",   # scalar over in-window q2b (A11)
+    "q1_word_length_histogram",      # same tokenize tier as q1_word_count (A15)
+    "q1_corpus_stats",               # same tokenize tier (A16)
     # beyond-§2 breadth, r01-green, plan/pytest-guarded
     "events_scalar_features",
     "events_top_users_per_type",

@@ -37,6 +37,10 @@ def test_driver_window_priority():
         "pack_documents",
         "multimodal_decoded_metadata",
         "multimodal_frame_sample",
+        # round-2 additions, never driver-gated before round 2
+        "corpus_vocabulary",
+        "corpus_tfidf_top_terms",
+        "corpus_repetition_scores",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
