@@ -1,0 +1,109 @@
+"""Mergeable-sketch operators (Apache DataSketches HLL, JVM-side).
+
+THE pre-aggregation pattern for 100 TB analytics: exact COUNT(DISTINCT) is
+not mergeable — a global or rolling distinct over raw events must re-shuffle
+every row on every refresh.  An HLL sketch IS mergeable (register-wise max,
+commutative + associative + idempotent), so the scan happens ONCE per
+partition (day), producing a KB-sized sketch per group; every downstream
+distinct — global, rolling window, ad-hoc date range — is a merge over
+day-count-many sketches, never a rescan of the fact table.  This is the
+incremental-refresh / OLAP-cube story the exact operators cannot offer.
+
+Spark ships these as built-ins (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``, DataSketches-backed) — all JVM aggregates inside
+whole-stage codegen, no Python in the path.
+
+Estimates are approximate (relative error ~1.6% at the default lgK=12), so
+these operators carry NO DuckDB oracle (DuckDB's approx_count_distinct is a
+different HLL implementation) — they are gated by tests/test_llm_ops.py:
+accuracy vs exact distinct, merge-vs-direct consistency, and the rolling
+window's union semantics.  The estimates themselves are deterministic:
+DataSketches hashing has no run-time seed, so results are stable across
+runs, partitionings, and executor counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_events
+
+
+def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HLL sketch of user_id per event day → (event_day,
+    estimated_users, n_events).  The single fact-table scan; everything
+    else in this module merges these per-day sketches."""
+    return (
+        _daily(spark, sf_dir)
+        .select(
+            "event_day",
+            F.hll_sketch_estimate("sketch").alias("estimated_users"),
+            "n_events",
+        )
+        .orderBy("event_day")
+    )
+
+
+def merged_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct users via sketch merge: union the per-day sketches
+    (day-count rows, KB each) instead of re-shuffling every event row.
+    Returns one row (n_days, estimated_distinct_users)."""
+    return _daily(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "estimated_distinct_users"
+        ),
+    )
+
+
+def rolling_distinct_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct users per day — the rolling
+    unique-actives metric that is IMPOSSIBLE to maintain incrementally with
+    exact distinct (distinct is not subtractable) and trivial with sketches.
+
+    Implemented as a range self-join over the per-day sketch table (a
+    day-count-sized dimension — 365 rows/year — so the join is broadcast
+    and the merge touches at most ``window_days`` KB-sized sketches per
+    output row; the 100 TB fact table was consumed exactly once upstream).
+    """
+    # Pin the day-count-sized sketch table: the self-join has two consumers
+    # and Catalyst does not reuse common subplans — without this the 100 TB
+    # fact scan would run twice.
+    daily = (
+        _daily(spark, sf_dir)
+        .select("event_day", "sketch")
+        .localCheckpoint(eager=True)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.event_day") <= F.col("a.event_day"))
+            & (
+                F.col("b.event_day")
+                > F.date_sub(F.col("a.event_day"), window_days)
+            ),
+        )
+        .groupBy(F.col("a.event_day").alias("event_day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sketch"))).alias(
+                f"users_trailing_{window_days}d"
+            ),
+            F.count(F.lit(1)).alias("days_merged"),
+        )
+        .orderBy("event_day")
+    )
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("event_day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -11,7 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import chunking, corpus, dedup, multimodal, quality, similarity
+from ..operators import (
+    chunking,
+    corpus,
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    sketches,
+)
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
 from .catalog import QuerySpec
@@ -745,5 +753,28 @@ SELECT t.doc_id, t.n_tokens,
              + 1e-8, 4) AS dup_bigram_frac
 FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
         tags=("llm", "corpus"),
+    ),
+    # --- mergeable sketches (operators/sketches.py) ---
+    # No DuckDB oracle: DataSketches HLL estimates are deterministic but
+    # engine-specific (DuckDB's approx_count_distinct is a different HLL).
+    # Gated by tests/test_llm_ops.py: accuracy vs exact distinct,
+    # merge-vs-direct agreement, rolling-union semantics.
+    QuerySpec(
+        "sketch_daily_user_hll",
+        sketches.daily_user_sketches,
+        None,
+        tags=("llm", "sketch"),
+    ),
+    QuerySpec(
+        "sketch_merged_distinct_users",
+        sketches.merged_distinct_users,
+        None,
+        tags=("llm", "sketch"),
+    ),
+    QuerySpec(
+        "sketch_rolling_7d_users",
+        sketches.rolling_distinct_users,
+        None,
+        tags=("llm", "sketch"),
     ),
 ]

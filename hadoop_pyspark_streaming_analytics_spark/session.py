@@ -34,6 +34,12 @@ DEFAULT_CONF: dict[str, str] = {
     # reading 100 TB and reading the 2 columns a query needs.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime bloom-filter join pruning: on a selective fact-dim join the
+    # optimizer injects a bloom filter built from the dim side into the
+    # fact scan, skipping shuffle input that can never match — a large win
+    # at 100 TB where the fact side dwarfs every dimension.  (No effect on
+    # tiny local data; the knob exists so cluster deployments inherit it.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark
     # rejects by default; read it as a long (nanos since epoch) and convert
     # at the source (sources/readers.py:load_events).

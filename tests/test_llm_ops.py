@@ -432,3 +432,81 @@ def test_repetition_scores_flag_repetitive_doc(spark):
     assert rows[2]["dup_bigram_frac"] == 0.0
     assert rows[3]["dup_bigram_frac"] == 0.0
     assert rows[3]["top_token_frac"] == 1.0
+
+
+def test_hll_sketches_accurate_and_mergeable(spark):
+    """The sketch tier's gate (no DuckDB oracle — different HLL impls):
+    per-day and global estimates within 5% of exact distinct, and
+    merge-of-sketches must agree with a direct sketch over the union —
+    the property that makes pre-aggregation sound."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import sketches
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_day"]: r["exact"]
+        for r in load_events(spark, SF)
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_day"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    daily = sketches.daily_user_sketches(spark, SF).collect()
+    assert len(daily) == len(exact) > 1
+    for r in daily:
+        e = exact[r["event_day"]]
+        assert abs(r["estimated_users"] - e) <= max(2, 0.05 * e)
+
+    exact_global = load_events(spark, SF).agg(
+        F.count_distinct("user_id")
+    ).collect()[0][0]
+    merged = sketches.merged_distinct_users(spark, SF).collect()[0]
+    assert merged["n_days"] == len(exact)
+    assert (
+        abs(merged["estimated_distinct_users"] - exact_global)
+        <= max(2, 0.05 * exact_global)
+    )
+
+    # direct sketch over ALL events == union of per-day sketches (exactly:
+    # HLL merge is register-max, independent of grouping)
+    direct = (
+        load_events(spark, SF)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .collect()[0][0]
+    )
+    assert merged["estimated_distinct_users"] == direct
+
+
+def test_hll_rolling_window_unions_trailing_days(spark):
+    """Trailing-7d estimates: day-count rows, each merging at most 7 daily
+    sketches; the first day merges exactly 1 and every estimate is >= that
+    day's own (union can only grow) and within 5% of the exact trailing
+    distinct."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import sketches
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    rows = sketches.rolling_distinct_users(spark, SF).collect()
+    daily = {
+        r["event_day"]: r["estimated_users"]
+        for r in sketches.daily_user_sketches(spark, SF).collect()
+    }
+    assert len(rows) == len(daily)
+    ev = load_events(spark, SF).select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    for r in rows:
+        assert 1 <= r["days_merged"] <= 7
+        assert r[f"users_trailing_7d"] >= daily[r["event_day"]] * 0.95
+        exact = len(
+            set().union(
+                *(
+                    by_day.get(r["event_day"] - dt.timedelta(days=k), set())
+                    for k in range(7)
+                )
+            )
+        )
+        assert abs(r["users_trailing_7d"] - exact) <= max(2, 0.05 * exact)
