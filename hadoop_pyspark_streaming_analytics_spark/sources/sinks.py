@@ -40,3 +40,45 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    target_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet: directory-partition on ``partition_by``
+    (partition pruning), then CLUSTER rows on ``cluster_by`` inside each
+    file via repartition + sortWithinPartitions.
+
+    Why this matters at 100 TB: parquet stores per-row-group min/max
+    statistics, and a pushed-down predicate on a clustered column skips
+    whole row groups (and with one value-range per file, whole files) —
+    but ONLY if rows arrive at the writer sorted.  An unsorted write
+    scatters every key range across every row group, making the stats
+    useless.  ``repartition(partition_by)`` additionally aligns executor
+    partitions with output directories so each directory is written by few
+    tasks (avoiding the small-files explosion of N tasks x M directories),
+    which is also why this is repartition + sortWithinPartitions, NOT a
+    global orderBy — a total sort would add a range-exchange over the full
+    dataset for no extra pruning power.
+    """
+    parts = (
+        df.repartition(target_partitions, *[df[c] for c in partition_by])
+        if target_partitions
+        else df.repartition(*[df[c] for c in partition_by])
+    )
+    # Sort by partition cols FIRST, then cluster cols: the dynamic-partition
+    # writer requires rows ordered by partition columns and would inject its
+    # own (non-stable) sort otherwise, destroying the cluster order.  With
+    # the prefix already sorted, the writer reuses this sort and each
+    # output file stays cluster-ordered.
+    (
+        parts.sortWithinPartitions(*partition_by, *cluster_by)
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -30,3 +30,41 @@ def test_single_file_csv_roundtrip(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/part-*.csv")) == 1
     back = spark.read.option("header", True).schema(src.schema).csv(out)
     assert _rows(back) == _rows(src)
+
+
+def test_clustered_parquet_layout_enables_skipping(spark, tmp_path):
+    """write_clustered_parquet must produce (a) directory partitions,
+    (b) files whose rows are sorted on the cluster key — the precondition
+    for row-group min/max skipping — and (c) a lossless roundtrip with
+    predicate pushdown on the clustered column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import (
+        write_clustered_parquet,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(
+        ev, out, partition_by=["event_type"], cluster_by=["user_id"]
+    )
+
+    dirs = glob.glob(f"{out}/event_type=*")
+    assert len(dirs) >= 2, "expected hive-style directory partitions"
+    files = glob.glob(f"{out}/event_type=*/*.parquet")
+    assert files
+    for f in files:
+        uids = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
+        assert uids == sorted(uids), f"rows not clustered on user_id in {f}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    probe = back.filter(back.user_id == 7)
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "user_id" in plan
+    assert probe.count() == ev.filter(ev.user_id == 7).count()
