@@ -104,3 +104,42 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("int").alias("dense_rnk"),
         F.round(F.cume_dist().over(w) + F.lit(1e-8), 6).alias("cume"),
     )
+
+
+def customer_spend_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of :func:`customer_spend_distribution`: decile
+    assignment WITHOUT a global un-partitioned window.
+
+    One scalar aggregate computes the 9 exact decile cutpoints
+    (``percentile`` — linear interpolation, the same semantics as DuckDB's
+    ``quantile_cont``, parity already proven by ``events_type_percentiles``),
+    broadcast back; each row's decile is "1 + number of cutpoints strictly
+    below it" — a codegen array filter.  The plan is two scans + one
+    broadcast: no row ever passes through a single-partition sort, so the
+    operator scales with the summary table instead of serializing on one
+    task.  Cutpoints are rounded to 2dp (money policy) on BOTH engines so
+    boundary ties are decided identically.
+    """
+    from .relational import customer_summary, retail_base
+
+    # Two consumers (cutpoint agg + decile projection) and no Catalyst
+    # subplan reuse: pin the |customers|-sized summary so the fact-table
+    # join/agg underneath runs once.
+    summary = customer_summary(retail_base(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    cuts = summary.agg(
+        F.expr(
+            "transform(percentile(total_spent,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " c -> round(c + 1e-6, 2))"
+        ).alias("cuts")
+    )
+    return summary.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "total_spent",
+        (
+            F.lit(1)
+            + F.expr("size(filter(cuts, c -> c < total_spent))")
+        ).cast("int").alias("spend_decile"),
+    )

@@ -31,6 +31,8 @@ _TAIL = [
     "events_top_users_per_type",
     "skew_salted_count",
     "q2_spend_distribution",
+    "q2_spend_deciles_scalable",  # round-2 scale twin of q2_spend_distribution
+
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
     "star_semi_join_big_spenders",

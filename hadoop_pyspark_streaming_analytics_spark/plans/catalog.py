@@ -259,6 +259,24 @@ WINDOW w AS (ORDER BY total_spent DESC, c_custkey)""",
         tags=("q2", "window", "distribution"),
     ),
     QuerySpec(
+        "q2_spend_deciles_scalable",
+        windows.customer_spend_deciles_scalable,
+        f"""
+WITH {SQL_BASE},{SQL_CUST_SUMMARY},
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(total_spent,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           c -> round(c + 1e-6, 2)) AS cuts
+  FROM summary
+)
+SELECT c_custkey, total_spent,
+       CAST(1 + len(list_filter(cuts.cuts, c -> c < total_spent)) AS INTEGER)
+         AS spend_decile
+FROM summary, cuts""",
+        tags=("q2", "distribution", "scale-variant"),
+    ),
+    QuerySpec(
         "q2_order_count_thresholds",
         relational.order_count_thresholds,
         f"""

@@ -179,3 +179,10 @@ def read_rate_stream(
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Plain-text line source (S4): one row per line, column ``value``."""
     return spark.read.text(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (vectorized; pushdown/pruning like parquet — Spark's
+    native ORC reader honors ``spark.sql.orc.filterPushdown``)."""
+    _ensure_runtime_confs(spark)
+    return spark.read.orc(path)

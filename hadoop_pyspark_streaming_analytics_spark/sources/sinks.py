@@ -82,3 +82,18 @@ def write_clustered_parquet(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer — the other columnar format with native Spark support
+    (vectorized reader, predicate pushdown, min/max stripes).  Same surface
+    as :func:`write_parquet` so pipelines can switch formats per table."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

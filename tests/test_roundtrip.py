@@ -68,3 +68,22 @@ def test_clustered_parquet_layout_enables_skipping(spark, tmp_path):
     )
     assert "PushedFilters" in plan and "user_id" in plan
     assert probe.count() == ev.filter(ev.user_id == 7).count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC write -> read is lossless and filters push into the ORC scan."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import read_orc
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import write_orc
+
+    src = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    probe = back.filter(back.c_custkey == 1)
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "c_custkey" in plan
+    assert probe.count() == src.filter(src.c_custkey == 1).count()
