@@ -190,3 +190,58 @@ def props_avg_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count("k").alias("cnt"),
     )
+
+
+def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling with last-observation-carried-forward —
+    the standard telemetry/feature-store densification step (regular time
+    grid per key, holes filled from the most recent reading).
+
+    Plan shape (all stock Catalyst, no UDFs):
+
+    1. per-(user, hour) last reading — ``max_by(value, struct(ts,
+       event_id))``, a map-side-combinable aggregate with a deterministic
+       tiebreak (same discipline as the EWMA twins);
+    2. per-user hourly spine — ``sequence(min_hour, max_hour)`` exploded,
+       so the spine is generated distributed, sized |users| x span, never
+       collected;
+    3. left join spine <- observations on (user, hour) — one equi-join
+       shuffle on the composite key;
+    4. carry-forward — ``last(value, ignorenulls=True)`` over an
+       unbounded-preceding ROWS frame per user: window state is one value,
+       partitions are per-user (bounded, millions of small groups — the
+       shape window exchanges handle well).
+
+    ``is_filled`` marks densified rows.  Values are 2dp-rounded post-carry
+    (money/measurement policy).
+    """
+    ev = load_events(spark, sf_dir)
+    # obs feeds two consumers (spine bounds + the join); pin it so the
+    # fact scan runs once (no Catalyst subplan reuse).
+    obs = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(F.expr("max_by(value, struct(ts, event_id))").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(obs, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        round2(F.last("v", ignorenulls=True).over(w)).alias("value_locf"),
+        F.col("v").isNull().alias("is_filled"),
+    )

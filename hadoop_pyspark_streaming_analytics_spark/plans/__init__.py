@@ -33,6 +33,7 @@ _TAIL = [
     "q2_spend_distribution",
     "q2_spend_deciles_scalable",  # round-2 scale twin of q2_spend_distribution
 
+    "set_union_active_users",         # displaced for events_resample_hourly_locf
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
     "star_semi_join_big_spenders",

@@ -664,6 +664,41 @@ SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1""",
     ),
 ]
 
+CATALOG += [
+    QuerySpec(
+        "events_resample_hourly_locf",
+        timeseries.resample_hourly_locf,
+        """
+WITH obs AS (
+  SELECT user_id, hour_ts, v FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hour_ts, value AS v,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+),
+bounds AS (SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1
+           FROM obs GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.hour_ts, o.v
+  FROM spine s LEFT JOIN obs o USING (user_id, hour_ts)
+)
+SELECT user_id, hour_ts,
+       round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + 1e-6, 2) AS value_locf,
+       (v IS NULL) AS is_filled
+FROM j""",
+        tags=("timeseries", "resample"),
+    ),
+]
+
 # --- set operations / collection aggs / cube (beyond ref: §2.8 "None",
 # §2.5 "not present" list) ---
 CATALOG += [

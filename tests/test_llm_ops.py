@@ -510,3 +510,35 @@ def test_hll_rolling_window_unions_trailing_days(spark):
             )
         )
         assert abs(r["users_trailing_7d"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_locf_resample_fills_gaps_with_prior_value(spark):
+    """Every user's grid is a contiguous hourly spine; filled rows carry
+    the most recent earlier observation; observed rows keep their own
+    (latest-in-hour) value."""
+    import datetime as dt
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import timeseries
+
+    rows = timeseries.resample_hourly_locf(spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    filled = observed = 0
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour_ts"])
+        hours = [r["hour_ts"] for r in rs]
+        assert hours == [
+            hours[0] + dt.timedelta(hours=k) for k in range(len(hours))
+        ], f"spine not contiguous for user {uid}"
+        assert rs[0]["is_filled"] is False  # spine starts at an observation
+        prev = None
+        for r in rs:
+            assert r["value_locf"] is not None
+            if r["is_filled"]:
+                filled += 1
+                assert r["value_locf"] == prev
+            else:
+                observed += 1
+            prev = r["value_locf"]
+    assert filled > 0 and observed > 0  # the grid really was densified
