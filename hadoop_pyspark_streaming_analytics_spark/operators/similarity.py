@@ -463,3 +463,42 @@ def embedding_near_duplicates_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column — the
+    standard 4x storage/bandwidth reduction for ANN at scale (float32 ->
+    int8 with one max-abs scale per vector; dot products run in integer
+    SIMD and dequantize by scale_a*scale_b/127^2).
+
+    Pure codegen (higher-order transform/aggregate, no Python): one scan,
+    zero shuffle — at 100 TB this is a streaming map over the embedding
+    store.  ``q_csv`` renders the int8 codes as a CSV string so the
+    cross-engine oracle hash is representation-stable (the agg_order_baskets
+    discipline); real consumers would keep the array<int> column.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = (
+        "transform(embedding, x -> cast(round(cast(x AS double) / max_abs"
+        " * 127.0 + 1e-8) AS int))"
+    )
+    return (
+        emb.withColumn(
+            "max_abs",
+            F.greatest(
+                F.expr(
+                    "aggregate(embedding, cast(0.0 AS double),"
+                    " (acc, x) -> greatest(acc, abs(cast(x AS double))))"
+                ),
+                F.lit(1e-12),
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("max_abs") + F.lit(1e-8), 6).alias("scale_max_abs"),
+            F.concat_ws(
+                ",", F.transform(F.expr(qarr), lambda x: x.cast("string"))
+            ).alias("q_csv"),
+        )
+    )

@@ -777,4 +777,22 @@ FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
         None,
         tags=("llm", "sketch"),
     ),
+    # --- embedding storage (int8 quantization) ---
+    QuerySpec(
+        "embedding_quantize_int8",
+        similarity.quantize_embeddings_int8,
+        """
+WITH s AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         greatest(list_max(list_transform(embedding::DOUBLE[],
+                                          x -> abs(x))), 1e-12) AS ma
+  FROM embeddings
+)
+SELECT vec_id, label,
+       round(ma + 1e-8, 6) AS scale_max_abs,
+       array_to_string(list_transform(e,
+         x -> CAST(round(x / ma * 127.0 + 1e-8) AS INTEGER)), ',') AS q_csv
+FROM s""",
+        tags=("llm", "similarity", "quantization"),
+    ),
 ]

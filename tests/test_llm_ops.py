@@ -542,3 +542,39 @@ def test_locf_resample_fills_gaps_with_prior_value(spark):
                 observed += 1
             prev = r["value_locf"]
     assert filled > 0 and observed > 0  # the grid really was densified
+
+
+def test_int8_quantization_preserves_neighborhoods(spark):
+    """Quantized codes must be valid int8, dequantize to within the 1/127
+    grid of the original values, and preserve cosine neighborhoods: top-10
+    by dequantized cosine overlaps >= 70% with full-precision top-10."""
+    import numpy as np
+
+    rows = similarity.quantize_embeddings_int8(spark, SF).collect()
+    full = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(SF + "/embeddings.parquet").collect()
+    }
+    deq = {}
+    for r in rows:
+        q = np.array([int(x) for x in r["q_csv"].split(",")], dtype=np.int64)
+        assert np.abs(q).max() <= 127
+        v = full[r["vec_id"]]
+        ma = np.abs(v).max()
+        assert abs(r["scale_max_abs"] - ma) < 1e-5
+        d = q * ma / 127.0
+        assert np.abs(d - v).max() <= ma / 127.0 + 1e-9
+        deq[r["vec_id"]] = d
+
+    def topk(vecs, qid, k=10):
+        qv = vecs[qid]
+        sims = {
+            i: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for i, v in vecs.items()
+            if i != qid
+        }
+        return {i for i, _ in sorted(sims.items(), key=lambda kv: -kv[1])[:k]}
+
+    for qid in list(full)[:5]:
+        overlap = len(topk(full, qid) & topk(deq, qid)) / 10
+        assert overlap >= 0.7, f"neighborhood broke under int8: {overlap}"
