@@ -87,3 +87,62 @@ def test_ewma_flags_anomaly(spark, tmp_path):
         assert rows[-1]["is_anomaly"] is True  # 99 vs ewma ~10.5 spikes
     finally:
         run.stop()
+
+
+def test_ewma_timestamp_ties_fold_in_seq_order(spark, tmp_path):
+    """ADVICE round-1 closure: with two different values at the SAME
+    timestamp for one key, wiring ``seq_col`` must make the streaming fold
+    order (event_time, seq, value) — identical to the batch twin's
+    (ts, event_id, value) — so the 'twins' stay semantically equivalent
+    on ties.  Reversed seq ordering distinguishes: folding 100 then 0 at
+    alpha=0.5 gives 25 from a prior 50... here plain [10, 30, 20] vs
+    [10, 20, 30] orderings differ (25.0 vs 27.5 at alpha=0.5)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    watch = str(tmp_path / "tied")
+    import os
+
+    os.makedirs(watch, exist_ok=True)
+    rows = [
+        # event_id deliberately OUT of json order at the tied timestamp
+        {"event_id": 3, "sensor_id": "S1", "temperature": 20.0,
+         "timestamp": "2024-01-16T00:02:00"},
+        {"event_id": 2, "sensor_id": "S1", "temperature": 30.0,
+         "timestamp": "2024-01-16T00:02:00"},
+        {"event_id": 1, "sensor_id": "S1", "temperature": 10.0,
+         "timestamp": "2024-01-16T00:01:00"},
+    ]
+    with open(f"{watch}/b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("sensor_id", T.StringType()),
+            T.StructField("temperature", T.DoubleType()),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(watch)
+        .withColumn("event_time", F.to_timestamp("timestamp"))
+    )
+    run = MemorySinkRun(
+        spark,
+        ewma_per_key(stream, seq_col="event_id", alpha=ALPHA),
+        output_mode="update",
+    )
+    try:
+        run.process_all()
+        latest = {r["sensor_id"]: r for r in run.table().collect()}
+        s1 = latest["S1"]
+        assert s1["n_seen"] == 3
+        # (ts, event_id) order: 10 (id1) -> 30 (id2) -> 20 (id3)
+        assert s1["ewma"] == pytest.approx(expected_ewma([10.0, 30.0, 20.0]))
+        assert s1["ewma"] != pytest.approx(expected_ewma([10.0, 20.0, 30.0]))
+    finally:
+        run.stop()
