@@ -695,6 +695,7 @@ SELECT user_id, hour_ts,
              + 1e-6, 2) AS value_locf,
        (v IS NULL) AS is_filled
 FROM j""",
+        headline=True,
         tags=("timeseries", "resample"),
     ),
 ]

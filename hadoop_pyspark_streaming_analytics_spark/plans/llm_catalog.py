@@ -716,6 +716,7 @@ rk AS (
   FROM scored
 )
 SELECT doc_id, token, tok_count, tfidf, term_rank FROM rk WHERE term_rank <= 3""",
+        headline=True,
         tags=("llm", "corpus"),
     ),
     QuerySpec(

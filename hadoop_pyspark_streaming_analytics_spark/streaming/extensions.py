@@ -113,3 +113,17 @@ def foreach_batch_parquet(
         writer.parquet(path)
 
     return write
+
+
+def foreach_batch_parquet_idempotent(path: str):
+    """Replay-safe foreachBatch sink: each micro-batch writes to its own
+    ``batch_id=N`` directory with OVERWRITE mode, so reprocessing after a
+    failure (Spark replays the last un-committed batch on restart)
+    rewrites the same directory instead of appending duplicates —
+    file-sink exactly-once without a transaction log.  Readers scan
+    ``path`` with ``batch_id`` as an ordinary partition column."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return write
