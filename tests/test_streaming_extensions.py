@@ -218,3 +218,34 @@ def test_foreach_batch_idempotent_replay_no_duplicates(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3  # 2 from batch 0 (not 4) + 1 from batch 1
     assert {r["batch_id"] for r in back.select("batch_id").collect()} == {0, 1}
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process EVERYTHING currently in the source
+    (across multiple micro-batches under maxFilesPerTrigger), then stop on
+    its own — the backfill pattern for replaying a streaming pipeline over
+    accumulated history without leaving a long-running query."""
+    from pyspark.sql import functions as F
+
+    watch = str(tmp_path / "backfill")
+    write_json_batch(watch, BATCH0, 0)
+    write_json_batch(watch, BATCH1, 1)
+    stream = _doc_stream(spark, watch)  # maxFilesPerTrigger=1 -> >=2 batches
+    agg = stream.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("backfill_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "availableNow query did not self-stop"
+        rows = {
+            r["source"]: r["n_docs"]
+            for r in spark.table("backfill_counts").collect()
+        }
+        assert rows == {"src0": 3, "src1": 1, "src2": 1}
+        assert not q.isActive  # drained and stopped on its own
+    finally:
+        q.stop()
