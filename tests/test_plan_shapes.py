@@ -223,3 +223,41 @@ def test_repetition_scores_map_side_combine(spark, sf_dir):
     plan = plan_of(repetition_scores(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantization_is_pure_map_no_shuffle(spark, sf_dir):
+    """int8 quantization must plan as a single scan with NO Exchange —
+    a pure codegen map over the embedding store."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    plan = plan_of(quantize_embeddings_int8(spark, sf_dir))
+    assert "Exchange" not in plan
+    # formatted mode prints each scan twice (tree node + detail entry)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_rolling_sketch_merge_broadcasts_day_dimension(spark, sf_dir):
+    """The trailing-window sketch merge is a range join over the
+    day-count-sized sketch table: the build side must broadcast (nested
+    loop over ~365 rows/year is the design), never sort-merge."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.sketches import (
+        rolling_distinct_users,
+    )
+
+    plan = plan_of(rolling_distinct_users(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_locf_resample_windows_per_user(spark, sf_dir):
+    """Gap-fill carry-forward must be a per-user window (partitioned by
+    user_id — bounded state), with no cartesian product anywhere."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        resample_hourly_locf,
+    )
+
+    plan = plan_of(resample_hourly_locf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "last(v" in plan and "user_id" in plan
