@@ -97,3 +97,43 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files sized
+    ~``target_file_mb`` and return the output file-partition count.
+
+    Streaming ingest (per-trigger appends) and over-parallel writes leave
+    thousands of KB-sized files; at 100 TB the resulting scan-planning and
+    file-open overhead dominates query time (every file costs a footer
+    read + task schedule).  Compaction sizes output by the DATA, not the
+    parallelism: bytes-on-disk / target -> coalesce() (narrow, no shuffle)
+    when shrinking file count, repartition() only when growing it.
+    Partitioned layouts re-partition by the directory columns so each
+    directory is written by few tasks.
+    """
+    from pathlib import Path
+
+    total_bytes = sum(
+        f.stat().st_size for f in Path(src_path).rglob("*.parquet")
+    )
+    n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    if partition_by:
+        out = df.repartition(n, *[df[c] for c in partition_by])
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(dst_path)
+        )
+    else:
+        current = df.rdd.getNumPartitions()
+        out = df.coalesce(n) if n <= current else df.repartition(n)
+        out.write.mode("overwrite").parquet(dst_path)
+    return n

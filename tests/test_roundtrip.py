@@ -87,3 +87,25 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )
     assert "PushedFilters" in plan and "c_custkey" in plan
     assert probe.count() == src.filter(src.c_custkey == 1).count()
+
+
+def test_compaction_merges_small_files_losslessly(spark, tmp_path):
+    """Many tiny files -> one right-sized file; content identical."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import (
+        compact_parquet,
+    )
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    ev = load_table(spark, "/root/testdata/sf0.001", "customer")
+    ev.repartition(16).write.parquet(src)  # 16 tiny files
+    assert len(glob.glob(f"{src}/*.parquet")) == 16
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n == 1  # tiny data -> one file
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
