@@ -109,3 +109,21 @@ def test_compaction_merges_small_files_losslessly(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == ev.count()
     assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A long-lived dataset accretes columns over time: old files lack the
+    new column, new files have it.  mergeSchema reads the union schema with
+    nulls for pre-evolution rows — no rewrite of 100 TB of history."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, s string"
+    ).write.parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
