@@ -26,6 +26,9 @@ _TAIL = [
     "q2b_avg_days_between_orders",   # scalar over in-window q2b (A11)
     "q1_word_length_histogram",      # same tokenize tier as q1_word_count (A15)
     "q1_corpus_stats",               # same tokenize tier (A16)
+    "events_running_stats",          # T4/A17 twin, pytest-gated by
+                                     # test_streaming; displaced for
+                                     # pipeline_surviving_docs
     # beyond-§2 breadth, r01-green, plan/pytest-guarded
     "events_scalar_features",
     "events_top_users_per_type",

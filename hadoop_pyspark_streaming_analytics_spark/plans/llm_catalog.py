@@ -23,6 +23,7 @@ from ..operators import (
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
 from .catalog import QuerySpec
+from .. import pipelines
 
 _STOPS = ", ".join(f"'{w}'" for w in STOP_WORDS)
 
@@ -352,30 +353,94 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
 FROM ranked WHERE rnk <= {k}"""
 
 
-def _quality_sql() -> str:
-    return f"""
-WITH d AS (
+#: Quality-feature CTE chain ending in ``qual`` — shared by the standalone
+#: text_quality_scores oracle and the end-to-end pipeline oracle.
+_QUALITY_CTES = f"""
+qd AS (
   SELECT doc_id,
-         regexp_extract_all(lower(text), '[a-z]+') AS toks,
+         regexp_extract_all(lower(text), '[a-z]+') AS qtoks,
          length(text) AS n_chars_actual,
          length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
   FROM documents
 ),
 feat AS (
   SELECT doc_id,
-         CAST(len(toks) AS INTEGER) AS word_count,
-         round(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
-               / greatest(len(toks), 1) + 1e-8, 4) AS avg_word_len,
-         round(len(list_filter(toks, t -> list_contains([{_STOPS}], t)))::DOUBLE
-               / greatest(len(toks), 1) + 1e-8, 4) AS stopword_ratio,
+         CAST(len(qtoks) AS INTEGER) AS word_count,
+         round(COALESCE(list_sum(list_transform(qtoks, t -> length(t))), 0)::DOUBLE
+               / greatest(len(qtoks), 1) + 1e-8, 4) AS avg_word_len,
+         round(len(list_filter(qtoks, t -> list_contains([{_STOPS}], t)))::DOUBLE
+               / greatest(len(qtoks), 1) + 1e-8, 4) AS stopword_ratio,
          round(alpha_chars::DOUBLE / greatest(n_chars_actual, 1) + 1e-8, 4)
            AS alpha_ratio
-  FROM d
-)
+  FROM qd
+),
+qual AS (
+  SELECT doc_id, word_count, avg_word_len, stopword_ratio, alpha_ratio,
+         round(least(word_count / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+               + alpha_ratio * 0.3 + 1e-8, 4) AS quality_score
+  FROM feat
+)"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH {_QUALITY_CTES}
 SELECT doc_id, word_count, avg_word_len, stopword_ratio, alpha_ratio,
-       round(least(word_count / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
-             + alpha_ratio * 0.3 + 1e-8, 4) AS quality_score
-FROM feat"""
+       quality_score
+FROM qual"""
+
+
+def _pipeline_sql(jaccard_threshold: float = 0.5, min_quality: float = 0.3) -> str:
+    """End-to-end oracle for pipelines.prepare_documents: exact dedup
+    (md5 canonical) → Jaccard>=t verified pairs → transitive components →
+    drop non-canonical members → quality gate.  Composes the SAME CTE
+    fragments the per-stage oracles use, so a pipeline/stage divergence
+    shows up as a hash mismatch here."""
+    return rf"""
+WITH RECURSIVE {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(intersection::DOUBLE / (sa.n + sb.n - intersection) + 1e-8, 4)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {jaccard_threshold}),
+pedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM verified
+),
+preach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM pedges)
+  UNION
+  SELECT r.u, e.v FROM preach r JOIN pedges e ON r.v = e.u
+),
+victims AS (
+  SELECT u AS doc_id FROM preach GROUP BY u HAVING u != MIN(v)
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+{_QUALITY_CTES}
+SELECT d.doc_id, d.lang, d.source, d.text,
+       q.word_count, q.avg_word_len, q.stopword_ratio, q.alpha_ratio,
+       q.quality_score
+FROM documents d
+JOIN canon c ON d.doc_id = c.doc_id
+JOIN qual q ON d.doc_id = q.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
+  AND q.quality_score >= {min_quality}"""
 
 
 LLM_CATALOG: list[QuerySpec] = [
@@ -667,6 +732,13 @@ FROM documents""",
 SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5
 FROM documents WHERE doc_id % 10 = 0""",
         tags=("llm", "multimodal"),
+    ),
+    # --- end-to-end pipeline (pipelines.py) ---
+    QuerySpec(
+        "pipeline_surviving_docs",
+        pipelines.prepare_documents,
+        _pipeline_sql(),
+        tags=("llm", "pipeline"),
     ),
     # --- corpus-global statistics (operators/corpus.py) ---
     QuerySpec(

@@ -41,6 +41,7 @@ def test_driver_window_priority():
         "corpus_vocabulary",
         "corpus_tfidf_top_terms",
         "corpus_repetition_scores",
+        "pipeline_surviving_docs",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
