@@ -245,3 +245,38 @@ def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(F.last("v", ignorenulls=True).over(w)).alias("value_locf"),
         F.col("v").isNull().alias("is_filled"),
     )
+
+
+def value_anomalies_zscore(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Batch anomaly detection: flag readings whose value deviates from
+    their user's mean by more than ``z_threshold`` sample standard
+    deviations — the batch twin of the streaming EWMA anomaly flags
+    (streaming/stateful.py), for backfill/audit over history.
+
+    One grouped aggregate (map-side combinable: count/sum/sum-of-squares
+    under the hood) broadcast-joined back to the events — no window, no
+    per-row shuffle beyond the one groupBy.  Users with a single reading
+    (stddev undefined) are never flagged.  z is 4dp-rounded (measurement
+    policy) so the cross-engine hash is stable.
+    """
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("u_mean"),
+        F.stddev_samp("value").alias("u_std"),
+        F.count(F.lit(1)).alias("u_n"),
+    )
+    z = (F.col("value") - F.col("u_mean")) / F.col("u_std")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("u_n") > 1) & (F.col("u_std") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(F.col("u_mean") + F.lit(1e-8), 4).alias("user_mean"),
+            F.round(z + F.lit(1e-8), 4).alias("z_score"),
+        )
+        .filter(F.abs(F.round(z + F.lit(1e-8), 4)) > z_threshold)
+    )

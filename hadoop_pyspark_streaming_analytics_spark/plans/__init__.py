@@ -37,6 +37,8 @@ _TAIL = [
     "q2_spend_deciles_scalable",  # round-2 scale twin of q2_spend_distribution
 
     "set_union_active_users",         # displaced for events_resample_hourly_locf
+    "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
+                                      # EWMA anomaly flags (locally gated)
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
     "star_semi_join_big_spenders",

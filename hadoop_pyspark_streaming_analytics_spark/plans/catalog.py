@@ -698,6 +698,23 @@ FROM j""",
         headline=True,
         tags=("timeseries", "resample"),
     ),
+    QuerySpec(
+        "events_value_anomalies_zscore",
+        timeseries.value_anomalies_zscore,
+        """
+WITH stats AS (
+  SELECT user_id, avg(value) AS u_mean, stddev_samp(value) AS u_std,
+         count(*) AS u_n
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.value,
+       round(s.u_mean + 1e-8, 4) AS user_mean,
+       round((e.value - s.u_mean) / s.u_std + 1e-8, 4) AS z_score
+FROM events e JOIN stats s USING (user_id)
+WHERE s.u_n > 1 AND s.u_std > 0
+  AND abs(round((e.value - s.u_mean) / s.u_std + 1e-8, 4)) > 3.0""",
+        tags=("timeseries", "anomaly"),
+    ),
 ]
 
 # --- set operations / collection aggs / cube (beyond ref: §2.8 "None",
