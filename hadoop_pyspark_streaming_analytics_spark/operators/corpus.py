@@ -195,3 +195,85 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def select_corpus_token_budget(
+    spark: SparkSession, sf_dir: str, token_budget: int = 2000
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: keep the
+    highest-quality documents, in (quality DESC, doc_id) order, until the
+    cumulative token count would exceed ``token_budget`` — the data-mixing
+    step that assembles a training corpus from a scored pool.
+
+    Semantically this is a GLOBAL ordered cumulative sum (the oracle
+    spells it that way), but a global ROWS window serializes 100 TB
+    through one task.  The plan here is the two-phase equivalent:
+
+    1. decile-bucket documents by quality cutpoints (one scalar
+       ``percentile`` aggregate, broadcast — the q2_spend_deciles
+       pattern);
+    2. per-bucket token totals (10 rows) -> running bucket prefix sums,
+       broadcast back;
+    3. buckets whose prefix fits entirely are taken whole — no per-row
+       ordering cost; ONLY the single boundary bucket runs a cumulative
+       window, partitioned by bucket (bounded: ~1/10th of the corpus).
+
+    Global (quality DESC, doc_id) order equals (bucket DESC, within-bucket
+    order) because buckets partition disjoint quality ranges — equal
+    qualities always share a bucket, so the two-phase result is exactly
+    the global cumsum's.  Quality is 4dp-rounded on both engines before
+    ordering so ranking ties resolve identically.
+    """
+    from pyspark.sql import Window
+
+    from .quality import quality_scores
+
+    docs = (
+        quality_scores(spark, sf_dir)
+        .select("doc_id", "word_count", "quality_score")
+        .localCheckpoint(eager=True)  # three consumers below, one scan
+    )
+    cuts = docs.agg(
+        F.expr(
+            "transform(percentile(quality_score,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " c -> round(c + 1e-8, 4))"
+        ).alias("cuts")
+    )
+    bucketed = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "word_count",
+        "quality_score",
+        (
+            F.lit(1) + F.expr("size(filter(cuts, c -> c < quality_score))")
+        ).alias("bucket"),
+    )
+    bucket_totals = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("word_count").alias("bucket_tokens"))
+    )
+    # 10-row running prefix: window over the bucket DIMENSION, not rows.
+    wb = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = bucket_totals.select(
+        "bucket",
+        (F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")).alias(
+            "tokens_before_bucket"
+        ),
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(prefix), "bucket")
+        .withColumn(
+            "cum_tokens",
+            F.col("tokens_before_bucket") + F.sum("word_count").over(wd),
+        )
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select("doc_id", "word_count", "quality_score", "cum_tokens")
+    )

@@ -850,6 +850,26 @@ FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
         None,
         tags=("llm", "sketch"),
     ),
+    # --- token-budget corpus selection (operators/corpus.py) ---
+    # Oracle: the GLOBAL ordered cumulative sum the two-phase Spark plan is
+    # provably equivalent to (buckets partition disjoint quality ranges).
+    QuerySpec(
+        "corpus_select_token_budget",
+        corpus.select_corpus_token_budget,
+        f"""
+WITH {_QUALITY_CTES},
+ordered AS (
+  SELECT doc_id, word_count, quality_score,
+         CAST(sum(word_count) OVER (
+                ORDER BY quality_score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM qual
+)
+SELECT doc_id, word_count, quality_score, cum_tokens
+FROM ordered WHERE cum_tokens <= 2000""",
+        tags=("llm", "corpus", "selection"),
+    ),
     # --- embedding storage (int8 quantization) ---
     QuerySpec(
         "embedding_quantize_int8",

@@ -578,3 +578,35 @@ def test_int8_quantization_preserves_neighborhoods(spark):
     for qid in list(full)[:5]:
         overlap = len(topk(full, qid) & topk(deq, qid)) / 10
         assert overlap >= 0.7, f"neighborhood broke under int8: {overlap}"
+
+
+def test_token_budget_selection_is_greedy_prefix(spark):
+    """Selection must be the exact greedy prefix of the (quality DESC,
+    doc_id) order: budget respected, prefix-closed (every doc better-ranked
+    than a selected doc is selected), and maximal (the next doc would
+    overflow the budget)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        select_corpus_token_budget,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        quality_scores,
+    )
+
+    budget = 2000
+    sel = select_corpus_token_budget(spark, SF, token_budget=budget).collect()
+    assert sel, "budget selected nothing"
+    assert max(r["cum_tokens"] for r in sel) <= budget
+
+    pool = sorted(
+        quality_scores(spark, SF)
+        .select("doc_id", "word_count", "quality_score")
+        .collect(),
+        key=lambda r: (-r["quality_score"], r["doc_id"]),
+    )
+    greedy, cum = [], 0
+    for r in pool:
+        if cum + r["word_count"] > budget:
+            break  # strict prefix: first overflow stops selection
+        cum += r["word_count"]
+        greedy.append(r["doc_id"])
+    assert {r["doc_id"] for r in sel} == set(greedy)
