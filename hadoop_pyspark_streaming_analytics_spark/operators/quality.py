@@ -202,3 +202,33 @@ def train_split_assign(
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional downsampling: keep each document with
+    probability equal to its quality_score — the soft version of a hard
+    quality cutoff (low-quality docs survive at low rate instead of
+    vanishing, preserving distributional coverage).
+
+    Same seedless-hash discipline as :func:`stratified_sample`:
+    keep ⟺ md5(doc_id) mod 10000 < quality_score * 10000, so the sample
+    is reproducible across runs, engines, and partitionings, and a
+    re-ingested doc keeps its fate.  One scan, zero shuffle, pure codegen
+    (the quality features and the hash are both expression-only).
+    """
+    feats = quality_scores(spark, sf_dir)
+    hash10k = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 10000
+    return (
+        feats.withColumn("keep_hash", hash10k)
+        .filter(
+            F.col("keep_hash")
+            < F.round(F.col("quality_score") * 10000 + F.lit(1e-6), 0)
+        )
+        .select(
+            "doc_id",
+            "quality_score",
+            F.col("keep_hash").cast("int").alias("keep_hash"),
+        )
+    )

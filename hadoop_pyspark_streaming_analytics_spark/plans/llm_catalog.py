@@ -850,6 +850,23 @@ FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
         None,
         tags=("llm", "sketch"),
     ),
+    # --- quality-proportional sampling (operators/quality.py) ---
+    QuerySpec(
+        "quality_weighted_sample",
+        quality.quality_weighted_sample,
+        f"""
+WITH {_QUALITY_CTES},
+hashed AS (
+  SELECT doc_id, quality_score,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % 10000 AS INTEGER) AS keep_hash
+  FROM qual
+)
+SELECT doc_id, quality_score, keep_hash
+FROM hashed
+WHERE keep_hash < round(quality_score * 10000 + 1e-6, 0)""",
+        tags=("llm", "sampling"),
+    ),
     # --- token-budget corpus selection (operators/corpus.py) ---
     # Oracle: the GLOBAL ordered cumulative sum the two-phase Spark plan is
     # provably equivalent to (buckets partition disjoint quality ranges).
