@@ -127,3 +127,95 @@ def test_sessionization_partitions_events(spark, offs_a, offs_b):
         for prev, nxt in zip(sess, sess[1:]):
             gap = (nxt["session_start"] - prev["last_event"]).total_seconds()
             assert gap >= 30 * 60, (prev, nxt)
+
+
+# Adversarial document texts: empty, single token, all-same token,
+# punctuation-only, long repeats — the corpus operators' edge shapes.
+doc_texts = st.lists(
+    st.one_of(
+        st.just(""),
+        st.just("x"),
+        st.just("a a a a a"),
+        st.just("...!!!"),
+        st.text(
+            alphabet="ab c",
+            min_size=0,
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(doc_texts)
+@SETTINGS
+def test_repetition_scores_match_pure_python(spark, texts):
+    """repetition_scores must equal a direct per-document computation for
+    arbitrary texts (incl. empty / one-token / all-duplicate docs)."""
+    import re
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus as c
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = c.load_table
+    try:
+        c.load_table = lambda sp, d, t: docs  # noqa: ARG005
+        rows = {r["doc_id"]: r for r in c.repetition_scores(spark, "x").collect()}
+    finally:
+        c.load_table = orig
+
+    for i, t in enumerate(texts):
+        toks = re.findall("[a-z]+", t.lower())
+        if not toks:
+            assert i not in rows  # token-less docs produce no row
+            continue
+        r = rows[i]
+        assert r["n_tokens"] == len(toks)
+        counts = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        assert r["top_token_frac"] == round(
+            max(counts.values()) / len(toks) + 1e-8, 4
+        )
+        assert r["distinct_token_ratio"] == round(
+            len(counts) / len(toks) + 1e-8, 4
+        )
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        expect_bg = (
+            round(1.0 - len(set(bigrams)) / len(bigrams) + 1e-8, 4)
+            if bigrams
+            else 0.0
+        )
+        assert r["dup_bigram_frac"] == expect_bg
+
+
+@given(st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                          width=32),
+                min_size=2, max_size=8))
+@SETTINGS
+def test_int8_quantization_roundtrip_bound(spark, vec):
+    """For ANY float vector: codes stay in [-127, 127] and dequantization
+    error is within one grid step (max_abs/127)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import similarity as s
+
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in vec], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = s.load_table
+    try:
+        s.load_table = lambda sp, d, t: emb  # noqa: ARG005
+        row = s.quantize_embeddings_int8(spark, "x").collect()[0]
+    finally:
+        s.load_table = orig
+    import numpy as np
+
+    v32 = np.array(vec, dtype=np.float32).astype(np.float64)
+    q = np.array([int(x) for x in row["q_csv"].split(",")])
+    ma = max(np.abs(v32).max(), 1e-12)
+    assert np.abs(q).max() <= 127
+    deq = q * ma / 127.0
+    assert np.abs(deq - v32).max() <= ma / 127.0 + 1e-9
