@@ -45,6 +45,10 @@ def test_driver_window_priority():
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
+    # every driver slot must carry a hard differential check — an
+    # oracle-less entry inside the window wastes one of the 50 slots
+    slotless = [s.name for s in CATALOG[:DRIVER_WINDOW] if s.oracle is None]
+    assert not slotless, f"oracle-less entries occupy driver slots: {slotless}"
 
 
 def test_entry_smoke(spark):
