@@ -200,3 +200,21 @@ def top_customers_by_spend(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
         .limit(k)
     )
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """Batch MERGE (upsert): rows in ``updates`` replace same-key rows in
+    ``target``; unmatched update rows insert; unmatched target rows
+    survive — the CDC-apply step, as a pure DataFrame transform (no table
+    format required; pair with an overwrite of the affected partitions).
+
+    Planned as target LEFT ANTI updates (drop stale versions) UNION ALL
+    updates: one existence-probe join — broadcastable when the update
+    batch is small, which is the CDC norm — instead of a full-outer join
+    with per-column coalesce (which shuffles BOTH sides and rewrites
+    every column expression)."""
+    return target.join(
+        F.broadcast(updates.select(key)), key, "left_anti"
+    ).unionByName(updates)

@@ -280,3 +280,25 @@ def value_anomalies_zscore(
         )
         .filter(F.abs(F.round(z + F.lit(1e-8), 4)) > z_threshold)
     )
+
+
+def user_value_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event log: one
+    validity interval per reading — [ts, next reading's ts), open-ended
+    (null) for the current row — the standard warehouse shape for
+    "what was the value AT time T" joins (pairs with the as-of join in
+    operators/temporal.py).
+
+    One per-user window (lead over (ts, event_id)) — no self-join, no
+    global sort; interval rows shuffle once on user_id.  ``is_current``
+    marks each user's open row.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -122,6 +122,19 @@ def _summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_summary(retail_base(spark, sf_dir))
 
 
+def _merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply demo over the customer dim: every 10th customer gets a
+    segment update plus a key-shifted insert; merge_upsert applies both."""
+    cust = load_table(spark, sf_dir, "customer")
+    tenth = cust.filter(F.col("c_custkey") % 10 == 0)
+    updates = tenth.withColumn("c_mktsegment", F.lit("UPDATED")).unionByName(
+        tenth.withColumn(
+            "c_custkey", F.col("c_custkey") + 10_000_000
+        ).withColumn("c_mktsegment", F.lit("INSERTED"))
+    )
+    return relational.merge_upsert(cust, updates, "c_custkey")
+
+
 def _bonus_join(how: str) -> Builder:
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary = _summary_df(spark, sf_dir)
@@ -697,6 +710,38 @@ SELECT user_id, hour_ts,
 FROM j""",
         headline=True,
         tags=("timeseries", "resample"),
+    ),
+    QuerySpec(
+        "events_user_value_scd2",
+        timeseries.user_value_history_scd2,
+        """
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        tags=("timeseries", "scd2"),
+    ),
+    QuerySpec(
+        "merge_upsert_customers",
+        _merge_upsert_customers,
+        """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+         'INSERTED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT * FROM upd""",
+        tags=("merge", "cdc"),
     ),
     QuerySpec(
         "events_value_anomalies_zscore",
