@@ -302,3 +302,28 @@ def user_value_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def event_type_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The 100 TB twin of :func:`event_type_percentiles`: ``approx_percentile``
+    (Greenwald-Khanna / t-digest-style sketch) instead of the exact sort-based
+    percentile.  The sketch merges map-side, so the shuffle carries O(sketch)
+    per group instead of every value — the documented scale path, here as a
+    runnable, accuracy-tested operator (tests bound the error vs the exact
+    twin).  ``accuracy`` trades memory for error: 1/accuracy relative rank
+    error."""
+    ev = load_events(spark, sf_dir)
+
+    def apct(q: float, alias: str):
+        return F.round(
+            F.expr(f"approx_percentile(value, {q}, {accuracy})") + F.lit(1e-8), 4
+        ).alias(alias)
+
+    return ev.groupBy("event_type").agg(
+        apct(0.5, "p50"),
+        apct(0.9, "p90"),
+        apct(0.99, "p99"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

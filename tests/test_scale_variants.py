@@ -53,3 +53,56 @@ def test_approx_percentile_within_bound(spark, sf_dir):
     }
     for t, p in exact.items():
         assert abs(approx[t] - p) <= max(0.5, 0.1 * abs(p)), (t, p, approx[t])
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """The sketch-based twin must stay within a small relative-rank error
+    of the exact percentiles per group — the accuracy contract that makes
+    it a safe 100 TB substitute."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        event_type_percentiles,
+        event_type_percentiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r for r in event_type_percentiles(spark, sf).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in event_type_percentiles_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["cnt"] == e["cnt"]
+        spread = e["p99"] - e["p50"] or 1.0
+        for p in ("p50", "p90", "p99"):
+            assert abs(a[p] - e[p]) <= 0.05 * spread + 1e-6, (et, p, a[p], e[p])
+
+
+def test_hll_sketch_persists_and_merges_after_roundtrip(spark, tmp_path):
+    """The pre-aggregate STORE story: per-day sketches written to parquet,
+    read back in a fresh scan, and merged must give the same estimate as
+    merging the in-memory sketches — binary-stable persistence."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.sketches import (
+        _daily,
+        merged_distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    live = merged_distinct_users(spark, sf).collect()[0]
+    path = str(tmp_path / "sketch_store")
+    _daily(spark, sf).select("event_day", "sketch", "n_events").write.parquet(path)
+    stored = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "estimated_distinct_users"
+            ),
+        )
+        .collect()[0]
+    )
+    assert stored["n_days"] == live["n_days"]
+    assert stored["estimated_distinct_users"] == live["estimated_distinct_users"]
