@@ -232,3 +232,45 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keep_hash").cast("int").alias("keep_hash"),
         )
     )
+
+
+#: Columns profiled by :func:`profile_events` (name, spark type is taken
+#: from the schema at runtime).
+PROFILE_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the events table: non-null,
+    null, and exact distinct counts, long-format (one row per column) —
+    the audit every ingest runs before trusting a feed.
+
+    One aggregation job: Spark plans the multi-column count_distinct set
+    via a single Expand (#columns passes over each row map-side, one
+    shuffle).  Exact distincts keep the DuckDB oracle exact; at 100 TB
+    swap in approx_count_distinct per column (the documented
+    sketch-merge path, see operators/sketches.py) — high-cardinality
+    string columns like ``props`` are the reason.
+    """
+    from ..sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = ev.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct" for c in PROFILE_COLUMNS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args})"
+        " AS (column_name, n_nonnull, n_distinct)",
+        "__rows",
+    ).select(
+        "column_name",
+        "n_nonnull",
+        (F.col("__rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+    )

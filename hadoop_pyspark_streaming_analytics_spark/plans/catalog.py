@@ -122,6 +122,12 @@ def _summary_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_summary(retail_base(spark, sf_dir))
 
 
+def _profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import profile_events
+
+    return profile_events(spark, sf_dir)
+
+
 def _merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-apply demo over the customer dim: every 10th customer gets a
     segment update plus a key-shifted insert; merge_upsert applies both."""
@@ -710,6 +716,30 @@ SELECT user_id, hour_ts,
 FROM j""",
         headline=True,
         tags=("timeseries", "resample"),
+    ),
+    QuerySpec(
+        "events_profile_columns",
+        _profile_events,
+        """
+WITH base AS (SELECT count(*) AS n_rows FROM events)
+SELECT p.column_name, p.n_nonnull,
+       base.n_rows - p.n_nonnull AS n_null, p.n_distinct
+FROM base, (
+  SELECT 'event_id' AS column_name, count(event_id) AS n_nonnull,
+         count(DISTINCT event_id) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', count(ts), count(DISTINCT ts) FROM events
+  UNION ALL
+  SELECT 'user_id', count(user_id), count(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'event_type', count(event_type), count(DISTINCT event_type)
+  FROM events
+  UNION ALL
+  SELECT 'value', count(value), count(DISTINCT value) FROM events
+  UNION ALL
+  SELECT 'props', count(props), count(DISTINCT props) FROM events
+) p""",
+        tags=("profile", "audit"),
     ),
     QuerySpec(
         "events_user_value_scd2",
