@@ -18,6 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,6 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+
+# The mapInPandas closures below reference this module's helpers
+# (decode_png_pixels, make_png, ...).  cloudpickle serializes module-level
+# functions BY REFERENCE, which breaks on executors that don't have the
+# package on sys.path (e.g. a driver launched outside the repo with only a
+# sys.path.insert).  Registering the module for by-value pickling ships the
+# function bodies inside the task instead — no deploy-time path coupling.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
 
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes int, content_md5 string, "
@@ -215,4 +229,137 @@ def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFra
     ingest = binary_ingest(spark, sf_dir)
     return ingest.filter(F.col("doc_id") % every_n == 0).select(
         "doc_id", "n_bytes", "content_md5"
+    )
+
+
+def decode_png_pixels(buf: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode for filter-0 truecolor PNGs (the fixtures
+    :func:`make_png` emits, and any minimal encoder's output): walk the
+    chunk stream, concatenate IDAT, zlib-inflate, strip the per-row filter
+    byte.  Pure stdlib — the pixel tier no longer needs PIL for this
+    subset.  Raises ValueError on non-PNG or filtered rows (those would
+    need the full unfilter algorithms)."""
+    import struct
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(buf):
+        ln = struct.unpack(">I", buf[pos : pos + 4])[0]
+        tag = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", payload[:8])
+            if payload[8] != 8 or payload[9] != 2:
+                raise ValueError("only 8-bit truecolor supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("filtered scanline (only filter 0 supported)")
+        rows.append(row[1:])
+    return w, h, b"".join(rows)
+
+
+def resize_nearest(pixels: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Nearest-neighbor RGB resize (numpy index math, no image libs)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[ys][:, xs].tobytes()
+
+
+def png_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: synthesize a valid PNG per document,
+    pixel-decode it (zlib inflate + unfilter), and compute mean pixel
+    intensity with numpy — Arrow-batched end to end.  The oracle recomputes
+    the mean ARITHMETICALLY from the pixel formula, so a hash match proves
+    the decoder read every byte correctly."""
+    import numpy as np
+
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = doc_ids.mapInPandas(
+        synthesize_png_batch,
+        schema="doc_id bigint, content binary, n_bytes int, content_md5 string",
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(
+                pdf["doc_id"].astype("int64"), pdf["content"]
+            ):
+                w, h, px = decode_png_pixels(bytes(buf))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(arr.size // 3),
+                        round(float(arr.mean()) + 1e-8, 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "mean_pixel"],
+            )
+
+    return payloads.mapInPandas(
+        extract,
+        schema="doc_id bigint, width int, height int, n_pixels bigint,"
+        " mean_pixel double",
+    )
+
+
+def png_resize_features(
+    spark: SparkSession, sf_dir: str, target_w: int = 16, target_h: int = 16
+) -> DataFrame:
+    """REAL resize: decode pixels, nearest-neighbor downscale, and report
+    the resized image's mean intensity.  The oracle recomputes the SAME
+    nearest-neighbor sampling arithmetically (pixel (x,y) of the source is
+    a pure function of doc_id), so the hash match verifies both the decode
+    AND the index math of the resize."""
+    import numpy as np
+
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = doc_ids.mapInPandas(
+        synthesize_png_batch,
+        schema="doc_id bigint, content binary, n_bytes int, content_md5 string",
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(
+                pdf["doc_id"].astype("int64"), pdf["content"]
+            ):
+                w, h, px = decode_png_pixels(bytes(buf))
+                out = resize_nearest(px, w, h, target_w, target_h)
+                arr = np.frombuffer(out, dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        target_w,
+                        target_h,
+                        round(float(arr.mean()) + 1e-8, 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_width", "out_height", "mean_pixel"]
+            )
+
+    return payloads.mapInPandas(
+        resize,
+        schema="doc_id bigint, out_width int, out_height int, mean_pixel double",
     )

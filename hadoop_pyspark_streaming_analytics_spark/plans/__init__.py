@@ -42,6 +42,8 @@ _TAIL = [
     "events_profile_columns",         # round-2 data-quality audit (locally gated)
     "events_user_value_scd2",         # round-2 warehouse history op (locally gated)
     "merge_upsert_customers",         # round-2 CDC apply (locally gated)
+    "multimodal_png_features",        # round-2 real pixel tier (locally gated)
+    "multimodal_png_resize",          # round-2 real pixel tier (locally gated)
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
     "star_semi_join_big_spenders",

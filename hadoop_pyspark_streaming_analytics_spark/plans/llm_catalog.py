@@ -850,6 +850,40 @@ FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)""",
         None,
         tags=("llm", "sketch"),
     ),
+    # --- REAL multimodal pixel tier (operators/multimodal.py) ---
+    # Oracles recompute means ARITHMETICALLY from the fixture pixel formula
+    # pixel(x,y) = (doc_id + x + y) % 256 — a hash match proves the zlib
+    # inflate + unfilter decode (and the resize index math) byte-correct.
+    QuerySpec(
+        "multimodal_png_features",
+        multimodal.png_feature_extract,
+        """
+SELECT d.doc_id,
+       CAST(d.doc_id % 64 + 16 AS INTEGER) AS width,
+       CAST(d.doc_id * 7 % 64 + 16 AS INTEGER) AS height,
+       CAST((d.doc_id % 64 + 16) * (d.doc_id * 7 % 64 + 16) AS BIGINT)
+         AS n_pixels,
+       (SELECT round(avg(CAST((d.doc_id + x.r + y.r) % 256 AS DOUBLE))
+                     + 1e-8, 4)
+        FROM range(80) x(r), range(80) y(r)
+        WHERE x.r < d.doc_id % 64 + 16
+          AND y.r < d.doc_id * 7 % 64 + 16) AS mean_pixel
+FROM documents d""",
+        tags=("llm", "multimodal", "pixels"),
+    ),
+    QuerySpec(
+        "multimodal_png_resize",
+        multimodal.png_resize_features,
+        """
+SELECT d.doc_id, 16 AS out_width, 16 AS out_height,
+       (SELECT round(avg(CAST((d.doc_id
+                 + (tx.r * (d.doc_id % 64 + 16)) // 16
+                 + (ty.r * (d.doc_id * 7 % 64 + 16)) // 16) % 256 AS DOUBLE))
+                     + 1e-8, 4)
+        FROM range(16) tx(r), range(16) ty(r)) AS mean_pixel
+FROM documents d""",
+        tags=("llm", "multimodal", "pixels"),
+    ),
     # --- quality-proportional sampling (operators/quality.py) ---
     QuerySpec(
         "quality_weighted_sample",

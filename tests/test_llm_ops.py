@@ -610,3 +610,36 @@ def test_token_budget_selection_is_greedy_prefix(spark):
         cum += r["word_count"]
         greedy.append(r["doc_id"])
     assert {r["doc_id"] for r in sel} == set(greedy)
+
+
+def test_png_pixel_decode_and_resize_exact():
+    """decode_png_pixels must invert make_png exactly; resize_nearest must
+    sample the expected source pixels."""
+    import numpy as np
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_png,
+        resize_nearest,
+    )
+
+    w, h, seed = 20, 11, 7
+    wd, hd, px = decode_png_pixels(make_png(w, h, seed))
+    assert (wd, hd) == (w, h)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    for y in (0, 5, 10):
+        for x in (0, 9, 19):
+            assert tuple(arr[y, x]) == ((seed + x + y) % 256,) * 3
+
+    out = np.frombuffer(resize_nearest(px, w, h, 4, 4), dtype=np.uint8).reshape(
+        4, 4, 3
+    )
+    for ty in range(4):
+        for tx in range(4):
+            sx, sy = (tx * w) // 4, (ty * h) // 4
+            assert tuple(out[ty, tx]) == tuple(arr[sy, sx])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"GIF89a notapng")
