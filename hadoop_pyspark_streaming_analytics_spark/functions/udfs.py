@@ -21,6 +21,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Ship Python-worker closures by VALUE (see operators/multimodal.py): a
+# driver outside the repo cwd has no package on executor sys.path, and
+# by-reference pickling of module-level helpers would break there.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
 
 def categorize_expr(col: Column) -> Column:
     """Catalyst-native twin of the reference UDF (bonus.py:51-58)."""

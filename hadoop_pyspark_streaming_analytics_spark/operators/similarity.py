@@ -26,6 +26,19 @@ from pyspark.sql import types as T
 
 from ..sources.readers import load_table
 
+# Ship Python-worker closures by VALUE (see operators/multimodal.py): a
+# driver outside the repo cwd has no package on executor sys.path, and
+# by-reference pickling of module-level helpers would break there.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
 #: SQL expression templates (shared by builders; the DuckDB oracles use
 #: list_cosine_similarity, which computes the same double-precision value).
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"

@@ -33,6 +33,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Ship Python-worker closures by VALUE (see operators/multimodal.py): a
+# driver outside the repo cwd has no package on executor sys.path, and
+# by-reference pickling of module-level helpers would break there.
+try:  # pragma: no cover - depends on pyspark's vendored cloudpickle
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+
 SAMPLE_OUTPUT_SCHEMA = "key string, doc_id long, priority string"
 _STATE_SCHEMA = "priorities array<string>, ids array<long>"
 
