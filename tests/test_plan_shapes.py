@@ -261,3 +261,16 @@ def test_locf_resample_windows_per_user(spark, sf_dir):
     plan = plan_of(resample_hourly_locf(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" in plan and "last(v" in plan and "user_id" in plan
+
+
+def test_merge_upsert_is_broadcast_anti_probe(spark, sf_dir):
+    """The CDC apply must plan as a broadcast LEFT ANTI existence probe of
+    the update keys plus a union — never a shuffled full-outer join."""
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import (
+        _merge_upsert_customers,
+    )
+
+    plan = plan_of(_merge_upsert_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "FullOuter" not in plan

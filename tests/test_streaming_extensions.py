@@ -249,3 +249,45 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
         assert not q.isActive  # drained and stopped on its own
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """Stop a checkpointed query, add data, restart with the SAME
+    checkpoint: the restarted query must process only the new files — no
+    loss, no reprocessing — landing every input row exactly once in the
+    file sink."""
+    from pyspark.sql import functions as F
+
+    watch = str(tmp_path / "ckpt_src")
+    out = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_state")
+    write_json_batch(watch, BATCH0, 0)
+
+    def start():
+        return (
+            _doc_stream(spark, watch)
+            .select("doc_id", "source", "event_time")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.parquet(out).count()
+    assert first == len(BATCH0)
+
+    write_json_batch(watch, BATCH1, 1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(BATCH0) + len(BATCH1)  # no dup, no loss
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5}
