@@ -327,3 +327,29 @@ def event_type_percentiles_approx(
         apct(0.99, "p99"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON extraction — the parse-ONCE twin of
+    :func:`props_avg_k`: ``from_json`` with an explicit schema materializes
+    every needed field in a single Jackson pass, where per-path
+    ``get_json_object`` re-parses the string for each path (N paths =
+    N parses of every row — the quiet 100 TB tax).  Same aggregate output
+    as props_avg_k plus a no-value count: rows whose non-null props yielded
+    no ``k`` (bad JSON or missing key — from_json nulls both, the
+    PERMISSIVE discipline quantified; the oracle uses the same
+    definition)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "p", F.from_json("props", "k LONG")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.col("p.k")) + F.lit(1e-8), 4).alias("avg_k"),
+        F.min(F.col("p.k")).alias("min_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+        F.count(F.col("p.k")).alias("cnt"),
+        F.sum(
+            F.when(
+                F.col("p.k").isNull() & F.col("props").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("malformed"),
+    )

@@ -718,6 +718,24 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "events_props_typed",
+        timeseries.props_typed_extract,
+        """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         props
+  FROM events
+)
+SELECT event_type,
+       round(avg(k) + 1e-8, 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k, count(k) AS cnt,
+       CAST(sum(CASE WHEN k IS NULL AND props IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS malformed
+FROM p GROUP BY 1""",
+        tags=("json", "typed-extract"),
+    ),
+    QuerySpec(
         "events_profile_columns",
         _profile_events,
         """
