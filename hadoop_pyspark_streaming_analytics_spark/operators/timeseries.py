@@ -353,3 +353,46 @@ def props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("malformed"),
     )
+
+
+def event_session_attribution(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-EVENT session assignment — the attribution twin of
+    :func:`user_sessions` (which returns one row per session): every event
+    is labeled with its session's start timestamp, the key downstream
+    conversion/funnel joins group on.
+
+    Native gaps-and-islands: lag → new-session flag → running cumsum →
+    min(ts) per (user, session) — three windows, all partitioned per user
+    over a TOTAL order (ts, event_id), so ties can't float between
+    engines.  Cross-checked against the session_window tier by test:
+    the distinct (user, session_start) pairs here must equal
+    user_sessions' rows exactly.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.col("ts") - F.lag("ts").over(w))
+                >= F.expr(f"INTERVAL {gap}")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    return sid.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.min("ts").over(ws).alias("session_start"),
+    )

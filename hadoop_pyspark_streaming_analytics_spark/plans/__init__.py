@@ -39,6 +39,7 @@ _TAIL = [
     "set_union_active_users",         # displaced for events_resample_hourly_locf
     "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
                                       # EWMA anomaly flags (locally gated)
+    "events_session_attribution",     # round-2 per-event session key (locally gated)
     "events_props_typed",             # round-2 parse-once twin of events_props_avg_k
     "events_profile_columns",         # round-2 data-quality audit (locally gated)
     "events_user_value_scd2",         # round-2 warehouse history op (locally gated)

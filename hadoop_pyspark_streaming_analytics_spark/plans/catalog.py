@@ -718,6 +718,27 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "events_session_attribution",
+        timeseries.event_session_attribution,
+        """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT event_id, user_id, ts,
+       min(ts) OVER (PARTITION BY user_id, sid) AS session_start
+FROM sess""",
+        tags=("timeseries", "session", "attribution"),
+    ),
+    QuerySpec(
         "events_props_typed",
         timeseries.props_typed_extract,
         """

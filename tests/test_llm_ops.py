@@ -643,3 +643,27 @@ def test_png_pixel_decode_and_resize_exact():
 
     with _pytest.raises(ValueError):
         decode_png_pixels(b"GIF89a notapng")
+
+
+def test_session_attribution_agrees_with_session_window_tier(spark):
+    """Every event gets exactly one session_start, and the distinct
+    (user, session_start) pairs + per-session event counts must equal the
+    native session_window aggregation's rows — the gaps-and-islands and
+    session_window tiers are the same partition of events."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        event_session_attribution,
+        user_sessions,
+    )
+
+    attr = event_session_attribution(spark, SF).collect()
+    sessions = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in user_sessions(spark, SF).collect()
+    }
+    counts: dict = {}
+    for r in attr:
+        counts[(r["user_id"], r["session_start"])] = (
+            counts.get((r["user_id"], r["session_start"]), 0) + 1
+        )
+        assert r["session_start"] <= r["ts"]
+    assert counts == sessions
