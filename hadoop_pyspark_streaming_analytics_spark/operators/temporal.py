@@ -145,3 +145,123 @@ def clicks_in_trailing_window(
         .cast("bigint")
         .alias("clicks_trailing"),
     )
+
+
+def asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each 'error' matched to the same user's
+    NEAREST 'click' at-or-after it: the symmetric twin of
+    :func:`asof_last_click` (recovery/response-time analysis instead of
+    causal attribution).  Same union + per-user ordered window
+    composition, with the carry running BACKWARD (first non-null click in
+    the frame ahead); errors sort before a same-instant click so the
+    match stays inclusive.  DuckDB has no forward ASOF — the oracle is
+    the explicit correlated min-over-future spelling."""
+    ev = load_events(spark, sf_dir)
+    clicks = _dedup_right(ev.filter(F.col("event_type") == "click"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = clicks.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "click_event_id",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("kind"),
+    ).unionByName(
+        errors.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(None).cast("bigint").alias("click_event_id"),
+            "event_id",
+            F.lit(0).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "next_click_id", F.first("click_event_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "next_click_ts",
+        F.first(
+            F.when(F.col("click_event_id").isNotNull(), F.col("t")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("error_ts"),
+            "next_click_id",
+            F.round(
+                (
+                    F.unix_micros("next_click_ts") - F.unix_micros("t")
+                )
+                / 1_000_000.0,
+                3,
+            ).alias("secs_until_click"),
+        )
+    )
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — the conversion query every
+    event pipeline answers.  Three per-user min-aggregations chained by
+    broadcast joins (each stage's output is |users|-sized); no window over
+    raw events, no self-join of the fact table."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    # latest_ts makes the CHAINED-min logic value-checked: if a stage's
+    # ordering constraint (ts > previous step) were wrong, the max of its
+    # per-user first-times would shift even when the user counts don't.
+    rows = [
+        v.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.max("first_view").alias("latest_ts"),
+        ).select(
+            F.lit(1).alias("step_order"), F.lit("view").alias("step"),
+            "users", "latest_ts",
+        ),
+        c.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.max("first_click").alias("latest_ts"),
+        ).select(
+            F.lit(2).alias("step_order"), F.lit("view>click").alias("step"),
+            "users", "latest_ts",
+        ),
+        p.agg(
+            F.count(F.lit(1)).alias("users"),
+            F.max("first_purchase").alias("latest_ts"),
+        ).select(
+            F.lit(3).alias("step_order"),
+            F.lit("view>click>purchase").alias("step"),
+            "users", "latest_ts",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

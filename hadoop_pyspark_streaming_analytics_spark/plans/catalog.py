@@ -718,6 +718,53 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "temporal_asof_next_click",
+        temporal.asof_next_click,
+        """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       c.click_event_id AS next_click_id,
+       round(date_diff('microsecond', e.ts, c.ts) / 1000000.0, 3)
+         AS secs_until_click
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts <= c.ts""",
+        tags=("temporal", "asof-forward"),
+    ),
+    QuerySpec(
+        "events_funnel_conversion",
+        temporal.funnel_view_click_purchase,
+        """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY 1
+)
+SELECT 1 AS step_order, 'view' AS step, (SELECT count(*) FROM v) AS users,
+       (SELECT max(first_view) FROM v) AS latest_ts
+UNION ALL
+SELECT 2, 'view>click', (SELECT count(*) FROM c),
+       (SELECT max(first_click) FROM c)
+UNION ALL
+SELECT 3, 'view>click>purchase', (SELECT count(*) FROM p),
+       (SELECT max(first_purchase) FROM p)""",
+        tags=("temporal", "funnel"),
+    ),
+    QuerySpec(
         "events_session_attribution",
         timeseries.event_session_attribution,
         """
