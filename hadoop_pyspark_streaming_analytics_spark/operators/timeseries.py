@@ -396,3 +396,28 @@ def event_session_attribution(
         "ts",
         F.min("ts").over(ws).alias("session_start"),
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-seen day, counted
+    on each later activity day as days-since-cohort — the
+    product-analytics staple (D1/D7/D30 retention falls out of it).
+
+    Two aggregations: per-user first day (map-side combinable), broadcast
+    back (|users|-sized), then one (cohort_day, day_offset) count-distinct
+    over the events scan.  No window, no self-join; the output is
+    |cohorts| x |offsets| — tiny at any input scale."""
+    # TIMESTAMP on both engines (the events_scalar_features convention:
+    # DuckDB date_trunc yields DATE, Spark yields TIMESTAMP — cast there).
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

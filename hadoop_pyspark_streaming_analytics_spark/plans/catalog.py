@@ -718,6 +718,23 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "events_cohort_retention",
+        timeseries.cohort_retention,
+        """
+WITH days AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+),
+first_day AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER) AS day_offset,
+       count(DISTINCT d.user_id) AS active_users
+FROM days d JOIN first_day f USING (user_id)
+GROUP BY 1, 2""",
+        tags=("timeseries", "cohort"),
+    ),
+    QuerySpec(
         "temporal_asof_next_click",
         temporal.asof_next_click,
         """
