@@ -277,3 +277,58 @@ def select_corpus_token_budget(
         .filter(F.col("cum_tokens") <= token_budget)
         .select("doc_id", "word_count", "quality_score", "cum_tokens")
     )
+
+
+def tfidf_similar_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 10, threshold: float = 0.5
+) -> DataFrame:
+    """Lexical document similarity: cosine over SPARSE TF-IDF vectors —
+    the inverted-index complement of the embedding-based similarity tier
+    (no model needed; catches lexical near-duplicates and topical pairs).
+
+    Scale discipline: each document is SPARSIFIED to its top-``k`` TF-IDF
+    terms first, so the inverted index carries at most k postings per doc
+    and the token self-join is k-bounded per document — the unbounded
+    hot-token blowup of a full inverted index (the ngram-Jaccard hazard)
+    is designed out, at the cost of approximating the true cosine from
+    the top-k components (norms are computed over the SAME truncated
+    vectors on both engines, so the oracle is exact for what is claimed).
+    """
+    terms = tfidf_top_terms(spark, sf_dir, k=k).select(
+        "doc_id", "token", "tfidf"
+    ).localCheckpoint(eager=True)
+    norms = terms.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm")
+    )
+    a = terms.alias("a")
+    b = terms.alias("b")
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tfidf") * F.col("b.tfidf")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("norm").alias("norm_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("norm").alias("norm_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+                + F.lit(1e-8),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -443,6 +443,36 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
   AND q.quality_score >= {min_quality}"""
 
 
+#: TF-IDF CTE chain ending in ``rk(doc_id, token, tok_count, tfidf,
+#: term_rank)`` — shared by the top-terms entry and the sparse-cosine
+#: similarity entry (mirrors operators/corpus.py:tfidf_top_terms).
+_TFIDF_CTES = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tok_count FROM toks GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, sum(tok_count) AS doc_tokens FROM tf GROUP BY 1),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tok_count,
+         round((tf.tok_count::DOUBLE / dl.doc_tokens)
+               * (ln((n.n_docs + 1)::DOUBLE / (dfreq.doc_freq + 1)) + 1.0)
+               + 1e-8, 4) AS tfidf
+  FROM tf
+  JOIN doc_len dl USING (doc_id)
+  JOIN dfreq USING (token)
+  CROSS JOIN n
+),
+rk AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS INTEGER)
+              AS term_rank
+  FROM scored
+)"""
+
+
 LLM_CATALOG: list[QuerySpec] = [
     # --- dedup ---
     QuerySpec(
@@ -762,34 +792,34 @@ FROM vocab""",
     QuerySpec(
         "corpus_tfidf_top_terms",
         corpus.tfidf_top_terms,
-        """
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
-  FROM documents
-),
-tf AS (SELECT doc_id, token, count(*) AS tok_count FROM toks GROUP BY 1, 2),
-doc_len AS (SELECT doc_id, sum(tok_count) AS doc_tokens FROM tf GROUP BY 1),
-dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
-n AS (SELECT count(*) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.token, tf.tok_count,
-         round((tf.tok_count::DOUBLE / dl.doc_tokens)
-               * (ln((n.n_docs + 1)::DOUBLE / (dfreq.doc_freq + 1)) + 1.0)
-               + 1e-8, 4) AS tfidf
-  FROM tf
-  JOIN doc_len dl USING (doc_id)
-  JOIN dfreq USING (token)
-  CROSS JOIN n
-),
-rk AS (
-  SELECT *, CAST(rank() OVER (PARTITION BY doc_id
-                              ORDER BY tfidf DESC, token) AS INTEGER)
-              AS term_rank
-  FROM scored
-)
+        f"""
+WITH {_TFIDF_CTES}
 SELECT doc_id, token, tok_count, tfidf, term_rank FROM rk WHERE term_rank <= 3""",
         headline=True,
         tags=("llm", "corpus"),
+    ),
+    QuerySpec(
+        "corpus_tfidf_similar_pairs",
+        corpus.tfidf_similar_pairs,
+        f"""
+WITH {_TFIDF_CTES},
+topk AS (SELECT doc_id, token, tfidf FROM rk WHERE term_rank <= 10),
+norms AS (
+  SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS norm FROM topk GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tfidf * b.tfidf) AS dot
+  FROM topk a JOIN topk b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(dot / (na.norm * nb.norm) + 1e-8, 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE round(dot / (na.norm * nb.norm) + 1e-8, 4) >= 0.5""",
+        tags=("llm", "corpus", "similarity"),
     ),
     QuerySpec(
         "corpus_repetition_scores",
