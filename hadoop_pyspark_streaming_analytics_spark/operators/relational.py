@@ -218,3 +218,31 @@ def merge_upsert(
     return target.join(
         F.broadcast(updates.select(key)), key, "left_anti"
     ).unionByName(updates)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the star schema: count rows whose FK has
+    no parent — the load-validation every warehouse runs after ingest.
+    Each check is one broadcast ANTI existence probe of the (thin,
+    distinct) parent-key set; long-format output (check, n_violations)."""
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def count_orphans(child, fk, parent, pk):
+        return child.join(
+            F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+            fk,
+            "left_anti",
+        ).count()
+
+    rows = [
+        ("lineitem.l_orderkey -> orders", count_orphans(li, "l_orderkey", orders, "o_orderkey")),
+        ("lineitem.l_partkey -> part", count_orphans(li, "l_partkey", part, "p_partkey")),
+        ("orders.o_custkey -> customer", count_orphans(
+            orders.filter(F.col("o_custkey").isNotNull()), "o_custkey", cust, "c_custkey")),
+    ]
+    return spark.createDataFrame(rows, "fk_check string, n_violations bigint")

@@ -421,3 +421,21 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+def value_histogram(
+    spark: SparkSession, sf_dir: str, bin_width: float = 25.0
+) -> DataFrame:
+    """Fixed-width histogram of event values per type — the distribution
+    glance before picking thresholds/buckets.  One map-side-combinable
+    aggregate; bins are floor(value / width), engine-portable (no
+    width_bucket dependency)."""
+    ev = load_events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / bin_width).cast("int")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bin_low", F.round(F.col("bin") * bin_width + F.lit(1e-8), 2)
+        )
+    )

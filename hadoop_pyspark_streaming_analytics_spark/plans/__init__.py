@@ -39,6 +39,8 @@ _TAIL = [
     "set_union_active_users",         # displaced for events_resample_hourly_locf
     "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
                                       # EWMA anomaly flags (locally gated)
+    "star_fk_integrity_audit",        # round-2 FK audit (locally gated)
+    "events_value_histogram",         # round-2 distribution glance (locally gated)
     "corpus_tfidf_similar_pairs",     # round-2 sparse lexical cosine (locally gated)
     "events_cohort_retention",        # round-2 cohort analytics (locally gated)
     "temporal_asof_next_click",       # round-2 forward as-of twin (locally gated)

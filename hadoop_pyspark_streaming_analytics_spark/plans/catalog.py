@@ -718,6 +718,39 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "star_fk_integrity_audit",
+        relational.referential_integrity_audit,
+        """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_check,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS n_violations
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))""",
+        tags=("audit", "integrity"),
+    ),
+    QuerySpec(
+        "events_value_histogram",
+        timeseries.value_histogram,
+        """
+SELECT event_type, CAST(floor(value / 25.0) AS INTEGER) AS bin,
+       count(*) AS cnt,
+       round(CAST(floor(value / 25.0) AS INTEGER) * 25.0 + 1e-8, 2)
+         AS bin_low
+FROM events GROUP BY 1, 2""",
+        tags=("timeseries", "histogram"),
+    ),
+    QuerySpec(
         "events_cohort_retention",
         timeseries.cohort_retention,
         """
