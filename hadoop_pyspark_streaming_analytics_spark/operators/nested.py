@@ -149,3 +149,27 @@ def customer_brand_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in brand_cols[1:]:
         total = total + c
     return pivoted.withColumn("total_items", total)
+
+
+def customer_brand_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of the A8 pivot (``DataFrame.unpivot``,
+    wide→long): melt the 25 brand columns back to (customer_id, brand,
+    quantity) rows, dropping the zero-fill the pivot introduced.  The
+    roundtrip property (pivot ∘ unpivot = the pre-pivot aggregation) is
+    what the oracle checks: its SQL derives the long form DIRECTLY from
+    the base tables, never pivoting at all."""
+    wide = customer_brand_pivot(spark, sf_dir).drop("total_items")
+    brand_cols = [f"brand_{i}" for i in range(1, 26)]
+    long = wide.unpivot(
+        ids=["customer_id"],
+        values=brand_cols,
+        variableColumnName="brand_col",
+        valueColumnName="quantity",
+    )
+    return long.filter(F.col("quantity") > 0).select(
+        "customer_id",
+        F.concat(
+            F.lit("Brand#"), F.regexp_extract("brand_col", r"(\d+)", 1)
+        ).alias("brand"),
+        "quantity",
+    )

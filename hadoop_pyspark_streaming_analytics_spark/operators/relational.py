@@ -246,3 +246,30 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_custkey").isNotNull()), "o_custkey", cust, "c_custkey")),
     ]
     return spark.createDataFrame(rows, "fk_check string, n_violations bigint")
+
+
+def segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution per market segment — ratio-to-report:
+    one grouped sum plus a broadcast of the scalar total (NOT an
+    un-partitioned window over the detail rows; the ratio divides two
+    aggregates, so the fact table shuffles once)."""
+    from ..sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("segment_total"))
+    )
+    total = seg.agg(F.sum("segment_total").alias("grand_total"))
+    return seg.crossJoin(F.broadcast(total)).select(
+        "c_mktsegment",
+        "segment_total",
+        F.round(
+            F.col("segment_total") / F.col("grand_total") * 100 + F.lit(1e-8), 4
+        ).alias("pct_of_total"),
+    )

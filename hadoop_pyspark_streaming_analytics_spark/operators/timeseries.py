@@ -439,3 +439,27 @@ def value_histogram(
             "bin_low", F.round(F.col("bin") * bin_width + F.lit(1e-8), 2)
         )
     )
+
+
+def weekly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting: weekly value totals per event type with
+    absolute and percent change vs the previous week (lag over the
+    |types x weeks|-sized aggregate — the window input is report-sized,
+    never the fact table)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "week", F.date_trunc("week", F.col("ts"))
+    )
+    weekly = ev.groupBy("event_type", "week").agg(
+        round2(F.sum("value")).alias("week_total")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("week_total").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "week_total",
+        F.round(F.col("week_total") - prev + F.lit(1e-6), 2).alias("wow_change"),
+        F.round(
+            (F.col("week_total") - prev) / prev * 100 + F.lit(1e-8), 4
+        ).alias("wow_pct"),
+    )

@@ -39,6 +39,9 @@ _TAIL = [
     "set_union_active_users",         # displaced for events_resample_hourly_locf
     "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
                                       # EWMA anomaly flags (locally gated)
+    "q3b_customer_brand_unpivot",     # round-2 inverse-pivot (locally gated)
+    "star_segment_contribution",      # round-2 ratio-to-report (locally gated)
+    "events_weekly_change",           # round-2 WoW reporting (locally gated)
     "star_fk_integrity_audit",        # round-2 FK audit (locally gated)
     "events_value_histogram",         # round-2 distribution glance (locally gated)
     "corpus_tfidf_similar_pairs",     # round-2 sparse lexical cosine (locally gated)

@@ -718,6 +718,51 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "q3b_customer_brand_unpivot",
+        nested.customer_brand_unpivot,
+        """
+SELECT o.o_custkey AS customer_id, p.p_brand AS brand,
+       sum(l.l_quantity) AS quantity
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+HAVING sum(l.l_quantity) > 0""",
+        tags=("q3", "unpivot"),
+    ),
+    QuerySpec(
+        "star_segment_contribution",
+        relational.segment_contribution,
+        """
+WITH seg AS (
+  SELECT c.c_mktsegment, round(sum(o.o_totalprice) + 1e-6, 2)
+           AS segment_total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+t AS (SELECT sum(segment_total) AS grand_total FROM seg)
+SELECT c_mktsegment, segment_total,
+       round(segment_total / t.grand_total * 100 + 1e-8, 4) AS pct_of_total
+FROM seg, t""",
+        tags=("reporting", "contribution"),
+    ),
+    QuerySpec(
+        "events_weekly_change",
+        timeseries.weekly_value_change,
+        """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         round(sum(value) + 1e-6, 2) AS week_total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, week_total,
+       round(week_total - lag(week_total) OVER w + 1e-6, 2) AS wow_change,
+       round((week_total - lag(week_total) OVER w)
+             / lag(week_total) OVER w * 100 + 1e-8, 4) AS wow_pct
+FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)""",
+        tags=("reporting", "timeseries"),
+    ),
+    QuerySpec(
         "star_fk_integrity_audit",
         relational.referential_integrity_audit,
         """
