@@ -324,3 +324,45 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 16) -> Da
     for j in range(bits):
         fp = fp + F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(0)
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def edit_distance_verify(
+    spark: SparkSession, sf_dir: str, max_ratio: float = 0.2
+) -> DataFrame:
+    """Edit-distance verification of the LSH candidate pairs — the third
+    verification signal next to exact Jaccard and embedding cosine:
+    normalized Levenshtein over the (already tiny) candidate set, keeping
+    pairs whose distance is at most ``max_ratio`` of the longer text.
+
+    Scale shape: Levenshtein is O(len_a x len_b) PER PAIR, so it must
+    never run all-pairs — here it runs only on LSH candidates (bucketed
+    generation, corpus-size-independent pair count), with the text
+    re-attached via two joins against the candidate ids.  JVM built-in
+    (``levenshtein``), no Python."""
+    cands = minhash_lsh_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paired = (
+        cands.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    longest = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            F.round(dist / longest + F.lit(1e-8), 4).alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= max_ratio)
+    )

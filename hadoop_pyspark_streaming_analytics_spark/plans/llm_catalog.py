@@ -533,6 +533,27 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         _simhash_sql(),
         tags=("llm", "dedup"),
     ),
+    QuerySpec(
+        "dedup_edit_distance_verify",
+        dedup.edit_distance_verify,
+        f"""
+WITH {_lsh_ctes()},
+paired AS (
+  SELECT c.doc_a, c.doc_b, da.text AS text_a, db.text AS text_b
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(text_a, text_b) AS INTEGER) AS edit_distance,
+       round(levenshtein(text_a, text_b)::DOUBLE
+             / greatest(length(text_a), length(text_b)) + 1e-8, 4)
+         AS edit_ratio
+FROM paired
+WHERE round(levenshtein(text_a, text_b)::DOUBLE
+            / greatest(length(text_a), length(text_b)) + 1e-8, 4) <= 0.2""",
+        tags=("llm", "dedup", "verify"),
+    ),
     # --- similarity search ---
     QuerySpec(
         "ann_brute_force_topk",
