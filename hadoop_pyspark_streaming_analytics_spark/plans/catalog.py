@@ -728,6 +728,7 @@ JOIN part p ON l.l_partkey = p.p_partkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 HAVING sum(l.l_quantity) > 0""",
+        headline=True,
         tags=("q3", "unpivot"),
     ),
     QuerySpec(
@@ -878,6 +879,7 @@ sess AS (
 SELECT event_id, user_id, ts,
        min(ts) OVER (PARTITION BY user_id, sid) AS session_start
 FROM sess""",
+        headline=True,
         tags=("timeseries", "session", "attribution"),
     ),
     QuerySpec(
