@@ -6,7 +6,7 @@ over 100 TB of documents with zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -273,4 +273,63 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nonnull",
         (F.col("__rows") - F.col("n_nonnull")).alias("n_null"),
         "n_distinct",
+    )
+
+
+#: Mixture weights per source (percent kept) for :func:`mixture_sample` —
+#: the "data recipe" shape: oversample curated sources, downsample crawl.
+MIXTURE_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling: keep each document at its source's recipe
+    rate (MIXTURE_RATES percent) — the dataset-mixing step that turns raw
+    pools into a training recipe.  Seedless md5(doc_id) hash discipline
+    (same as stratified/train-split): reproducible across runs, engines,
+    partitionings; one scan, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for src, pct in MIXTURE_RATES.items():
+        rate = F.when(F.col("source") == src, pct).otherwise(rate)
+    hash100 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("keep_hash", hash100)
+        .withColumn("keep_rate", rate.cast("int"))
+        .filter(F.col("keep_hash") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("keep_hash").cast("int").alias("keep_hash"),
+            "keep_rate",
+        )
+    )
+
+
+def training_shard_assignment(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic pre-training shuffle + sharding: order documents by
+    md5(doc_id) (a fixed pseudo-random permutation — no seed plumbing,
+    identical on every engine/run) and deal them into ``n_shards`` with a
+    position inside each shard.
+
+    shard = hash mod n_shards (hash-partitioned, balanced); position =
+    row_number over md5 order WITHIN the shard — the window is per-shard
+    (corpus/n_shards rows), so no global sort materializes.  Downstream
+    training readers stream shard files in position order and see a
+    shuffled corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    d = docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("int").alias("pos_in_shard"),
     )

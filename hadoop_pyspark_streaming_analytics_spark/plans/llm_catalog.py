@@ -935,6 +935,37 @@ SELECT d.doc_id, 16 AS out_width, 16 AS out_height,
 FROM documents d""",
         tags=("llm", "multimodal", "pixels"),
     ),
+    QuerySpec(
+        "mixture_sample_by_source",
+        quality.mixture_sample,
+        """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % 100 AS INTEGER) AS keep_hash,
+         CAST(CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75 WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 WHEN 'src4' THEN 10 ELSE 0 END AS INTEGER) AS keep_rate
+  FROM documents
+)
+SELECT doc_id, source, keep_hash, keep_rate
+FROM h WHERE keep_hash < keep_rate""",
+        tags=("llm", "sampling", "mixture"),
+    ),
+    QuerySpec(
+        "training_shard_assignment",
+        quality.training_shard_assignment,
+        """
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % 16 AS INTEGER) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS INTEGER) AS pos_in_shard
+FROM d""",
+        tags=("llm", "sharding"),
+    ),
     # --- quality-proportional sampling (operators/quality.py) ---
     QuerySpec(
         "quality_weighted_sample",
