@@ -219,3 +219,57 @@ def test_int8_quantization_roundtrip_bound(spark, vec):
     assert np.abs(q).max() <= 127
     deq = q * ma / 127.0
     assert np.abs(deq - v32).max() <= ma / 127.0 + 1e-9
+
+
+# Event offsets (seconds) engineered around the 30-minute gap boundary.
+session_offsets = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=120),
+        st.sampled_from([1799, 1800, 1801, 3600, 7200]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(session_offsets, session_offsets)
+@SETTINGS
+def test_session_attribution_matches_pure_python(spark, offs_a, offs_b):
+    """event_session_attribution must equal a direct per-user
+    gaps-and-islands computation for arbitrary event spacings, including
+    exact 30-minute boundaries (gap >= 1800s starts a new session)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import timeseries as t
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for uid, offs in ((1, offs_a), (2, offs_b)):
+        acc = 0
+        for o in offs:
+            acc += o
+            rows.append((eid, uid, base + dt.timedelta(seconds=acc)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    orig = t.load_events
+    try:
+        t.load_events = lambda sp, d: ev  # noqa: ARG005
+        got = {
+            r["event_id"]: r["session_start"]
+            for r in t.event_session_attribution(spark, "x").collect()
+        }
+    finally:
+        t.load_events = orig
+
+    expect = {}
+    for uid in (1, 2):
+        evs = sorted(
+            (r for r in rows if r[1] == uid), key=lambda r: (r[2], r[0])
+        )
+        start = None
+        prev = None
+        for eid_, _, ts in evs:
+            if prev is None or (ts - prev).total_seconds() >= 1800:
+                start = ts
+            expect[eid_] = start
+            prev = ts
+    assert got == expect
