@@ -274,3 +274,41 @@ def test_merge_upsert_is_broadcast_anti_probe(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "FullOuter" not in plan
+
+
+def test_funnel_broadcasts_user_stages_no_window(spark, sf_dir):
+    """Funnel stages are |users|-sized and must broadcast back into the
+    event scans; no window over raw events, no cartesian product."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.temporal import (
+        funnel_view_click_purchase,
+    )
+
+    plan = plan_of(funnel_view_click_purchase(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cohort_retention_broadcasts_first_day(spark, sf_dir):
+    """The per-user cohort table must broadcast into the fact scan and the
+    final distinct-count must partially aggregate."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    plan = plan_of(cohort_retention(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "Expand" in plan
+
+
+def test_unpivot_plans_as_expand(spark, sf_dir):
+    """DataFrame.unpivot must plan as a single Expand over the wide rows
+    (row replication map-side) — never a per-column union of scans."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.nested import (
+        customer_brand_unpivot,
+    )
+
+    plan = plan_of(customer_brand_unpivot(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 8  # one scan set, not 25 unions
