@@ -363,3 +363,97 @@ def png_resize_features(
         resize,
         schema="doc_id bigint, out_width int, out_height int, mean_pixel double",
     )
+
+
+def make_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """A COMPLETE, valid 16-bit mono PCM WAV (RIFF + fmt + data chunks)
+    built with only the stdlib — the audio twin of :func:`make_png`.
+    Sample i = ((seed * 31 + i * 7) % 65536) - 32768."""
+    import struct
+
+    pcm = b"".join(
+        struct.pack("<h", ((seed * 31 + i * 7) % 65536) - 32768)
+        for i in range(n_samples)
+    )
+    data_len = len(pcm)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_len)
+        + pcm
+    )
+
+
+def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_samples) from a RIFF/WAVE buffer,
+    or None if it isn't one — pure stdlib chunk walk."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, ch, bits, n = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        ln = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            _, ch, rate, _, block, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            n = ln // 2  # 16-bit mono
+        pos += 8 + ln + (ln & 1)
+    if rate is None or n is None:
+        return None
+    return rate, ch, bits, n
+
+
+def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: synthesize a valid WAV per document
+    (length and content deterministic functions of doc_id), parse the
+    RIFF header back, and compute RMS energy over the ACTUAL PCM samples
+    with numpy — Arrow-batched end to end.  The oracle recomputes the RMS
+    arithmetically from the sample formula, so a hash match proves the
+    chunk walk and sample decode are byte-correct."""
+    import numpy as np
+
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"].astype("int64"):
+                n = int(doc_id % 800 + 100)
+                wav = make_wav(n, 16_000, int(doc_id))
+                rate, ch, bits, n_parsed = parse_wav_header(wav)
+                pcm = np.frombuffer(wav[-2 * n_parsed :], dtype="<i2").astype(
+                    np.float64
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        ch,
+                        bits,
+                        n_parsed,
+                        round(float(np.sqrt(np.mean(pcm * pcm))) + 1e-8, 3),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bits",
+                    "n_samples", "rms",
+                ],
+            )
+            rows = []
+
+    return doc_ids.mapInPandas(
+        extract,
+        schema="doc_id bigint, sample_rate int, channels int, bits int,"
+        " n_samples int, rms double",
+    )

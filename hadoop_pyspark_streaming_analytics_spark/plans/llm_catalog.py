@@ -791,6 +791,22 @@ FROM documents WHERE doc_id % 10 = 0""",
         _pipeline_sql(),
         tags=("llm", "pipeline"),
     ),
+    QuerySpec(
+        "multimodal_wav_features",
+        multimodal.wav_feature_extract,
+        """
+SELECT d.doc_id,
+       16000 AS sample_rate, 1 AS channels, 16 AS bits,
+       CAST(d.doc_id % 800 + 100 AS INTEGER) AS n_samples,
+       (SELECT round(sqrt(avg(CAST(
+                 ((d.doc_id * 31 + i.r * 7) % 65536 - 32768)
+                 * ((d.doc_id * 31 + i.r * 7) % 65536 - 32768) AS DOUBLE)))
+               + 1e-8, 3)
+        FROM range(900) i(r)
+        WHERE i.r < d.doc_id % 800 + 100) AS rms
+FROM documents d""",
+        tags=("llm", "multimodal", "audio"),
+    ),
     # --- corpus-global statistics (operators/corpus.py) ---
     QuerySpec(
         "corpus_vocabulary",

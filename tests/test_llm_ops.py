@@ -667,3 +667,22 @@ def test_session_attribution_agrees_with_session_window_tier(spark):
         )
         assert r["session_start"] <= r["ts"]
     assert counts == sessions
+
+
+def test_wav_roundtrip_header_and_rms_exact():
+    """make_wav -> parse_wav_header must invert exactly, and the PCM
+    samples must match the generator formula."""
+    import numpy as np
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    wav = make_wav(250, 16_000, seed=42)
+    rate, ch, bits, n = parse_wav_header(wav)
+    assert (rate, ch, bits, n) == (16_000, 1, 16, 250)
+    pcm = np.frombuffer(wav[-2 * n:], dtype="<i2")
+    for i in (0, 100, 249):
+        assert pcm[i] == ((42 * 31 + i * 7) % 65536) - 32768
+    assert parse_wav_header(b"not a wav at all") is None
