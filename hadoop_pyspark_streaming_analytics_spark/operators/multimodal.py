@@ -457,3 +457,94 @@ def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, sample_rate int, channels int, bits int,"
         " n_samples int, rms double",
     )
+
+
+def make_avi(n_frames: int, seed: int, width: int = 32, height: int = 24) -> bytes:
+    """A minimal RIFF('AVI ') container holding ``n_frames`` video chunks
+    ('00dc'), each a complete PNG from :func:`make_png` with seed
+    ``seed + frame`` — the deterministic video fixture (container walk +
+    per-frame decode are REAL; only the codec is PNG-per-frame rather
+    than H.264)."""
+    import struct
+
+    frames = b""
+    for f in range(n_frames):
+        payload = make_png(width, height, seed + f)
+        frames += b"00dc" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            frames += b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+
+
+def parse_avi_frames(buf: bytes) -> list[bytes]:
+    """Walk the RIFF/AVI chunk tree and return the '00dc' frame payloads
+    (pure stdlib)."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return []
+    frames = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            ln = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            if tag == b"LIST":
+                walk(pos + 12, pos + 8 + ln)
+            elif tag == b"00dc":
+                frames.append(buf[pos + 8 : pos + 8 + ln])
+            pos += 8 + ln + (ln & 1)
+
+    walk(12, len(buf))
+    return frames
+
+
+def video_frame_features(
+    spark: SparkSession, sf_dir: str, every_n: int = 5
+) -> DataFrame:
+    """REAL video-pipeline shape: synthesize an AVI per document
+    (doc_id % 20 + 5 frames), WALK the container, sample every
+    ``every_n``-th frame, and pixel-decode the sampled frames (zlib
+    inflate + unfilter) for mean intensity — the
+    extract→sample→decode chain a real video featurizer runs, Arrow-
+    batched, stdlib-only.  The oracle recomputes frame count, sampled
+    indices, and per-frame means arithmetically."""
+    import numpy as np
+
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                n = int(doc_id % 20 + 5)
+                avi = make_avi(n, int(doc_id))
+                frames = parse_avi_frames(avi)
+                assert len(frames) == n
+                for idx in range(0, len(frames), every_n):
+                    w, h, px = decode_png_pixels(frames[idx])
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            len(frames),
+                            w,
+                            h,
+                            round(float(arr.mean()) + 1e-8, 4),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "mean_pixel",
+                ],
+            )
+
+    return doc_ids.mapInPandas(
+        extract,
+        schema="doc_id bigint, frame_idx int, n_frames int, width int,"
+        " height int, mean_pixel double",
+    )

@@ -39,6 +39,7 @@ _TAIL = [
     "set_union_active_users",         # displaced for events_resample_hourly_locf
     "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
                                       # EWMA anomaly flags (locally gated)
+    "multimodal_video_frame_features",  # round-2 real video tier (locally gated)
     "multimodal_wav_features",        # round-2 real audio tier (locally gated)
     "mixture_sample_by_source",       # round-2 data-recipe sampling
     "training_shard_assignment",      # round-2 deterministic shuffle+shard

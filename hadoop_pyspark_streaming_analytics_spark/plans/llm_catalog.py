@@ -792,6 +792,24 @@ FROM documents WHERE doc_id % 10 = 0""",
         tags=("llm", "pipeline"),
     ),
     QuerySpec(
+        "multimodal_video_frame_features",
+        multimodal.video_frame_features,
+        """
+WITH frames AS (
+  SELECT d.doc_id, f.r AS frame_idx,
+         CAST(d.doc_id % 20 + 5 AS INTEGER) AS n_frames
+  FROM documents d, range(25) f(r)
+  WHERE f.r < d.doc_id % 20 + 5 AND f.r % 5 = 0
+)
+SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx, fr.n_frames,
+       32 AS width, 24 AS height,
+       (SELECT round(avg(CAST((fr.doc_id + fr.frame_idx + x.r + y.r) % 256
+                              AS DOUBLE)) + 1e-8, 4)
+        FROM range(32) x(r), range(24) y(r)) AS mean_pixel
+FROM frames fr""",
+        tags=("llm", "multimodal", "video"),
+    ),
+    QuerySpec(
         "multimodal_wav_features",
         multimodal.wav_feature_extract,
         """

@@ -686,3 +686,24 @@ def test_wav_roundtrip_header_and_rms_exact():
     for i in (0, 100, 249):
         assert pcm[i] == ((42 * 31 + i * 7) % 65536) - 32768
     assert parse_wav_header(b"not a wav at all") is None
+
+
+def test_avi_container_roundtrip_exact():
+    """make_avi -> parse_avi_frames must recover every frame payload
+    byte-for-byte, and each frame must pixel-decode with its own seed."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.multimodal import (
+        decode_png_pixels,
+        make_avi,
+        make_png,
+        parse_avi_frames,
+    )
+
+    avi = make_avi(7, seed=5, width=10, height=6)
+    frames = parse_avi_frames(avi)
+    assert len(frames) == 7
+    for f, payload in enumerate(frames):
+        assert payload == make_png(10, 6, 5 + f)
+        w, h, px = decode_png_pixels(payload)
+        assert (w, h) == (10, 6)
+        assert px[0] == (5 + f) % 256  # pixel (0,0)
+    assert parse_avi_frames(b"RIFFxxxxWAVE") == []
