@@ -273,3 +273,29 @@ def segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("segment_total") / F.col("grand_total") * 100 + F.lit(1e-8), 4
         ).alias("pct_of_total"),
     )
+
+
+def revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decimal money aggregation — SURVEY §7's "DecimalType is the
+    100 TB-correct choice" made runnable: cents-valued doubles cast to
+    DECIMAL at the scan, discount applied in decimal arithmetic, sums
+    exact.  NO rounding nudge appears anywhere in this query or its
+    oracle — the hash match holds because decimal arithmetic is
+    deterministic, which is precisely the property the float tier's
+    +1e-6 policy exists to paper over.  At 100 TB this is how money
+    columns should be stored and aggregated."""
+    from ..sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    # Aggregation runs EXACT in decimal; only the final one-per-group sums
+    # cast to double for a comparator-portable presentation (the same
+    # exact decimal converts to the same double on every engine).
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("gross_revenue"),
+        F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc))
+        .cast("double")
+        .alias("net_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -44,6 +44,7 @@ _TAIL = [
     "mixture_sample_by_source",       # round-2 data-recipe sampling
     "training_shard_assignment",      # round-2 deterministic shuffle+shard
     "dedup_edit_distance_verify",     # round-2 third dedup verify signal
+    "agg_revenue_decimal_exact",      # round-2 exact-decimal money (locally gated)
     "q3b_customer_brand_unpivot",     # round-2 inverse-pivot (locally gated)
     "star_segment_contribution",      # round-2 ratio-to-report (locally gated)
     "events_weekly_change",           # round-2 WoW reporting (locally gated)

@@ -718,6 +718,21 @@ FROM j""",
         tags=("timeseries", "resample"),
     ),
     QuerySpec(
+        "agg_revenue_decimal_exact",
+        relational.revenue_decimal_exact,
+        """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS gross_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2))
+                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS net_revenue,
+       count(*) AS n_lines
+FROM lineitem GROUP BY 1""",
+        tags=("decimal", "money-exact"),
+    ),
+    QuerySpec(
         "q3b_customer_brand_unpivot",
         nested.customer_brand_unpivot,
         """
