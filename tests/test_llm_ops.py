@@ -707,3 +707,26 @@ def test_avi_container_roundtrip_exact():
         assert (w, h) == (10, 6)
         assert px[0] == (5 + f) % 256  # pixel (0,0)
     assert parse_avi_frames(b"RIFFxxxxWAVE") == []
+
+
+def test_shard_assignment_stable_under_dataset_growth(spark):
+    """The id-keyed hash design's growth guarantee: a document's SHARD is
+    a function of its id alone, so growing the corpus 10x (sf0.01's ids
+    0-499 are a prefix of sf0.1's 0-4999) must keep every overlapping
+    document's shard — no reshard churn across dataset versions.  (The
+    length/source-conditioned samplers intentionally depend on CONTENT,
+    which differs per SF, so only the pure-id ops carry this guarantee.)"""
+    from hadoop_pyspark_streaming_analytics_spark.operators import quality
+
+    small, big = SF, "/root/testdata/sf0.1"
+    shard_s = {
+        r["doc_id"]: r["shard"]
+        for r in quality.training_shard_assignment(spark, small).collect()
+    }
+    shard_b = {
+        r["doc_id"]: r["shard"]
+        for r in quality.training_shard_assignment(spark, big).collect()
+    }
+    assert set(shard_s) < set(shard_b)  # true growth
+    for d, s in shard_s.items():
+        assert shard_b[d] == s  # no churn on the overlap
