@@ -390,26 +390,36 @@ def make_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
     )
 
 
-def parse_wav_header(buf: bytes) -> tuple[int, int, int, int] | None:
-    """(sample_rate, channels, bits, n_samples) from a RIFF/WAVE buffer,
-    or None if it isn't one — pure stdlib chunk walk."""
+def parse_wav_header(
+    buf: bytes,
+) -> tuple[int, int, int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_samples, data_offset, data_len)
+    from a RIFF/WAVE buffer, or None if it isn't one — pure stdlib chunk
+    walk.  ``n_samples`` is per-channel frames derived from the PARSED
+    fmt (channels x bits/8 bytes per frame, not hardcoded 16-bit mono),
+    and ``data_offset`` locates the data chunk wherever it sits — a
+    trailing LIST/INFO chunk no longer corrupts the slice."""
     import struct
 
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
-    pos, rate, ch, bits, n = 12, None, None, None, None
+    pos, rate, ch, bits = 12, None, None, None
+    data_offset, data_len = None, None
     while pos + 8 <= len(buf):
         tag = buf[pos : pos + 4]
         ln = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         body = buf[pos + 8 : pos + 8 + ln]
-        if tag == b"fmt ":
-            _, ch, rate, _, block, bits = struct.unpack("<HHIIHH", body[:16])
-        elif tag == b"data":
-            n = ln // 2  # 16-bit mono
+        if tag == b"fmt " and len(body) >= 16:
+            _, ch, rate, _, _block, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data" and data_offset is None:
+            data_offset, data_len = pos + 8, ln
         pos += 8 + ln + (ln & 1)
-    if rate is None or n is None:
+    if rate is None or data_offset is None or not ch or not bits:
         return None
-    return rate, ch, bits, n
+    frame_bytes = ch * (bits // 8)
+    if frame_bytes == 0:
+        return None
+    return rate, ch, bits, data_len // frame_bytes, data_offset, data_len
 
 
 def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,10 +439,10 @@ def wav_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"].astype("int64"):
                 n = int(doc_id % 800 + 100)
                 wav = make_wav(n, 16_000, int(doc_id))
-                rate, ch, bits, n_parsed = parse_wav_header(wav)
-                pcm = np.frombuffer(wav[-2 * n_parsed :], dtype="<i2").astype(
-                    np.float64
-                )
+                rate, ch, bits, n_parsed, off, dlen = parse_wav_header(wav)
+                pcm = np.frombuffer(
+                    wav[off : off + dlen], dtype="<i2"
+                ).astype(np.float64)
                 rows.append(
                     (
                         int(doc_id),

@@ -203,21 +203,47 @@ def top_customers_by_spend(spark: SparkSession, sf_dir: str, k: int = 20) -> Dat
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, key: str
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
 ) -> DataFrame:
     """Batch MERGE (upsert): rows in ``updates`` replace same-key rows in
     ``target``; unmatched update rows insert; unmatched target rows
     survive — the CDC-apply step, as a pure DataFrame transform (no table
     format required; pair with an overwrite of the affected partitions).
 
+    Duplicate keys inside ``updates`` — the normal CDC case, one batch
+    carrying several versions of a row — resolve LAST-WRITER-WINS when
+    ``version_col`` names a monotone sequence/timestamp column (max_by
+    per key over struct(version, all columns): one map-side-combinable
+    aggregate, no window sort).  Without ``version_col`` the caller must
+    pre-dedup: duplicate update rows pass through as duplicate output
+    rows, which is not MERGE semantics.
+
     Planned as target LEFT ANTI updates (drop stale versions) UNION ALL
-    updates: one existence-probe join — broadcastable when the update
-    batch is small, which is the CDC norm — instead of a full-outer join
-    with per-column coalesce (which shuffles BOTH sides and rewrites
-    every column expression)."""
-    return target.join(
-        F.broadcast(updates.select(key)), key, "left_anti"
-    ).unionByName(updates)
+    updates: one existence-probe join instead of a full-outer join with
+    per-column coalesce (which shuffles BOTH sides and rewrites every
+    column expression).  No broadcast hint on the update-key probe: AQE
+    broadcasts it at runtime when the batch is small (the CDC norm) and
+    falls back to a shuffle join for bulk backfills, where a hard-coded
+    hint would OOM."""
+    if version_col is not None:
+        cols = updates.columns
+        updates = (
+            updates.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cols if c != key]),
+                    F.col(version_col),
+                ).alias("__latest")
+            )
+            .select(key, "__latest.*")
+            .select(*cols)
+        )
+    return target.join(updates.select(key), key, "left_anti").unionByName(
+        updates
+    )
 
 
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -212,8 +212,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked AFTER their first
     view, then purchased AFTER that click — the conversion query every
     event pipeline answers.  Three per-user min-aggregations chained by
-    broadcast joins (each stage's output is |users|-sized); no window over
-    raw events, no self-join of the fact table."""
+    equi-joins (each stage's output is |users|-sized); no window over
+    raw events, no self-join of the fact table.
+
+    No broadcast hints: a |users|-sized table from a 100 TB event log is
+    far beyond broadcastable, and a hard-coded hint would override AQE's
+    size-based fallback and OOM.  AQE still converts these joins to
+    broadcast at runtime when the per-user aggregates are small (the
+    plan test executes and checks the final adaptive plan)."""
     ev = load_events(spark, sf_dir)
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -222,14 +228,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("first_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))

@@ -256,8 +256,10 @@ def value_anomalies_zscore(
     (streaming/stateful.py), for backfill/audit over history.
 
     One grouped aggregate (map-side combinable: count/sum/sum-of-squares
-    under the hood) broadcast-joined back to the events — no window, no
-    per-row shuffle beyond the one groupBy.  Users with a single reading
+    under the hood) joined back to the events — no window, no per-row
+    shuffle beyond the one groupBy.  No broadcast hint on the |users|-sized
+    stats table: AQE broadcasts it at runtime when small and degrades to a
+    shuffle join at 100 TB, where a hard-coded hint would OOM.  Users with a single reading
     (stddev undefined) are never flagged.  z is 4dp-rounded (measurement
     policy) so the cross-engine hash is stable.
     """
@@ -269,7 +271,7 @@ def value_anomalies_zscore(
     )
     z = (F.col("value") - F.col("u_mean")) / F.col("u_std")
     return (
-        ev.join(F.broadcast(stats), "user_id")
+        ev.join(stats, "user_id")
         .filter((F.col("u_n") > 1) & (F.col("u_std") > 0))
         .select(
             "event_id",
@@ -403,10 +405,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on each later activity day as days-since-cohort — the
     product-analytics staple (D1/D7/D30 retention falls out of it).
 
-    Two aggregations: per-user first day (map-side combinable), broadcast
-    back (|users|-sized), then one (cohort_day, day_offset) count-distinct
-    over the events scan.  No window, no self-join; the output is
-    |cohorts| x |offsets| — tiny at any input scale."""
+    Two aggregations: per-user first day (map-side combinable), joined
+    back (|users|-sized — no broadcast hint; AQE picks broadcast when it
+    fits and a shuffle join when it doesn't), then one (cohort_day,
+    day_offset) count-distinct over the events scan.  No window, no
+    self-join; the output is |cohorts| x |offsets| — tiny at any input
+    scale."""
     # TIMESTAMP on both engines (the events_scalar_features convention:
     # DuckDB date_trunc yields DATE, Spark yields TIMESTAMP — cast there).
     ev = load_events(spark, sf_dir).withColumn(
@@ -414,7 +418,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(F.broadcast(first_day), "user_id")
+        ev.join(first_day, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff("day", "cohort_day").cast("int").alias("day_offset"),

@@ -902,7 +902,7 @@ bg_stats AS (
   SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bigrams
   FROM bc GROUP BY 1
 )
-SELECT t.doc_id, t.n_tokens,
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
        round(t.top_token_count::DOUBLE / t.n_tokens + 1e-8, 4)
          AS top_token_frac,
        round(t.n_distinct_tokens::DOUBLE / t.n_tokens + 1e-8, 4)

@@ -51,6 +51,33 @@ def test_driver_window_priority():
     assert not slotless, f"oracle-less entries occupy driver slots: {slotless}"
 
 
+def test_oracle_no_hugeint_columns(sf_dir):
+    """DuckDB sum() over integers yields HUGEINT, which the driver's value
+    hash renders differently from Spark's bigint (3.0 vs 3) — the exact
+    failure behind temporal_clicks_trailing_5min (r1) and
+    corpus_repetition_scores (r2).  The local pandas-based compare coerces
+    both to float64 and cannot see it, so gate it statically: every oracle
+    output column must bind to a non-HUGEINT DuckDB type."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = []
+    for spec in SPECS:
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in ("HUGEINT", "UHUGEINT"):
+                offenders.append(f"{spec.name}.{col}")
+    assert not offenders, f"uncast HUGEINT oracle columns: {offenders}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

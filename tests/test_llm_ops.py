@@ -680,12 +680,41 @@ def test_wav_roundtrip_header_and_rms_exact():
     )
 
     wav = make_wav(250, 16_000, seed=42)
-    rate, ch, bits, n = parse_wav_header(wav)
+    rate, ch, bits, n, off, dlen = parse_wav_header(wav)
     assert (rate, ch, bits, n) == (16_000, 1, 16, 250)
-    pcm = np.frombuffer(wav[-2 * n:], dtype="<i2")
+    assert dlen == 500 and off == len(wav) - dlen
+    pcm = np.frombuffer(wav[off : off + dlen], dtype="<i2")
     for i in (0, 100, 249):
         assert pcm[i] == ((42 * 31 + i * 7) % 65536) - 32768
     assert parse_wav_header(b"not a wav at all") is None
+
+
+def test_wav_parse_stereo_and_trailing_chunk():
+    """Header parsing must honor channels/bits from fmt (not hardcoded
+    16-bit mono) and locate the data chunk even when a LIST/INFO chunk
+    trails it — real-world WAVs routinely have both."""
+    import struct
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    # stereo 16-bit, 100 frames -> 400 data bytes, plus a trailing LIST
+    pcm = bytes(i % 256 for i in range(400))
+    fmt = struct.pack("<HHIIHH", 1, 2, 8_000, 8_000 * 4, 4, 16)
+    trailing = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + trailing
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, bits, n, off, dlen = parse_wav_header(wav)
+    assert (rate, ch, bits) == (8_000, 2, 16)
+    assert n == 100  # 400 bytes / (2 ch * 2 bytes) — the old //2 said 200
+    assert wav[off : off + dlen] == pcm
+    assert off + dlen == len(wav) - len(trailing)
 
 
 def test_avi_container_roundtrip_exact():

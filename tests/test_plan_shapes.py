@@ -263,43 +263,57 @@ def test_locf_resample_windows_per_user(spark, sf_dir):
     assert "Window" in plan and "last(v" in plan and "user_id" in plan
 
 
-def test_merge_upsert_is_broadcast_anti_probe(spark, sf_dir):
-    """The CDC apply must plan as a broadcast LEFT ANTI existence probe of
-    the update keys plus a union — never a shuffled full-outer join."""
+def final_plan_of(df: DataFrame) -> str:
+    """Execute the query and return the FINAL adaptive plan — the one AQE
+    actually ran, after runtime size-based join re-planning."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_upsert_is_anti_probe_aqe_broadcast(spark, sf_dir):
+    """The CDC apply must plan as a LEFT ANTI existence probe of the
+    update keys plus a union — never a shuffled full-outer join.  There is
+    deliberately NO broadcast hint (a bulk-backfill update batch must be
+    free to shuffle); AQE must still pick a broadcast join at runtime for
+    this small batch."""
     from hadoop_pyspark_streaming_analytics_spark.plans.catalog import (
         _merge_upsert_customers,
     )
 
-    plan = plan_of(_merge_upsert_customers(spark, sf_dir))
-    assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan and "FullOuter" not in plan
+    df = _merge_upsert_customers(spark, sf_dir)
+    static = plan_of(df)
+    assert "LeftAnti" in static
+    assert "FullOuter" not in static
+    assert "BroadcastHashJoin" in final_plan_of(df)
 
 
-def test_funnel_broadcasts_user_stages_no_window(spark, sf_dir):
-    """Funnel stages are |users|-sized and must broadcast back into the
-    event scans; no window over raw events, no cartesian product."""
+def test_funnel_user_stages_aqe_broadcast_no_window(spark, sf_dir):
+    """Funnel stages are |users|-sized: no hard-coded broadcast hint (OOM
+    at 100 TB), but AQE must converge on broadcast joins at runtime on
+    small data; no window over raw events, no cartesian product."""
     from hadoop_pyspark_streaming_analytics_spark.operators.temporal import (
         funnel_view_click_purchase,
     )
 
-    plan = plan_of(funnel_view_click_purchase(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "Window" not in plan
+    df = funnel_view_click_purchase(spark, sf_dir)
+    static = plan_of(df)
+    assert "CartesianProduct" not in static
+    assert "Window" not in static
+    assert "BroadcastHashJoin" in final_plan_of(df)
 
 
-def test_cohort_retention_broadcasts_first_day(spark, sf_dir):
-    """The per-user cohort table must broadcast into the fact scan and the
-    final distinct-count must partially aggregate."""
+def test_cohort_retention_aqe_broadcast_first_day(spark, sf_dir):
+    """The per-user cohort table joins back into the fact scan with no
+    hint (AQE broadcasts when it fits) and the final distinct-count must
+    partially aggregate."""
     from hadoop_pyspark_streaming_analytics_spark.operators.timeseries import (
         cohort_retention,
     )
 
-    plan = plan_of(cohort_retention(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "partial_count" in plan or "Expand" in plan
+    df = cohort_retention(spark, sf_dir)
+    static = plan_of(df)
+    assert "partial_count" in static or "Expand" in static
+    assert "BroadcastHashJoin" in final_plan_of(df)
 
 
 def test_unpivot_plans_as_expand(spark, sf_dir):
