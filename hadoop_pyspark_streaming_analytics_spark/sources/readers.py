@@ -57,16 +57,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with a true TIMESTAMP ``ts``.
 
-    The parquet stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as nanos-long,
-    converted here to a microsecond timestamp (sub-microsecond truncation is
-    irrelevant at the engine's window grains).
+    The driver's parquet has shipped two flavors of ``ts`` across rounds:
+    TIMESTAMP(NANOS) (read as nanos-long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).  Both are normalized
+    here to a session-timezone TIMESTAMP: the session is pinned to UTC
+    (_ensure_runtime_confs), so the NTZ→LTZ cast preserves the wall-clock
+    values the DuckDB oracle sees, and every downstream operator
+    (``unix_micros``, ``window``, RANGE frames) gets the one type it
+    expects.
     """
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
