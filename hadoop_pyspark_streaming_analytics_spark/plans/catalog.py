@@ -1138,6 +1138,173 @@ WHERE NOT EXISTS (
 )""",
         tags=("star", "anti-join"),
     ),
+    # --- round-3 TPC-H-shape breadth: Q6/Q7/Q8/Q10/Q14/Q15/Q18/Q19/Q22 ---
+    QuerySpec(
+        "star_forecast_revenue_change",
+        star.forecast_revenue_change,
+        f"""
+SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{star.VOLUME_START}'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        tags=("star", "pushdown"),
+    ),
+    QuerySpec(
+        "star_nation_trade_volume",
+        star.nation_trade_volume,
+        """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('CHINA', 'FRANCE') AND cn.n_name IN ('CHINA', 'FRANCE')
+  AND sn.n_name <> cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        tags=("star", "join"),
+    ),
+    QuerySpec(
+        "star_region_market_share",
+        star.region_market_share,
+        f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'CHINA'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-8, 4)
+         AS mkt_share,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+         AS total_volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_custkey IN (
+    SELECT c.c_custkey FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA')
+  AND o.o_orderdate >= TIMESTAMP '{star.VOLUME_START}'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        headline=True,
+        tags=("star", "join", "conditional-agg"),
+    ),
+    QuerySpec(
+        "star_returned_item_losses",
+        star.returned_item_losses,
+        """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+           AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal AS acctbal, p.revenue
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY p.revenue DESC, c.c_custkey
+LIMIT 20""",
+        tags=("star", "join", "topk"),
+    ),
+    QuerySpec(
+        "star_promo_revenue_share",
+        star.promo_revenue_share,
+        """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-8, 4)
+         AS promo_revenue_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01'""",
+        tags=("star", "conditional-agg"),
+    ),
+    QuerySpec(
+        "star_top_supplier",
+        star.top_supplier,
+        """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey""",
+        tags=("star", "argmax"),
+    ),
+    QuerySpec(
+        "star_large_volume_customers",
+        star.large_volume_customers,
+        """
+WITH big_orders AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice + 1e-6, 2) AS o_totalprice, b.total_qty
+FROM orders o
+JOIN big_orders b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey""",
+        headline=True,
+        tags=("star", "having"),
+    ),
+    QuerySpec(
+        "star_bracketed_discount_revenue",
+        star.bracketed_discount_revenue,
+        """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+        tags=("star", "or-predicate"),
+    ),
+    QuerySpec(
+        "star_inactive_rich_customers",
+        star.inactive_rich_customers,
+        """
+SELECT c.c_mktsegment, count(*) AS n_customers,
+       round(sum(c.c_acctbal) + 1e-6, 2) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1""",
+        tags=("star", "anti-join", "scalar-subquery"),
+    ),
 ]
 
 

@@ -26,22 +26,22 @@ def test_driver_window_priority():
 
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
     must_be_gated = {
-        "embedding_near_duplicates",
-        "stratified_sample",
-        "train_split_assign",
-        "text_language_id",
-        "text_quality_scores",
-        "text_token_counts",
-        "text_document_fingerprints",
-        "chunk_documents",
-        "pack_documents",
-        "multimodal_decoded_metadata",
-        "multimodal_frame_sample",
-        # round-2 additions, never driver-gated before round 2
-        "corpus_vocabulary",
-        "corpus_tfidf_top_terms",
+        # r02's one red row — the oracle CAST fix needs a green driver row
         "corpus_repetition_scores",
-        "pipeline_surviving_docs",
+        # never driver-gated: r02 catalog positions past the 50-slot window
+        "quality_weighted_sample",
+        "corpus_select_token_budget",
+        "embedding_quantize_int8",
+        # round-3 TPC-H-shape star additions
+        "star_forecast_revenue_change",
+        "star_nation_trade_volume",
+        "star_region_market_share",
+        "star_returned_item_losses",
+        "star_promo_revenue_share",
+        "star_top_supplier",
+        "star_large_volume_customers",
+        "star_bracketed_discount_revenue",
+        "star_inactive_rich_customers",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

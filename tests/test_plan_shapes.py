@@ -326,3 +326,64 @@ def test_unpivot_plans_as_expand(spark, sf_dir):
     plan = plan_of(customer_brand_unpivot(spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("Scan parquet") <= 8  # one scan set, not 25 unions
+
+
+def test_q6_predicates_push_to_scan_no_join(spark, sf_dir):
+    """The Q6-shape scalar aggregate must push all three range predicates
+    into the parquet scan and plan zero joins — at 100 TB this query is a
+    pure embarrassingly-parallel scan-reduce."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        forecast_revenue_change,
+    )
+
+    plan = plan_of(forecast_revenue_change(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "Join" not in plan
+
+
+def test_q10_topk_and_postagg_dim_attach(spark, sf_dir):
+    """Q10 shape: returnflag filter reaches the scan, the top-20 plans as
+    TakeOrderedAndProject (no global sort), and nation broadcasts."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        returned_item_losses,
+    )
+
+    plan = plan_of(returned_item_losses(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    """Q18 shape: the quantity HAVING must aggregate lineitem to order
+    grain (partial_sum map-side) BEFORE any join touches orders — joining
+    raw lineitem⋈orders first would shuffle the full fact table."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        large_volume_customers,
+    )
+
+    plan = plan_of(large_volume_customers(spark, sf_dir))
+    assert "partial_sum" in plan
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_q19_or_brackets_stay_one_scan(spark, sf_dir):
+    """Q19 shape: the OR-of-brackets predicate must evaluate over ONE
+    lineitem scan joined once to part — not a union of three filtered
+    scans."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        bracketed_discount_revenue,
+    )
+
+    plan = plan_of(bracketed_discount_revenue(spark, sf_dir))
+    # one Location line per distinct scan: lineitem + part, once each
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "Union" not in plan
+    # Catalyst must derive the per-side legs of the OR and push them into
+    # BOTH scans (quantity bands → lineitem, brand/size → part).
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan
