@@ -332,3 +332,43 @@ def tfidf_similar_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (-ln p(token)) under the
+    corpus's own unigram language model — the cheapest perplexity-style
+    quality signal (documents of improbable tokens score high; boilerplate
+    scores low).  The classic KenLM-perplexity filter (CCNet, Wenzek et
+    al.) reduced to the 0-gram case that needs no external model.
+
+    Plan shape at 100 TB:
+    * (doc_id, token) occurrence counts aggregate map-side to
+      (doc_id, token, c) — bounded by doc×distinct-tokens, not corpus
+      tokens.
+    * The unigram model (token → count) is vocabulary-sized (10^6-10^7 at
+      web scale) — the corpus total rides along as a 1-row broadcast, and
+      the model joins back on ``token`` (AQE broadcasts when it fits; the
+      hot-token skew is bounded because the probe side is per-doc DISTINCT
+      tokens, not raw occurrences).
+    * Final per-doc aggregate is one map-side-combinable weighted average.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        _doc_tokens(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = per_doc.groupBy("token").agg(F.sum("c").alias("tok_total"))
+    corpus_total = model.agg(F.sum("tok_total").alias("corpus_total"))
+    surprisal = -F.log(F.col("tok_total") / F.col("corpus_total"))
+    return (
+        per_doc.join(model, "token")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * surprisal) / F.sum("c") + F.lit(1e-8), 4
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""PII scrubbing and benchmark-contamination checks — the two redaction
+passes every LLM training-data pipeline runs before a corpus ships
+(C4-style cleanup; benchmark decontamination per Brown et al., GPT-3
+appendix C).
+
+Both operators are pure Catalyst expressions (regexp / array higher-order
+functions) — zero Python in the path, so they run at scan speed over
+100 TB of documents.
+
+The driver's synthetic ``documents.text`` contains no real PII, so
+:func:`pii_redaction` first *injects* deterministic synthetic PII derived
+from ``doc_id`` (an email for every 3rd doc, a phone for every 5th, an
+IPv4 for every 7th) and then redacts it — the injection is reproduced
+bit-identically in the DuckDB oracle, making the redaction path itself
+(the regexes, the counts, the redacted-text hash) the differential
+surface.  On real data the injection step simply disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..sources.readers import load_table
+from .text import TOKEN_PATTERN
+
+# Redaction regexes — RE2-safe (no backrefs/lookaround) so the exact same
+# patterns run in Spark (Java regex) and the DuckDB oracle (RE2).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _with_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic doc_id-derived PII tokens to ``text``.
+
+    Mirrored EXACTLY by SQL_PII_AUGMENT in plans/llm_catalog.py — any
+    change here must change there.
+    """
+    email = F.concat(
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") / 256).cast("bigint") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, phone).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, ip).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("aug"))
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails / phone numbers / IPv4 addresses per
+    document.  One projection pass: three ``regexp_extract_all`` counts +
+    a chained ``regexp_replace``; the output carries an md5 of the
+    redacted text so the oracle diff covers the replacement bytes, not
+    just the counts."""
+    d = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ),
+        IPV4_RE,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(PHONE_RE), 0))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("aug"), F.lit(IPV4_RE), 0))
+        .cast("int")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length("aug") - F.length(redacted)).cast("int").alias("chars_removed"),
+    )
+
+
+#: Benchmark membership: every 97th doc plays the held-out eval set.
+BENCHMARK_MOD = 97
+#: Contamination n-gram order (trigrams: the synthetic 31-word vocabulary
+#: repeats 3-grams often enough to give a non-degenerate overlap signal).
+NGRAM_N = 3
+
+
+def _doc_ngrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) — DISTINCT space-joined token n-grams per doc.
+
+    Built with sequence+transform over the token array (one generator
+    expression, no self-join); dedup happens inside the array (JVM) so the
+    explode emits each gram once per doc.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {NGRAM_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, the fraction of
+    its distinct trigrams that appear anywhere in the benchmark subset
+    (doc_id % 97 == 0).  Pipeline: gram-explode both sides → distinct
+    benchmark gram set → LEFT join (match flag) → per-doc ratio.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are MBs, corpora are TBs) — AQE broadcasts it; the
+    training-side explode aggregates straight back to doc grain with a
+    map-side-combinable count.  No all-pairs anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_ngrams(docs)
+    bench = (
+        grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    return (
+        train.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            round4(F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
+        )
+    )

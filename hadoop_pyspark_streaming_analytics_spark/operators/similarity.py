@@ -515,3 +515,64 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_csv"),
         )
     )
+
+
+# --- product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) ---
+
+#: 64-dim embeddings → 8 subspaces × 8 dims, 16 centroids per subspace
+#: (codes fit in 4 bits; a 64-dim float32 vector compresses 64×).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: each vector's m-th subvector
+    maps to the id of its nearest codebook centroid in that subspace.
+
+    The codebook here is the deterministic "first K vectors" sample
+    (vec_id < PQ_K) so the DuckDB oracle can rebuild it bit-identically; a
+    production build would k-means each subspace (see
+    :func:`kmeans_centroids`) — the assignment plan below is identical.
+
+    Plan shape: the codebook is PQ_K rows → broadcast; the scan crosses
+    each vector with (subspace × centroid) = 128 scored pairs ENTIRELY
+    inside one projection (generator expression over a constant-bound
+    sequence), then min(struct(dist, code)) picks the argmin with a
+    deterministic code tiebreak.  One scan, one broadcast, one
+    map-side-combinable aggregate — no shuffle grows with corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), F.col("embedding").alias("cvec"))
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
+    pairs = (
+        emb.select("vec_id", "embedding", sub)
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            F.expr(
+                f"aggregate(zip_with("
+                f"  slice(embedding, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"  slice(cvec,      sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                f"  0D, (acc, v) -> acc + v)"
+            ).alias("dist"),
+        )
+    )
+    best = (
+        pairs.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("sub"),
+            F.col("b.code").cast("int").alias("code"),
+            F.round(F.col("b.dist") + F.lit(1e-8), 4).alias("dist"),
+        )
+    )
+    return best

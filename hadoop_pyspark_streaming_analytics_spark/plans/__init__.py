@@ -38,6 +38,11 @@ _TAIL = [
     "q2_order_count_thresholds",      # derivative of q2a tier
     "q2_top_customers_by_spend",      # derivative of q2a tier
     "events_props_avg_k",             # parse-per-row twin of events_props_typed
+    # displaced for the round-3 scrubbing/LM-quality/PQ tier
+    "events_hourly_rollup",           # ROLLUP; CUBE twin already tail-gated
+    "events_ewma_per_user",           # batch twin of the streaming EWMA
+    "events_type_percentiles",        # r01+r02 green exact-percentile tier
+    "dedup_ngram_jaccard",            # exactness baseline of the LSH tier
     # oracle-less (rows-only) sketch tier: a driver slot spent here carries
     # no differential signal — pytest-gated (test_scale_variants roundtrip)
     "sketch_daily_user_hll",

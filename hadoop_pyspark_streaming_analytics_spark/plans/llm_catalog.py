@@ -17,6 +17,7 @@ from ..operators import (
     dedup,
     multimodal,
     quality,
+    scrubbing,
     similarity,
     sketches,
 )
@@ -1053,6 +1054,130 @@ SELECT vec_id, label,
        array_to_string(list_transform(e,
          x -> CAST(round(x / ma * 127.0 + 1e-8) AS INTEGER)), ',') AS q_csv
 FROM s""",
+        tags=("llm", "similarity", "quantization"),
+    ),
+    # --- round-3 scrubbing / LM-quality / PQ tier ---
+    # Oracle mirrors operators/scrubbing.py:_with_synthetic_pii exactly.
+    QuerySpec(
+        "text_pii_redaction",
+        scrubbing.pii_redaction,
+        r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS aug
+  FROM documents
+),
+red AS (
+  SELECT doc_id, aug,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(aug,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+           AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS INTEGER)
+         AS n_phones,
+       CAST(len(regexp_extract_all(aug,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+         AS n_ips,
+       md5(redacted) AS redacted_md5,
+       CAST(length(aug) - length(redacted) AS INTEGER) AS chars_removed
+FROM red""",
+        tags=("llm", "scrubbing"),
+    ),
+    QuerySpec(
+        "text_contamination_check",
+        scrubbing.contamination_check,
+        """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+         AS n_contaminated,
+       round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / count(*) + 1e-8, 4) AS contamination_frac
+FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1""",
+        tags=("llm", "scrubbing", "contamination"),
+    ),
+    QuerySpec(
+        "corpus_unigram_surprisal",
+        corpus.unigram_surprisal,
+        """
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS c FROM occ GROUP BY 1, 2
+),
+model AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS tok_total FROM per_doc GROUP BY 1
+),
+total AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_total FROM model)
+SELECT p.doc_id,
+       CAST(sum(p.c) AS BIGINT) AS n_tokens,
+       round(sum(p.c * -ln(m.tok_total::DOUBLE / t.corpus_total))
+             / sum(p.c) + 1e-8, 4) AS mean_surprisal
+FROM per_doc p JOIN model m ON p.token = m.token CROSS JOIN total t
+GROUP BY 1""",
+        tags=("llm", "corpus", "quality"),
+    ),
+    QuerySpec(
+        "embedding_pq_codes",
+        similarity.pq_codes,
+        """
+WITH cents AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT e.vec_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
+                 - c.cvec[s.sub * 8 + i])
+                * (e.embedding[s.sub * 8 + i]::DOUBLE
+                   - c.cvec[s.sub * 8 + i]))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, sub, code, dist,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, code) AS rk
+  FROM pairs
+)
+SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       round(dist + 1e-8, 4) AS dist
+FROM best WHERE rk = 1""",
         tags=("llm", "similarity", "quantization"),
     ),
 ]

@@ -42,6 +42,11 @@ def test_driver_window_priority():
         "star_large_volume_customers",
         "star_bracketed_discount_revenue",
         "star_inactive_rich_customers",
+        # round-3 scrubbing / LM-quality / PQ tier
+        "text_pii_redaction",
+        "text_contamination_check",
+        "corpus_unigram_surprisal",
+        "embedding_pq_codes",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

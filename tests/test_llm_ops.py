@@ -759,3 +759,76 @@ def test_shard_assignment_stable_under_dataset_growth(spark):
     assert set(shard_s) < set(shard_b)  # true growth
     for d, s in shard_s.items():
         assert shard_b[d] == s  # no churn on the overlap
+
+
+def test_pii_redaction_semantics(spark):
+    """A doc divisible by 3/5/7 gets all three PII kinds injected and each
+    must be counted and scrubbed; a doc coprime to all three gets none."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+
+    rows = {
+        r["doc_id"]: r
+        for r in scrubbing.pii_redaction(spark, SF).collect()
+    }
+    hit = rows[105]  # 3*5*7
+    assert (hit["n_emails"], hit["n_phones"], hit["n_ips"]) == (1, 1, 1)
+    assert hit["chars_removed"] > 0
+    clean = rows[1]
+    assert (clean["n_emails"], clean["n_phones"], clean["n_ips"]) == (0, 0, 0)
+    assert clean["chars_removed"] == 0
+
+
+def test_contamination_excludes_benchmark_and_bounds(spark):
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+
+    df = scrubbing.contamination_check(spark, SF)
+    rows = df.collect()
+    assert all(r["doc_id"] % scrubbing.BENCHMARK_MOD != 0 for r in rows)
+    assert all(0.0 <= r["contamination_frac"] <= 1.0 for r in rows)
+    # the tiny shared vocabulary guarantees SOME trigram overlap exists
+    assert any(r["n_contaminated"] > 0 for r in rows)
+
+
+def test_unigram_surprisal_orders_rare_token_docs_higher(spark):
+    """A doc made of the corpus's rarest tokens must out-surprise a doc of
+    its commonest tokens — checked by reconstructing the unigram model."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    surp = corpus.unigram_surprisal(spark, SF)
+    toks = corpus._doc_tokens(
+        __import__(
+            "hadoop_pyspark_streaming_analytics_spark.sources.readers",
+            fromlist=["load_table"],
+        ).load_table(spark, SF, "documents")
+    )
+    freq = toks.groupBy("token").count()
+    common = freq.orderBy(F.desc("count"), "token").first()["token"]
+    rare = freq.orderBy("count", "token").first()["token"]
+    # mean doc surprisal must correlate: every doc's value sits between the
+    # two extremes' single-token surprisals
+    import math
+
+    total = toks.count()
+    c_common = freq.filter(F.col("token") == common).first()["count"]
+    c_rare = freq.filter(F.col("token") == rare).first()["count"]
+    lo = -math.log(c_common / total)
+    hi = -math.log(c_rare / total)
+    vals = [r["mean_surprisal"] for r in surp.collect()]
+    assert all(lo - 1e-6 <= v <= hi + 1e-6 for v in vals)
+
+
+def test_pq_codes_shape_and_selfmatch(spark):
+    """Every vector yields exactly PQ_M codes in [0, PQ_K); a codebook
+    vector's code in every subspace is itself (distance 0)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codes,
+    )
+
+    df = pq_codes(spark, SF)
+    n_vec = df.select("vec_id").distinct().count()
+    assert df.count() == n_vec * PQ_M
+    assert df.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count() == 0
+    self_rows = df.filter(F.col("vec_id") < PQ_K).collect()
+    assert all(r["code"] == r["vec_id"] and r["dist"] == 0.0 for r in self_rows)
