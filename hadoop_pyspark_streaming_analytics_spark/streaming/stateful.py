@@ -157,3 +157,99 @@ def ewma_per_key(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+# --- transformWithStateInPandas (Spark 4.x successor API) ---
+#
+# The applyInPandasWithState operator above predates Spark 4's
+# StatefulProcessor interface.  transformWithState adds typed state
+# primitives (Value/List/MapState), per-state TTL, and timers, and requires
+# the RocksDB state store provider.  The operator below covers the new
+# surface with running per-key stats (count/min/max/mean) whose state is a
+# single fixed-width ValueState row — O(keys) state, exactly like the EWMA.
+
+TWS_OUTPUT_SCHEMA = (
+    "sensor_id string, n_seen long, vmin double, vmax double, mean double"
+)
+TWS_STATE_SCHEMA = "n long, vmin double, vmax double, vsum double"
+
+
+def make_running_stats_processor(ttl_ms: int | None = None):
+    """Build the StatefulProcessor (imported lazily: the class only exists
+    on pyspark >= 4.0, and building it inside the factory keeps module
+    import safe on older runtimes)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", TWS_STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, vmin, vmax, vsum = self._state.get()
+            else:
+                n, vmin, vmax, vsum = 0, None, None, 0.0
+            folded = 0
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals) == 0:
+                    continue
+                folded += int(len(vals))
+                n += int(len(vals))
+                vsum += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            if folded == 0:
+                return  # unchanged group: no state write, no update-mode row
+            self._state.update((n, vmin, vmax, vsum))
+            yield pd.DataFrame(
+                {
+                    "sensor_id": [key[0]],
+                    "n_seen": [n],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                    "mean": [vsum / n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStatsProcessor()
+
+
+def running_stats_per_key_tws(
+    df: DataFrame,
+    key_col: str = "sensor_id",
+    value_col: str = "temperature",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running stats via ``transformWithStateInPandas``.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — the caller/test sets it before
+    ``start()``; the HDFS-backed default provider rejects the operator.
+
+    ``ttl_ms`` maps to ValueState TTL: idle keys' state expires without a
+    timer (the TTL is enforced by the state store, so — unlike the
+    EWMA's processing-time timeout — it does NOT force continuous
+    micro-batches and stays test-deterministic)."""
+    from pyspark.sql import functions as F
+
+    normalized = df.select(
+        F.col(key_col).alias("sensor_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return normalized.groupBy("sensor_id").transformWithStateInPandas(
+        make_running_stats_processor(ttl_ms),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
