@@ -333,3 +333,31 @@ def training_shard_assignment(
         "shard",
         F.row_number().over(w).cast("int").alias("pos_in_shard"),
     )
+
+
+def stratified_fixed_n_sample(
+    spark: SparkSession, sf_dir: str, n_per_stratum: int = 40
+) -> DataFrame:
+    """Exactly-N-per-stratum sampling ("1000 docs per language"): rank each
+    language's docs by the seedless md5 hash of doc_id and keep the first
+    N — deterministic, repartition-stable, and exact where the rate-based
+    :func:`stratified_sample` is only expected-size.
+
+    One window per stratum (row_number over hash order).  Strata are few
+    and large, so each stratum's sort runs on one partition's worth of
+    rank state — at 100 TB corpus scale prefer the two-phase variant:
+    approx_percentile over the hash to find the Nth-hash cutoff, then a
+    stateless filter (same shape as q2_spend_deciles_scalable).  Both
+    produce the same set when hashes are unique (md5 over distinct ids).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h)
+    return (
+        docs.select("doc_id", "lang", h.alias("pick_hash"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_stratum)
+        .select(
+            "doc_id", "lang", F.col("rk").cast("int").alias("rk")
+        )
+    )

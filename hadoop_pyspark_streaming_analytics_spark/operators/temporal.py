@@ -271,3 +271,49 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def point_in_time_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup (the feature-store join):
+    attach to each purchase event the user's value version — SCD2 history
+    built from their signup events — valid AT the purchase timestamp.
+
+    This is the third temporal-join formulation in this module: an
+    equi-key join (user_id) carrying the interval predicate
+    ``valid_from <= ts < valid_to`` as a post-match filter.  Spark plans
+    the equi part as a hash/sort-merge join, so there is no
+    nested-loop/cartesian hazard; per-user version counts bound the
+    fan-out, and because a user's validity intervals partition the time
+    axis, each fact matches AT MOST one version (left join keeps facts
+    that predate every version, with null dims).
+
+    vs the union-window as-of (:func:`asof_last_click`): the interval join
+    re-shuffles the fact table against the dimension instead of windowing
+    one union — the right choice when the dimension is orders of magnitude
+    smaller than the facts (AQE broadcasts it) or already materialized as
+    SCD2 intervals; the as-of union wins when both sides are event-scale.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(F.expr("max_by(value, event_id)").alias("dim_value"))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (facts.user_id == versions.user_id)
+        & (facts.ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (facts.ts < versions.valid_to))
+    )
+    return facts.join(versions, cond, "left").select(
+        facts.event_id,
+        facts.user_id,
+        facts.ts,
+        "value",
+        "dim_value",
+        "valid_from",
+    )

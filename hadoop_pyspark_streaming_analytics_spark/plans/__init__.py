@@ -43,6 +43,9 @@ _TAIL = [
     "events_ewma_per_user",           # batch twin of the streaming EWMA
     "events_type_percentiles",        # r01+r02 green exact-percentile tier
     "dedup_ngram_jaccard",            # exactness baseline of the LSH tier
+    # displaced for temporal_point_in_time_value + stratified_fixed_n_sample
+    "events_tumbling_5min",           # T2; pytest+golden-gated (test_streaming)
+    "multimodal_frame_sample",        # stub-codec tier; png_decode stays in
     # oracle-less (rows-only) sketch tier: a driver slot spent here carries
     # no differential signal — pytest-gated (test_scale_variants roundtrip)
     "sketch_daily_user_hll",

@@ -634,6 +634,22 @@ FROM errors e ASOF LEFT JOIN clicks c
         tags=("temporal", "asof"),
     ),
     QuerySpec(
+        "temporal_point_in_time_value",
+        temporal.point_in_time_value,
+        """
+WITH versions AS (
+  SELECT user_id, ts AS valid_from, max_by(value, event_id) AS dim_value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT f.event_id, f.user_id, f.ts, f.value, v.dim_value, v.valid_from
+FROM events f LEFT JOIN versions v
+  ON f.user_id = v.user_id AND f.ts >= v.valid_from
+ AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+WHERE f.event_type = 'purchase'""",
+        tags=("temporal", "point-in-time", "scd2"),
+    ),
+    QuerySpec(
         "temporal_click_error_pairs",
         temporal.click_error_pairs,
         """

@@ -1056,6 +1056,19 @@ SELECT vec_id, label,
 FROM s""",
         tags=("llm", "similarity", "quantization"),
     ),
+    QuerySpec(
+        "stratified_fixed_n_sample",
+        quality.stratified_fixed_n_sample,
+        """
+WITH d AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM d WHERE rk <= 40""",
+        tags=("llm", "sampling"),
+    ),
     # --- round-3 scrubbing / LM-quality / PQ tier ---
     # Oracle mirrors operators/scrubbing.py:_with_synthetic_pii exactly.
     QuerySpec(

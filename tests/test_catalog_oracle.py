@@ -47,6 +47,8 @@ def test_driver_window_priority():
         "text_contamination_check",
         "corpus_unigram_surprisal",
         "embedding_pq_codes",
+        "temporal_point_in_time_value",
+        "stratified_fixed_n_sample",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

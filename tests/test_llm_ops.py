@@ -832,3 +832,49 @@ def test_pq_codes_shape_and_selfmatch(spark):
     assert df.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count() == 0
     self_rows = df.filter(F.col("vec_id") < PQ_K).collect()
     assert all(r["code"] == r["vec_id"] and r["dist"] == 0.0 for r in self_rows)
+
+
+def test_stratified_fixed_n_sample_exact_quota(spark):
+    """Each stratum yields exactly min(N, stratum size) docs, and repeated
+    runs pick the identical set (seedless hash order)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        stratified_fixed_n_sample,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sizes = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, SF, "documents").groupBy("lang").count().collect()
+    }
+    got = (
+        stratified_fixed_n_sample(spark, SF, n_per_stratum=40)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    for r in got:
+        assert r["count"] == min(40, sizes[r["lang"]])
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_fixed_n_sample(spark, SF, 40).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_fixed_n_sample(spark, SF, 40).collect()
+    )
+    assert a == b
+
+
+def test_point_in_time_matches_versions_and_nulls_predate(spark):
+    """Every purchase joins to at most one version; purchases before a
+    user's first signup carry null dims; matched rows satisfy the validity
+    interval."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.temporal import (
+        point_in_time_value,
+    )
+
+    df = point_in_time_value(spark, SF)
+    total = df.count()
+    assert df.select("event_id").distinct().count() == total  # ≤1 version/fact
+    matched = df.filter(F.col("valid_from").isNotNull())
+    assert matched.filter(F.col("ts") < F.col("valid_from")).count() == 0

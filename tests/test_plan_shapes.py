@@ -387,3 +387,17 @@ def test_q19_or_brackets_stay_one_scan(spark, sf_dir):
     # BOTH scans (quantity bands → lineitem, brand/size → part).
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_point_in_time_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The SCD2 interval lookup must plan the user_id equi-key as the join
+    key (hash/sort-merge/broadcast-HASH) with the validity range as a
+    post-match filter — a BroadcastNestedLoopJoin or CartesianProduct here
+    explodes at 100 TB."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.temporal import (
+        point_in_time_value,
+    )
+
+    plan = plan_of(point_in_time_value(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
