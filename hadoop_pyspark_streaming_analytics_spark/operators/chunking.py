@@ -121,3 +121,53 @@ def pack_documents(
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def chunk_documents_udtf(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Python-UDTF twin of :func:`chunk_documents` — same rows, same
+    oracle, produced by a user-defined TABLE function applied with a
+    LATERAL join (the Spark 3.5+/4.x UDTF surface; the reference's only
+    UDTF-shaped op is the built-in explode, SURVEY.md §2.11).
+
+    This is the API-coverage tier, NOT the hot path: a row-at-a-time
+    Python UDTF pays the interpreter per document, where the codegen
+    original chunks at scan speed.  Keep the original for production;
+    this twin exists so a user porting a UDTF-based pipeline has the
+    pattern (and so the plan difference is measurable: see
+    tests/test_llm_ops.py parity test)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    step = chunk_tokens - overlap
+    pattern = TOKEN_PATTERN
+
+    @udtf(returnType="chunk_id int, start int, chunk_len int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = re.findall(pattern, text.lower())
+            n = len(toks)
+            if n == 0:
+                return
+            for chunk_id, start in enumerate(
+                range(0, max(n - overlap - 1, 0) + 1, step)
+            ):
+                window = toks[start : start + chunk_tokens]
+                yield chunk_id, start, len(window), " ".join(window)
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__chunk_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.start, c.chunk_len, c.chunk_text "
+        "FROM __chunk_udtf_docs d, LATERAL chunk_doc_udtf(d.text) c"
+    )

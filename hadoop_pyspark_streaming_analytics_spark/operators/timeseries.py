@@ -467,3 +467,32 @@ def weekly_value_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week_total") - prev) / prev * 100 + F.lit(1e-8), 4
         ).alias("wow_pct"),
     )
+
+
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: derive a per-event map of named features from the
+    JSON props payload (``create_map``), explode it to (key, value) rows,
+    and aggregate per key — the schema-on-read pattern for ragged
+    telemetry where the feature set varies per event.
+
+    The map explode is a generator projection (map-local row fan-out, ×3
+    here) feeding one map-side-combinable aggregate on a 3-value key — at
+    100 TB the only shuffle carries 3 rows per partition.
+    """
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.create_map(
+        F.lit("k"), k,
+        F.lit("parity"), k % 2,
+        F.lit("bucket"), F.floor(k / 10).cast("long"),
+    )
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total"),
+            F.round(F.avg("value") + F.lit(1e-8), 4).alias("mean_value"),
+        )
+        .orderBy("key")
+    )

@@ -46,6 +46,11 @@ _TAIL = [
     # displaced for temporal_point_in_time_value + stratified_fixed_n_sample
     "events_tumbling_5min",           # T2; pytest+golden-gated (test_streaming)
     "multimodal_frame_sample",        # stub-codec tier; png_decode stays in
+    "chunk_documents_udtf",           # Python-UDTF twin, same oracle as
+                                      # chunk_documents (API tier)
+    # displaced for events_props_map_stats
+    "pipeline_surviving_docs",        # r02-green composed pipeline; every
+                                      # stage is separately in-window
     # oracle-less (rows-only) sketch tier: a driver slot spent here carries
     # no differential signal — pytest-gated (test_scale_variants roundtrip)
     "sketch_daily_user_hll",

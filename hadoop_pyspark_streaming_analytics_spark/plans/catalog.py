@@ -634,6 +634,23 @@ FROM errors e ASOF LEFT JOIN clicks c
         tags=("temporal", "asof"),
     ),
     QuerySpec(
+        "events_props_map_stats",
+        timeseries.props_map_stats,
+        """
+WITH base AS (
+  SELECT CAST(props->>'k' AS BIGINT) AS k FROM events
+),
+kv AS (
+  SELECT 'k' AS key, k AS value FROM base
+  UNION ALL SELECT 'parity', k % 2 FROM base
+  UNION ALL SELECT 'bucket', k // 10 FROM base
+)
+SELECT key, count(*) AS cnt, CAST(sum(value) AS BIGINT) AS total,
+       round(avg(value) + 1e-8, 4) AS mean_value
+FROM kv GROUP BY 1 ORDER BY 1""",
+        tags=("map-type", "json"),
+    ),
+    QuerySpec(
         "temporal_point_in_time_value",
         temporal.point_in_time_value,
         """

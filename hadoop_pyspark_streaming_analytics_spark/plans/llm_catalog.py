@@ -1194,3 +1194,13 @@ FROM best WHERE rk = 1""",
         tags=("llm", "similarity", "quantization"),
     ),
 ]
+
+# Python-UDTF twin: same rows, same oracle as chunk_documents (API tier).
+LLM_CATALOG.append(
+    QuerySpec(
+        "chunk_documents_udtf",
+        chunking.chunk_documents_udtf,
+        next(s.oracle for s in LLM_CATALOG if s.name == "chunk_documents"),
+        tags=("llm", "udtf", "twin"),
+    )
+)

@@ -49,6 +49,7 @@ def test_driver_window_priority():
         "embedding_pq_codes",
         "temporal_point_in_time_value",
         "stratified_fixed_n_sample",
+        "events_props_map_stats",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

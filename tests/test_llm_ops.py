@@ -878,3 +878,20 @@ def test_point_in_time_matches_versions_and_nulls_predate(spark):
     assert df.select("event_id").distinct().count() == total  # ≤1 version/fact
     matched = df.filter(F.col("valid_from").isNotNull())
     assert matched.filter(F.col("ts") < F.col("valid_from")).count() == 0
+
+
+def test_chunk_udtf_twin_matches_codegen_chunker(spark):
+    """The Python-UDTF chunker must emit EXACTLY the codegen chunker's
+    rows — same tokenization, same window starts, same final-window cap."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.chunking import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    a = sorted(
+        map(tuple, chunk_documents(spark, SF).collect())
+    )
+    b = sorted(
+        map(tuple, chunk_documents_udtf(spark, SF).collect())
+    )
+    assert a == b
