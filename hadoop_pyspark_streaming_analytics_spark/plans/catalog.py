@@ -664,6 +664,7 @@ FROM events f LEFT JOIN versions v
   ON f.user_id = v.user_id AND f.ts >= v.valid_from
  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
 WHERE f.event_type = 'purchase'""",
+        headline=True,
         tags=("temporal", "point-in-time", "scd2"),
     ),
     QuerySpec(

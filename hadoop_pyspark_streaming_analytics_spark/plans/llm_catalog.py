@@ -1113,6 +1113,7 @@ SELECT doc_id,
        md5(redacted) AS redacted_md5,
        CAST(length(aug) - length(redacted) AS INTEGER) AS chars_removed
 FROM red""",
+        headline=True,
         tags=("llm", "scrubbing"),
     ),
     QuerySpec(

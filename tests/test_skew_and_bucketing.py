@@ -93,3 +93,46 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # the filter is partition-level only — it must NOT also run row-by-row
     if "PushedFilters" in plan:
         assert "EqualTo(event_type" not in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling — the runtime half of the salting story —
+    must actually fire: with one key carrying ~90% of the rows and the
+    skew thresholds scaled down to toy size, the final adaptive plan
+    marks the sort-merge join's skewed side (skew=true) and splits the
+    oversized partition.  SCALE.md sells AQE skew-join as the first-line
+    mitigation; this pins that it engages."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 40_000
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("rv"),
+        )
+        joined = skewed.join(right, "k")
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
