@@ -1,0 +1,81 @@
+"""Python DataSource API (Spark 4): the custom synthetic_events connector
+must read deterministically in batch (partition-parallel) and advance
+bounded micro-batch offsets in streaming."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.sources.python_datasource import (
+    EVENT_TYPES,
+    register,
+)
+
+
+def _load(spark, rows=500, partitions=4):
+    register(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", rows)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+def test_batch_read_count_schema_and_determinism(spark):
+    df = _load(spark, rows=500, partitions=4)
+    assert df.count() == 500
+    assert dict(df.dtypes) == {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+    }
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, _load(spark, rows=500, partitions=4).collect()))
+    assert a == b
+    types = {r["event_type"] for r in df.select("event_type").distinct().collect()}
+    assert types <= set(EVENT_TYPES)
+
+
+def test_batch_read_parallelism_and_pipeline(spark):
+    """The source's InputPartitions must surface as real read tasks, and
+    the output must compose with ordinary DataFrame ops."""
+    df = _load(spark, rows=1000, partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    agg = (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in agg) == 1000
+
+
+def test_stream_reader_bounded_offsets(spark, tmp_path):
+    """Micro-batches advance rows_per_batch at a time and stop at
+    max_rows; the streamed rows equal the batch rows for the same range
+    (replay determinism)."""
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 120)
+        .option("max_rows", 360)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.table("synth_stream").collect())
+        )
+    finally:
+        q.stop()
+    want = sorted(map(tuple, _load(spark, rows=360, partitions=2).collect()))
+    assert got == want
