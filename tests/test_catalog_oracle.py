@@ -93,3 +93,46 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     names = set(e.queries())
     assert set(e.oracle_sql()) <= names
+
+
+def test_cross_engine_output_types_compatible(spark, sf_dir):
+    """The r02 corpus_repetition_scores red row was a TYPE divergence
+    (DuckDB HUGEINT vs Spark bigint) invisible to the tolerance-based
+    local compare.  Gate the whole class: for EVERY oracle-backed entry,
+    each output column's Spark dtype must map to a hash-compatible DuckDB
+    type.  Costs only plan analysis (dtypes) + oracle PREPARE — no
+    execution."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    compat = {
+        "bigint": {"BIGINT", "INTEGER"},
+        "int": {"INTEGER"},
+        "double": {"DOUBLE", "FLOAT"},
+        "string": {"VARCHAR"},
+        "boolean": {"BOOLEAN"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+        "timestamp_ntz": {"TIMESTAMP"},
+        "date": {"DATE"},
+    }
+    problems = []
+    for spec in SPECS:
+        sdt = dict(spec.builder(spark, sf_dir).dtypes)
+        rel = con.sql(spec.oracle)
+        ddt = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        if set(sdt) != set(ddt):
+            problems.append(f"{spec.name}: column sets differ "
+                            f"{sorted(set(sdt) ^ set(ddt))}")
+            continue
+        for c, st in sdt.items():
+            if ddt[c] not in compat.get(st, set()):
+                problems.append(f"{spec.name}.{c}: spark={st} duckdb={ddt[c]}")
+    assert not problems, "\n".join(problems)
