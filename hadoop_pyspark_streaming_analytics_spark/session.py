@@ -30,6 +30,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / mapInPandas path (10-100x over row UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow-optimized execution for plain @udf Python UDFs too (Spark 3.5+):
+    # batches rows over Arrow instead of pickling one at a time.  Semantics
+    # are unchanged — the udfs.py tier contrast (expr vs python_udf vs
+    # pandas_udf) stays meaningful; this just removes gratuitous pickling
+    # cost from the slow tier.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
     # Parquet scan hygiene: pushdown + pruning are the difference between
     # reading 100 TB and reading the 2 columns a query needs.
     "spark.sql.parquet.filterPushdown": "true",

@@ -401,3 +401,22 @@ def test_point_in_time_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = plan_of(point_in_time_value(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The hint API must steer the planner: merge forces SortMergeJoin
+    where AQE/size stats would broadcast, shuffle_hash forces a
+    ShuffledHashJoin build — the manual override layer SCALE.md points at
+    when AQE's estimate is wrong."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    merged = plan_of(
+        orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+    hashed = plan_of(
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "ShuffledHashJoin" in hashed
