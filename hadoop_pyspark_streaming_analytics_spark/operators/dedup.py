@@ -366,3 +366,39 @@ def edit_distance_verify(
         )
         .filter(F.col("edit_ratio") <= max_ratio)
     )
+
+
+def keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality member (ties → smallest doc_id), not the
+    smallest id — the production dedup policy (you keep the cleanest copy
+    of a page, not the first-crawled one).
+
+    Composition: components (tiny — only docs with a candidate pair) join
+    quality scores, one row_number per cluster picks the winner, then the
+    corpus attach-join broadcasts exactly like :func:`keep_canonical`.
+    The full-corpus scan is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    from .quality import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    qual = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    comp = duplicate_components(spark, sf_dir)
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    winners = (
+        comp.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("winner_id"))
+    )
+    clustered = comp.select("doc_id").distinct()
+    return (
+        docs.join(F.broadcast(clustered), "doc_id", "left_anti")
+        .unionByName(winners.select(F.col("winner_id").alias("doc_id")))
+        .join(qual, "doc_id")
+        .select("doc_id", "quality_score")
+    )

@@ -48,6 +48,8 @@ _TAIL = [
     "multimodal_frame_sample",        # stub-codec tier; png_decode stays in
     "chunk_documents_udtf",           # Python-UDTF twin, same oracle as
                                       # chunk_documents (API tier)
+    # displaced for dedup_keep_best_quality
+    "dedup_exact",                    # r01+r02 green; md5 groupBy tier
     # displaced for events_props_map_stats
     "pipeline_surviving_docs",        # r02-green composed pipeline; every
                                       # stage is separately in-window

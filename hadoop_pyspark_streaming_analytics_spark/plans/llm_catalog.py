@@ -111,6 +111,29 @@ WHERE c.component IS NULL OR c.component = d.doc_id"""
     )
 
 
+def _keep_best_quality_sql() -> str:
+    return (
+        f"WITH RECURSIVE {_lsh_ctes()},{_COMPONENT_CTES},{_QUALITY_CTES}\n"
+        """, winners AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rk
+    FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+  WHERE rk = 1
+),
+survivors AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id FROM winners
+)
+SELECT s.doc_id, q.quality_score
+FROM survivors s JOIN qual q ON q.doc_id = s.doc_id"""
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
@@ -527,6 +550,12 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         dedup.keep_canonical,
         _keep_canonical_sql(),
         tags=("llm", "dedup"),
+    ),
+    QuerySpec(
+        "dedup_keep_best_quality",
+        dedup.keep_best_quality,
+        _keep_best_quality_sql(),
+        tags=("llm", "dedup", "quality"),
     ),
     QuerySpec(
         "dedup_simhash",

@@ -50,6 +50,7 @@ def test_driver_window_priority():
         "temporal_point_in_time_value",
         "stratified_fixed_n_sample",
         "events_props_map_stats",
+        "dedup_keep_best_quality",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

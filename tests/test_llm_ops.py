@@ -895,3 +895,31 @@ def test_chunk_udtf_twin_matches_codegen_chunker(spark):
         map(tuple, chunk_documents_udtf(spark, SF).collect())
     )
     assert a == b
+
+
+def test_keep_best_quality_picks_top_scored_member(spark):
+    """Same survivor count as keep_canonical (one per cluster + all
+    unclustered), and each cluster's kept member has the cluster-max
+    quality score."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+        duplicate_components,
+        keep_best_quality,
+        keep_canonical,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        quality_scores,
+    )
+
+    best = keep_best_quality(spark, SF)
+    assert best.count() == keep_canonical(spark, SF).count()
+    comp = duplicate_components(spark, SF)
+    qual = quality_scores(spark, SF).select("doc_id", "quality_score")
+    cluster_max = (
+        comp.join(qual, "doc_id")
+        .groupBy("component")
+        .agg(F.max("quality_score").alias("max_q"))
+    )
+    kept_clustered = best.join(comp, "doc_id").join(cluster_max, "component")
+    assert kept_clustered.filter(
+        F.col("quality_score") != F.col("max_q")
+    ).count() == 0
