@@ -131,9 +131,32 @@ ORDERS_JSON_SCHEMA = T.StructType(
 )
 
 
-def read_orders_json(spark: SparkSession, path: str, infer: bool = False) -> DataFrame:
-    """JSON-lines scan (S2), multiLine=False — one order document per line."""
+def read_orders_json(
+    spark: SparkSession,
+    path: str,
+    infer: bool = False,
+    capture_corrupt: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (S2), multiLine=False — one order document per line.
+
+    ``capture_corrupt`` is the X5 malformed-line contract for JSON (the
+    CSV path does it via PERMISSIVE): instead of silently nulling bad
+    lines, PERMISSIVE mode routes each unparseable line's raw text into a
+    ``_corrupt_record`` column so a pipeline can count/quarantine them —
+    at 100 TB "0.3% of lines failed to parse" must be an observable fact,
+    not a silent row-count drift."""
     reader = spark.read.option("multiLine", False)
+    if capture_corrupt:
+        schema = T.StructType(
+            ORDERS_JSON_SCHEMA.fields
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        return (
+            reader.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema(schema)
+            .json(path)
+        )
     if not infer:
         reader = reader.schema(ORDERS_JSON_SCHEMA)
     return reader.json(path)

@@ -182,3 +182,32 @@ def test_q1_report_shape(spark, sf_dir):
     assert "Word Frequencies (Top 5):" in report
     assert "Word Length Distribution:" in report
     assert "Total words:" in report and "Average word length:" in report
+
+
+def test_json_corrupt_records_are_captured_not_dropped(spark, tmp_path):
+    """X5 for JSON: malformed lines must surface in _corrupt_record under
+    PERMISSIVE mode — countable and quarantinable — while valid lines
+    parse normally."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        read_orders_json,
+    )
+
+    p = tmp_path / "orders.jsonl"
+    p.write_text(
+        '{"order_id": "O1", "customer_name": "A", "order_date": "2024-01-01", '
+        '"total_amount": 10.5, "products": []}\n'
+        "this is not json at all\n"
+        '{"order_id": "O2", "customer_name": "B", "order_date": "2024-01-02", '
+        '"total_amount": 7.25, "products": []}\n'
+        '{"order_id": "O3", "unterminated": \n'
+    )
+    df = read_orders_json(spark, str(p), capture_corrupt=True).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["order_id"] for r in good.collect()) == ["O1", "O2"]
+    assert bad.count() == 2
+    raw = [r["_corrupt_record"] for r in bad.collect()]
+    assert any("not json" in s for s in raw)
+    df.unpersist()
