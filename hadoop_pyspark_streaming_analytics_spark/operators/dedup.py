@@ -150,6 +150,38 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_buckets(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket memberships for a batch of
+    (doc_id, text) docs: shingle → minhash signature → per-band digest.
+    Shared by the batch candidate generator below and the streaming
+    ingest dedup (streaming/extensions.py) — the band store IS the
+    streaming dedup state."""
+    sigs = minhash_signatures(
+        doc_shingles(docs, n, distinct=False), bands * rows
+    )
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *members)).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -165,22 +197,9 @@ def minhash_lsh_candidates(
     with high probability while unrelated docs almost never collide, so the
     bucket join is tiny even at corpus scale.
     """
-    sigs = minhash_signatures(
-        doc_shingles(load_table(spark, sf_dir, "documents"), n, distinct=False),
-        bands * rows,
+    buckets = lsh_band_buckets(
+        load_table(spark, sf_dir, "documents"), n, bands, rows
     )
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *members)).alias("band_hash"),
-            )
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, on=["band_id", "band_hash"])

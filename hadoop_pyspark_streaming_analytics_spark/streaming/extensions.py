@@ -127,3 +127,81 @@ def foreach_batch_parquet_idempotent(path: str):
         batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return write
+
+
+def foreach_batch_lsh_dedup(
+    store_path: str,
+    out_path: str,
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming NEAR-dup dedup: a foreachBatch stage that drops each
+    micro-batch's docs whose MinHash-LSH band buckets collide with any
+    previously-admitted doc, then admits the survivors — extending the
+    exact/fingerprint streaming dedup above to fuzzy duplicates (the
+    ingest-time near-dedup every streaming training-data pipeline needs).
+
+    State = a parquet band store (band_id, band_hash, doc_id), NOT
+    executor state-store memory: LSH dedup state is corpus-lifetime (a
+    doc arriving a month later is still a dup), far beyond any watermark,
+    so it belongs in storage with bounded per-batch reads — the join
+    against it is a thin semi-join keyed on (band_id, band_hash).
+
+    Exactly-once under replay: both writes go to a batch_id=N
+    subdirectory with overwrite (re-running batch N rewrites the same
+    files), and the dedup authority is ONLY prior batches
+    (batch_id < N read back from the store's partition column), so a
+    replayed batch never collides with its own half-written bands.
+
+    Per batch:
+    1. bucket the batch (shingle → minhash → band digests);
+    2. victims = docs bucket-colliding with the store (prior batches)
+       ∪ intra-batch collisions (keep the smallest doc_id per bucket);
+    3. write survivors to ``out_path/batch_id=N`` and ONLY survivors'
+       bands to ``store_path/batch_id=N`` (victims must not pollute the
+       bucket authority).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import lsh_band_buckets
+
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        buckets = lsh_band_buckets(docs, n, bands, rows).localCheckpoint(
+            eager=True
+        )
+        try:
+            prior = (
+                spark.read.option("basePath", store_path)
+                .parquet(store_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select("band_id", "band_hash")
+            )
+        except Exception:  # first batch: no store yet
+            prior = None
+        victims = None
+        if prior is not None:
+            vs_store = (
+                buckets.join(prior, ["band_id", "band_hash"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            victims = vs_store
+        a, b = buckets.alias("a"), buckets.alias("b")
+        intra = (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        victims = intra if victims is None else victims.unionByName(intra).distinct()
+        survivors = docs.join(victims, "doc_id", "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        buckets.join(victims, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return apply

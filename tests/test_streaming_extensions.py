@@ -291,3 +291,62 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == len(BATCH0) + len(BATCH1)  # no dup, no loss
     assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5}
+
+
+def test_foreach_batch_lsh_dedup_across_batches_and_replay(spark, tmp_path):
+    """Near-dups arriving in LATER batches are dropped against the band
+    store; unique docs survive; replaying a batch (failure recovery) is
+    idempotent and never self-collides."""
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_lsh_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight while stars shine bright"
+    )
+    near = base.replace("tonight", "today")  # near-dup of base
+    other = (
+        "completely different content about spark shuffle partitions and "
+        "broadcast joins in distributed query engines at massive scale"
+    )
+    store = str(tmp_path / "bands")
+    out = str(tmp_path / "clean")
+    apply_fn = foreach_batch_lsh_dedup(store, out)
+
+    b0 = spark.createDataFrame([Row(doc_id=1, text=base)])
+    b1 = spark.createDataFrame(
+        [Row(doc_id=2, text=near), Row(doc_id=3, text=other)]
+    )
+    apply_fn(b0, 0)
+    apply_fn(b1, 1)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert kept == [1, 3]  # near-dup doc 2 dropped against the store
+
+    # replay batch 1 (simulated failure recovery): same outcome, no
+    # self-collision with its own previously-written bands
+    apply_fn(b1, 1)
+    kept2 = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert kept2 == [1, 3]
+
+    # intra-batch near-dups: smallest doc_id wins within one batch
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=other.replace("massive", "large")),
+            Row(doc_id=11, text=other.replace("massive", "huge")),
+        ]
+    )
+    apply_fn(b2, 2)
+    kept3 = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert kept3 == [1, 3]  # both collide with doc 3's bands via the store
