@@ -107,3 +107,72 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) ---
+#
+# Unlike the HLL tier above (engine-specific digests, pytest-gated), this
+# CMS is built from seeded md5 hashing that BOTH engines compute
+# bit-identically, so the sketch — and every estimate read from it — has
+# an exact DuckDB oracle.  That makes it the catalog's demonstrably
+# correct sketch: the overestimate bias is visible and checkable.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(col, j: int):
+    """Row-j bucket for a key: first 8 hex chars of md5("j|key") mod W.
+    8 hex chars = 32 bits — fits a BIGINT exactly the same way in DuckDB
+    ('0x'||substr(...))::BIGINT, so bucket ids match across engines."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % CMS_WIDTH
+
+
+def count_min_heavy_hitters(
+    spark: SparkSession, sf_dir: str, threshold: int = 15
+) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch over event user_ids:
+    build the d×w counter table (one grouped aggregate bounded at
+    d·w = 1024 rows regardless of corpus size), then answer point
+    queries — est(u) = min_j counters[j][h_j(u)] — for every distinct
+    user with one broadcast join, keeping users whose ESTIMATE clears the
+    threshold.
+
+    CMS never undercounts (est >= true), so this is a superset screen:
+    at 100 TB you CMS-screen the full stream with KB-sized state, then
+    exact-count only the few screened candidates.  The companion test
+    pins est >= true count per user and exact agreement for users with no
+    bucket collisions.
+    """
+    ev = load_events(spark, sf_dir).select("user_id")
+    rows = []
+    for j in range(CMS_DEPTH):
+        rows.append(
+            ev.select(
+                F.lit(j).alias("j"), _cms_bucket(F.col("user_id"), j).alias("bucket")
+            )
+        )
+    keyed = rows[0]
+    for r in rows[1:]:
+        keyed = keyed.unionByName(r)
+    cms = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    users = ev.distinct()
+    probes = None
+    for j in range(CMS_DEPTH):
+        p = users.select(
+            "user_id",
+            F.lit(j).alias("j"),
+            _cms_bucket(F.col("user_id"), j).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_events"))
+        .filter(F.col("est_events") >= threshold)
+        .orderBy("user_id")
+    )

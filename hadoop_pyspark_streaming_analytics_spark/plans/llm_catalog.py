@@ -1086,6 +1086,33 @@ FROM s""",
         tags=("llm", "similarity", "quantization"),
     ),
     QuerySpec(
+        "sketch_count_min_heavy_hitters",
+        sketches.count_min_heavy_hitters,
+        """
+WITH js AS (SELECT unnest(range(0, 4)) AS j),
+ev AS (SELECT user_id FROM events),
+keyed AS (
+  SELECT js.j,
+         ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+                             || CAST(ev.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM ev CROSS JOIN js
+),
+cms AS (SELECT j, bucket, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM ev),
+probes AS (
+  SELECT u.user_id, js.j,
+         ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+                             || CAST(u.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 256 AS bucket
+  FROM users u CROSS JOIN js
+)
+SELECT p.user_id, CAST(min(c.cnt) AS BIGINT) AS est_events
+FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY 1 HAVING min(c.cnt) >= 15 ORDER BY 1""",
+        tags=("llm", "sketch", "cms"),
+    ),
+    QuerySpec(
         "stratified_fixed_n_sample",
         quality.stratified_fixed_n_sample,
         """

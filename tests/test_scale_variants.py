@@ -106,3 +106,32 @@ def test_hll_sketch_persists_and_merges_after_roundtrip(spark, tmp_path):
     )
     assert stored["n_days"] == live["n_days"]
     assert stored["estimated_distinct_users"] == live["estimated_distinct_users"]
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """CMS point estimates must dominate true counts (est >= true for
+    every user), and the heavy-hitter screen must be a SUPERSET of the
+    true heavy hitters — the property that makes CMS a safe pre-filter."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+
+    threshold = 5
+    est = count_min_heavy_hitters(spark, sf_dir, threshold=threshold)
+    true = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_events"))
+    )
+    joined = est.join(true, "user_id").cache()
+    assert joined.filter(F.col("est_events") < F.col("true_events")).count() == 0
+    screened = {r["user_id"] for r in est.collect()}
+    heavy = {
+        r["user_id"]
+        for r in true.filter(F.col("true_events") >= threshold).collect()
+    }
+    assert heavy <= screened
+    joined.unpersist()
