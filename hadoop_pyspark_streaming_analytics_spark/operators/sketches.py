@@ -149,26 +149,29 @@ def count_min_heavy_hitters(
     bucket collisions.
     """
     ev = load_events(spark, sf_dir).select("user_id")
-    rows = []
-    for j in range(CMS_DEPTH):
-        rows.append(
-            ev.select(
-                F.lit(j).alias("j"), _cms_bucket(F.col("user_id"), j).alias("bucket")
+
+    def _rows_per_key(col):
+        # ONE scan: explode a d-element array of (j, bucket) structs per
+        # row — a union of d per-j selects would scan the fact d times.
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(col, j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
             )
         )
-    keyed = rows[0]
-    for r in rows[1:]:
-        keyed = keyed.unionByName(r)
+
+    keyed = ev.select(_rows_per_key(F.col("user_id")).alias("jb")).select(
+        "jb.j", "jb.bucket"
+    )
     cms = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    users = ev.distinct()
-    probes = None
-    for j in range(CMS_DEPTH):
-        p = users.select(
-            "user_id",
-            F.lit(j).alias("j"),
-            _cms_bucket(F.col("user_id"), j).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = ev.distinct().select(
+        "user_id", _rows_per_key(F.col("user_id")).alias("jb")
+    ).select("user_id", "jb.j", "jb.bucket")
     return (
         probes.join(F.broadcast(cms), ["j", "bucket"])
         .groupBy("user_id")

@@ -420,3 +420,28 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
     )
     assert "ShuffledHashJoin" in hashed
+
+
+def test_pii_redaction_is_shuffle_free_projection(spark, sf_dir):
+    """PII scrubbing must be a pure projection over the scan — any
+    Exchange here means the redaction pass stopped being scan-speed."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.scrubbing import (
+        pii_redaction,
+    )
+
+    plan = plan_of(pii_redaction(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_count_min_reads_fact_twice_not_per_hash_row(spark, sf_dir):
+    """The CMS build must explode (j, bucket) structs inside ONE scan —
+    a union of per-j selects would read the fact table CMS_DEPTH times.
+    Two scans total: sketch build + distinct-user probes."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    plan = plan_of(count_min_heavy_hitters(spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BroadcastHashJoin" in plan  # the 1024-row counter table
