@@ -353,10 +353,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     * Final per-doc aggregate is one map-side-combinable weighted average.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # per_doc feeds BOTH the model build and the probe join — checkpoint so
+    # the corpus scan + tokenize + first aggregation run once, not three
+    # times (the ngram_jaccard convention; localCheckpoint over cache so
+    # blocks are reclaimed when the frame is GC'd).
     per_doc = (
         _doc_tokens(docs)
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     model = per_doc.groupBy("token").agg(F.sum("c").alias("tok_total"))
     corpus_total = model.agg(F.sum("tok_total").alias("corpus_total"))

@@ -133,7 +133,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable count.  No all-pairs anything.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = _doc_ngrams(docs)
+    # grams feeds both the benchmark set and the training probe; without a
+    # checkpoint the corpus is scanned+tokenized+gram-exploded twice.
+    grams = _doc_ngrams(docs).localCheckpoint(eager=True)
     bench = (
         grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
         .select("gram")
