@@ -111,9 +111,15 @@ def _doc_ngrams(docs: DataFrame) -> DataFrame:
     explode emits each gram once per doc.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    # Short docs must short-circuit to an empty array: sequence(1, 0) is
+    # DESCENDING in Spark ([1, 0]), and slice(toks, 0, n) then throws
+    # ("SQL array indices start at 1") — the repetition_scores guard
+    # pattern, mirrored by the oracle's WHERE len(t) >= NGRAM_N.
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(toks) - {NGRAM_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))))"
+        f"CASE WHEN size(toks) >= {NGRAM_N} THEN"
+        f" array_distinct(transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))))"
+        f" ELSE cast(array() AS array<string>) END"
     )
     return (
         docs.select("doc_id", toks.alias("toks"))

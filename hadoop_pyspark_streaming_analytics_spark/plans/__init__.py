@@ -13,7 +13,10 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # differential signal.  Standing rotation policy, re-applied each round:
 # every entry that has never had a driver CORRECTNESS row — plus any entry
 # whose last row was red — must sit INSIDE the window; to make room,
-# previously-green near-twins/derivatives rotate into _TAIL below.  Nothing
+# previously-green near-twins/derivatives rotate into _TAIL below.  One
+# exception: a brand-new entry sharing its EXACT oracle with a
+# driver-validated in-window entry (e.g. the chunk_documents_udtf twin)
+# may start in the tail — the value-level signal is identical.  Nothing
 # loses coverage: every _TAIL entry is still oracle-diffed per round by
 # tests/test_catalog_oracle.py at sf0.001 and by scripts/check_sf001.py
 # (driver-exact --vanilla mode) at sf0.01.

@@ -77,6 +77,8 @@ class _BatchReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 4)))
 
     def partitions(self):
+        if self.rows <= 0:  # empty source: one no-op partition, not step=0
+            return [_RangePartition(0, 0)]
         step = -(-self.rows // self.n_parts)  # ceil
         return [
             _RangePartition(lo, min(lo + step, self.rows))
@@ -90,7 +92,16 @@ class _BatchReader(DataSourceReader):
 
 class _StreamReader(DataSourceStreamReader):
     """Offsets are row indices; latestOffset advances ``rows_per_batch``
-    per trigger, capped at ``max_rows`` so bounded tests terminate."""
+    per trigger, capped at ``max_rows`` so bounded tests terminate.
+
+    Restart safety: ``self._latest`` is driver memory and is NOT restored
+    from the checkpoint (Spark skips initialOffset when one exists), so
+    ``partitions(start, end)`` — which IS called with checkpointed
+    offsets — re-anchors the counter at the committed position, and
+    ``read`` iterates ``range(start, end)`` (empty when a post-restart
+    probe briefly trails the committed offset).  Net effect: after a
+    driver restart the source emits each row index exactly once; no
+    committed range is ever re-read."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
@@ -105,6 +116,9 @@ class _StreamReader(DataSourceStreamReader):
         return {"idx": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        # Re-anchor after restart: never fall behind an offset Spark has
+        # already planned or committed.
+        self._latest = max(self._latest, start["idx"], end["idx"])
         return [_RangePartition(start["idx"], end["idx"])]
 
     def read(self, partition: _RangePartition):

@@ -144,7 +144,13 @@ def read_orders_json(
     lines, PERMISSIVE mode routes each unparseable line's raw text into a
     ``_corrupt_record`` column so a pipeline can count/quarantine them —
     at 100 TB "0.3% of lines failed to parse" must be an observable fact,
-    not a silent row-count drift."""
+    not a silent row-count drift.
+
+    Spark restriction: a query that references ONLY ``_corrupt_record``
+    (e.g. ``df.filter(col("_corrupt_record").isNotNull()).count()``)
+    raises AnalysisException on a raw JSON scan — ``cache()`` the frame
+    (or select a data column alongside) before the quarantine filter, as
+    the Spark SQL migration guide prescribes."""
     reader = spark.read.option("multiLine", False)
     if capture_corrupt:
         schema = T.StructType(

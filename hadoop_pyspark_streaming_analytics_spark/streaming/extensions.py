@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -178,7 +179,10 @@ def foreach_batch_lsh_dedup(
                 .filter(F.col("batch_id") < batch_id)
                 .select("band_id", "band_hash")
             )
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: store path doesn't exist yet
+            # ONLY the missing-path case may degrade to no-prior-state —
+            # a transient FS/permission/corruption error must propagate,
+            # not silently admit near-dups against an unreadable store.
             prior = None
         victims = None
         if prior is not None:
@@ -195,7 +199,12 @@ def foreach_batch_lsh_dedup(
             .select(F.col("b.doc_id").alias("doc_id"))
             .distinct()
         )
-        victims = intra if victims is None else victims.unionByName(intra).distinct()
+        # Checkpoint the (tiny) victim id set: it gates BOTH writes below,
+        # and without this each write re-reads the whole band store and
+        # re-runs both victim joins.
+        victims = (
+            intra if victims is None else victims.unionByName(intra).distinct()
+        ).localCheckpoint(eager=True)
         survivors = docs.join(victims, "doc_id", "left_anti")
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"

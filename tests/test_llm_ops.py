@@ -923,3 +923,25 @@ def test_keep_best_quality_picks_top_scored_member(spark):
     assert kept_clustered.filter(
         F.col("quality_score") != F.col("max_q")
     ).count() == 0
+
+
+def test_doc_ngrams_short_docs_yield_no_grams(spark):
+    """Docs with fewer than NGRAM_N tokens must produce zero grams, not a
+    slice(toks, 0, n) runtime error (Spark's sequence(1, 0) descends)."""
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.scrubbing import (
+        _doc_ngrams,
+    )
+
+    tiny = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="hi"),
+            Row(doc_id=3, text="one two"),
+            Row(doc_id=4, text="one two three"),
+        ]
+    )
+    rows = _doc_ngrams(tiny).collect()
+    assert {r["doc_id"] for r in rows} == {4}
+    assert rows[0]["gram"] == "one two three"

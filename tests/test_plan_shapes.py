@@ -366,9 +366,16 @@ def test_q18_preaggregates_before_join(spark, sf_dir):
 
     plan = plan_of(large_volume_customers(spark, sf_dir))
     assert "partial_sum" in plan
-    agg_pos = plan.find("partial_sum")
-    join_pos = plan.find("Join")
-    assert agg_pos != -1 and join_pos != -1
+    # Structural assertion via the tree section (printed top-down): the
+    # quantity HashAggregate must be a DESCENDANT of a Join — i.e. some
+    # Join prints before the aggregate.  A regressed plan that joins raw
+    # lineitem first and aggregates after would print HashAggregate at
+    # the top, above every Join.
+    tree = plan.split("\n\n(")[0]
+    join_pos = tree.find("Join")
+    agg_pos = tree.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert join_pos < agg_pos
 
 
 def test_q19_or_brackets_stay_one_scan(spark, sf_dir):

@@ -79,3 +79,8 @@ def test_stream_reader_bounded_offsets(spark, tmp_path):
         q.stop()
     want = sorted(map(tuple, _load(spark, rows=360, partitions=2).collect()))
     assert got == want
+
+
+def test_batch_read_zero_rows_is_empty_not_error(spark):
+    df = _load(spark, rows=0, partitions=4)
+    assert df.count() == 0
