@@ -84,3 +84,47 @@ def test_stream_reader_bounded_offsets(spark, tmp_path):
 def test_batch_read_zero_rows_is_empty_not_error(spark):
     df = _load(spark, rows=0, partitions=4)
     assert df.count() == 0
+
+
+def test_stream_composes_with_engine_window_agg(spark, tmp_path):
+    """Integration: the custom connector's stream must compose with the
+    engine's event-time tumbling-window aggregation — counts per
+    5-minute bucket over the deterministic sequence match the batch-side
+    computation of the same range."""
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 150)
+        .option("max_rows", 300)
+        .load()
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .count()
+        .select(F.col("w.start").alias("w_start"), "count")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("synth_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["w_start"]: r["count"]
+            for r in spark.table("synth_windows").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["w_start"]: r["count"]
+        for r in _load(spark, rows=300, partitions=2)
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .count()
+        .select(F.col("w.start").alias("w_start"), "count")
+        .collect()
+    }
+    assert got == want and sum(got.values()) == 300
