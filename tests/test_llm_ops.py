@@ -945,3 +945,72 @@ def test_doc_ngrams_short_docs_yield_no_grams(spark):
     rows = _doc_ngrams(tiny).collect()
     assert {r["doc_id"] for r in rows} == {4}
     assert rows[0]["gram"] == "one two three"
+
+
+def test_pii_regexes_agree_across_engines_on_adversarial_strings(spark):
+    """The PII patterns run as Java regex in Spark and RE2 in DuckDB —
+    pin dialect equivalence (match counts AND replacement output) on
+    adversarial inputs: plus/dot addressing, trailing punctuation,
+    boundary-adjacent digits, almost-IPs, almost-phones."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.scrubbing import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    cases = [
+        "mail a.b+c_d%e@sub.domain.example.com end",
+        "no-at-sign example.com and user@nodot stay",
+        "edge user@x.co, punctuation right after",
+        "call 555-1234 now",
+        "not a phone 1555-1234 or 555-12345",
+        "ip 10.0.0.1 ok",
+        "almost ip 300.300.300.300 still matches shape",
+        "version 1.2.3 is not an ip",
+        "two mails a@b.io c@d.org one line",
+        "",
+    ]
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(cases)])
+    from pyspark.sql import functions as F
+
+    spark_rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            F.size(F.regexp_extract_all("s", F.lit(EMAIL_RE), 0)).alias("e"),
+            F.size(F.regexp_extract_all("s", F.lit(PHONE_RE), 0)).alias("p"),
+            F.size(F.regexp_extract_all("s", F.lit(IPV4_RE), 0)).alias("ip"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("s", EMAIL_RE, "[EMAIL]"),
+                    PHONE_RE,
+                    "[PHONE]",
+                ),
+                IPV4_RE,
+                "[IP]",
+            ).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        e, p, ip, red = con.execute(
+            """
+            SELECT len(regexp_extract_all($s, $e)),
+                   len(regexp_extract_all($s, $p)),
+                   len(regexp_extract_all($s, $i)),
+                   regexp_replace(regexp_replace(regexp_replace(
+                     $s, $e, '[EMAIL]', 'g'), $p, '[PHONE]', 'g'),
+                     $i, '[IP]', 'g')
+            """,
+            {"s": s, "e": EMAIL_RE, "p": PHONE_RE, "i": IPV4_RE},
+        ).fetchone()
+        r = spark_rows[i]
+        assert (r["e"], r["p"], r["ip"], r["red"]) == (e, p, ip, red), (
+            i,
+            s,
+            (r["e"], r["p"], r["ip"], r["red"]),
+            (e, p, ip, red),
+        )
