@@ -496,3 +496,38 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+def values_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization: clip each event's value into its type's
+    exact [p05, p95] band — the outlier-taming transform applied before
+    training statistical features on heavy-tailed telemetry.
+
+    One grouped exact-percentile aggregate (|event_types| rows) joined
+    back onto the scan — AQE broadcasts the cutpoint table; at 100 TB
+    swap the exact percentile for the approx_percentile sketch twin
+    (event_type_percentiles_approx) without changing the join shape.
+    Clipping uses least/greatest, not a UDF — whole-stage codegen keeps
+    the pass at scan speed.
+    """
+    ev = load_events(spark, sf_dir)
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return (
+        ev.join(cuts, "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") + F.lit(1e-8), 4).alias("value"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+                + F.lit(1e-8),
+                4,
+            ).alias("value_winsorized"),
+            (
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+    )

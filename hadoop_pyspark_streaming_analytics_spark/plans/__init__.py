@@ -58,6 +58,9 @@ _TAIL = [
     "dedup_exact",                    # r01+r02 green; md5 groupBy tier
     # displaced for sketch_count_min_heavy_hitters (exact-oracle CMS)
     "text_token_counts",              # r01+r02 green; simple count tier
+    # displaced for events_values_winsorized
+    "multimodal_png_decode",          # r02-green real-pixel tier;
+                                      # png_features/_resize stay tail-gated
     # displaced for events_props_map_stats
     "pipeline_surviving_docs",        # r02-green composed pipeline; every
                                       # stage is separately in-window

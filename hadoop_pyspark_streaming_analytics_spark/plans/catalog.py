@@ -539,6 +539,23 @@ FROM events GROUP BY 1""",
         tags=("timeseries", "percentile"),
     ),
     QuerySpec(
+        "events_values_winsorized",
+        timeseries.values_winsorized,
+        """
+WITH cuts AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value + 1e-8, 4) AS value,
+       round(least(greatest(e.value, c.lo), c.hi) + 1e-8, 4)
+         AS value_winsorized,
+       (e.value < c.lo OR e.value > c.hi) AS was_clipped
+FROM events e JOIN cuts c ON e.event_type = c.event_type""",
+        tags=("timeseries", "percentile", "winsorize"),
+    ),
+    QuerySpec(
         "events_top_users_per_type",
         timeseries.top_users_per_type,
         """

@@ -52,6 +52,7 @@ def test_driver_window_priority():
         "events_props_map_stats",
         "dedup_keep_best_quality",
         "sketch_count_min_heavy_hitters",
+        "events_values_winsorized",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
