@@ -73,10 +73,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     ties (like the q2a top-product policy, catalog.py).
 
     Plan shape: one explode feeding a (doc_id, token) count (map-side
-    combined), a broadcast join against the vocab-sized doc_freq table,
-    and a per-document rank window — partitioned by doc_id, so the window
-    state is one document's distinct tokens.  No corpus-sized shuffle
-    carries text.
+    combined), attach-joins against the doc-grain length table and the
+    vocab-grain doc_freq table, and a per-document rank window —
+    partitioned by doc_id, so the window state is one document's distinct
+    tokens.  No corpus-sized shuffle carries text.
+
+    No broadcast hints on ``doc_len`` (one row per document) or ``df_tbl``
+    (one row per vocab term) — both are corpus-proportional at 100 TB and
+    a hard-coded hint overrides AQE's size-based fallback, turning a
+    graceful shuffle join into an OOM.  Only the 1-row ``n_docs`` scalar
+    keeps its hint (provably bounded).
 
     ``tf`` feeds three consumers (the scored rows, doc_len, doc_freq) and
     Catalyst does not reuse common subplans — without materialization the
@@ -96,8 +102,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(doc_len), "doc_id")
-        .join(F.broadcast(df_tbl), "token")
+        tf.join(doc_len, "doc_id")
+        .join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -310,15 +316,18 @@ def tfidf_similar_pairs(
         )
         .agg(F.sum(F.col("a.tfidf") * F.col("b.tfidf")).alias("dot"))
     )
+    # No broadcast hints on the norm attach-joins: ``norms`` is one row per
+    # document — corpus-proportional, never broadcastable at 100 TB.  AQE
+    # still picks broadcast at runtime when the aggregate is small.
     return (
         dots.join(
-            F.broadcast(norms.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("norm").alias("norm_a"))),
+            norms.select(F.col("doc_id").alias("doc_a"),
+                         F.col("norm").alias("norm_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(norms.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("norm").alias("norm_b"))),
+            norms.select(F.col("doc_id").alias("doc_b"),
+                         F.col("norm").alias("norm_b")),
             "doc_b",
         )
         .select(

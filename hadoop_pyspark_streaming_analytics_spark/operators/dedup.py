@@ -120,11 +120,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    # sizes is one row per doc — broadcast both attach-joins (the pair table
-    # is the big side and must not shuffle twice just to pick up two ints).
+    # No broadcast hints: ``sizes`` is one row per document — billions of
+    # rows on a 100 TB corpus, never broadcastable.  A hard-coded hint
+    # overrides AQE's size-based fallback and OOMs instead of degrading to
+    # a shuffle join; AQE still picks broadcast at runtime when the
+    # aggregate is genuinely small (same policy as temporal.funnel/cohort).
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -301,14 +304,16 @@ def keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is either untouched by near-dup clustering or the canonical
     (smallest-id) member of its cluster.
 
-    The cluster map is tiny relative to the corpus (only docs with a
-    candidate pair), so the attach-join broadcasts; the 100 TB shape is a
-    full-corpus scan + broadcast hash join, no shuffle of the corpus.
+    No broadcast hint on the cluster map: it holds every doc that has a
+    near-dup candidate pair, which on a web crawl is 30-50% of the corpus —
+    corpus-proportional, not a dimension table.  A hard-coded hint would
+    OOM at 100 TB instead of degrading; AQE converts the join to broadcast
+    at runtime when the map is genuinely small.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = duplicate_components(spark, sf_dir)
     return (
-        docs.join(F.broadcast(comp), "doc_id", "left")
+        docs.join(comp, "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id")
     )
@@ -393,10 +398,10 @@ def keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest id — the production dedup policy (you keep the cleanest copy
     of a page, not the first-crawled one).
 
-    Composition: components (tiny — only docs with a candidate pair) join
-    quality scores, one row_number per cluster picks the winner, then the
-    corpus attach-join broadcasts exactly like :func:`keep_canonical`.
-    The full-corpus scan is never shuffled.
+    Composition: components join quality scores, one row_number per
+    cluster picks the winner, then the corpus anti-joins the clustered set.
+    No broadcast hint on the cluster map — corpus-proportional on a real
+    crawl (see :func:`keep_canonical`); AQE picks broadcast when small.
     """
     from pyspark.sql import Window
 
@@ -416,7 +421,7 @@ def keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clustered = comp.select("doc_id").distinct()
     return (
-        docs.join(F.broadcast(clustered), "doc_id", "left_anti")
+        docs.join(clustered, "doc_id", "left_anti")
         .unionByName(winners.select(F.col("winner_id").alias("doc_id")))
         .join(qual, "doc_id")
         .select("doc_id", "quality_score")

@@ -249,8 +249,11 @@ def merge_upsert(
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key audit across the star schema: count rows whose FK has
     no parent — the load-validation every warehouse runs after ingest.
-    Each check is one broadcast ANTI existence probe of the (thin,
-    distinct) parent-key set; long-format output (check, n_violations)."""
+    Each check is one ANTI existence probe of the thin, distinct
+    parent-key set; long-format output (check, n_violations).  No
+    broadcast hints: the parent sides (orders/customer/part) are
+    SF-proportional, so AQE keeps the broadcast-vs-shuffle choice —
+    a forced hint on a billions-of-keys parent would OOM at 100 TB."""
     from ..sources.readers import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -260,7 +263,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def count_orphans(child, fk, parent, pk):
         return child.join(
-            F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+            parent.select(F.col(pk).alias(fk)).distinct(),
             fk,
             "left_anti",
         ).count()
@@ -278,14 +281,16 @@ def segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total contribution per market segment — ratio-to-report:
     one grouped sum plus a broadcast of the scalar total (NOT an
     un-partitioned window over the detail rows; the ratio divides two
-    aggregates, so the fact table shuffles once)."""
+    aggregates, so the fact table shuffles once).  The customer attach
+    carries no hint (user-grain, SF-proportional — AQE decides); only the
+    1-row grand total keeps its broadcast."""
     from ..sources.readers import load_table
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     seg = (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")

@@ -61,8 +61,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """TPC-H Q3 shape: top-K unshipped orders by revenue for one market
-    segment.  The segment filter shrinks customer 5× BEFORE the join and the
-    result is explicitly broadcast; orderBy+limit gives TakeOrderedAndProject
+    segment.  The segment filter shrinks customer 5× BEFORE the join; no
+    broadcast hint — customer is SF-proportional (billions of rows at
+    100 TB) so AQE's size-based choice must stay in charge (broadcast at
+    test SF, shuffle at scale).  orderBy+limit gives TakeOrderedAndProject
     (per-partition top-K, no global sort).  Ties broken by o_orderkey so the
     K-boundary is deterministic cross-engine."""
     cust = (
@@ -78,7 +80,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFram
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             round2(
@@ -95,8 +97,9 @@ def big_spender_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a high account balance, summarized by priority.  Semi-join is the
     right operator when the probe side only gates — an inner join would
     duplicate orders if the build side ever had duplicate keys, and carries
-    the build columns through the shuffle for nothing.  The filtered
-    customer key set broadcasts."""
+    the build columns through the shuffle for nothing.  No hint on the
+    filtered customer key set (user-grain, SF-proportional) — AQE
+    broadcasts it when small."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
@@ -104,9 +107,7 @@ def big_spender_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
-        )
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -119,9 +120,10 @@ def big_spender_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join: customers with NO order in the window — the
     retention / backfill-gap query shape.  Anti-join streams the big side
-    through a broadcast hash lookup of the (distinct, window-filtered)
-    order keys; the NOT-IN spelling would need null-safe special-casing
-    and the EXCEPT spelling loses the customer's columns."""
+    through a hash lookup of the (window-filtered) order keys — no hint,
+    order keys are fact-grain and AQE decides broadcast vs shuffle; the
+    NOT-IN spelling would need null-safe special-casing and the EXCEPT
+    spelling loses the customer's columns."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -132,9 +134,7 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     return (
-        cust.join(
-            F.broadcast(orders), cust.c_custkey == orders.o_custkey, "left_anti"
-        )
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
     )
 
@@ -163,8 +163,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year, both
-    directions.  supplier⋈nation and customer⋈nation are broadcast-dim
-    attaches; the only big shuffle is orders⋈lineitem.  The cross-nation
+    directions.  Only the 25-row nation dim carries a broadcast hint; the
+    nation-filtered supplier/customer sides are SF-proportional, so AQE
+    decides their join strategy.  The big shuffle is orders⋈lineitem.
+    The cross-nation
     predicate keeps BOTH (supp_nation, cust_nation) orderings — a
     post-join filter over the two attached dims, exactly the Q7 spec."""
     nation = load_table(spark, sf_dir, "nation").filter(
@@ -187,8 +189,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -207,9 +209,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier-nation's share of a region's revenue per
     order-year — conditional aggregation (sum(CASE)/sum) AFTER the join
-    chain, so the share is computed in one pass with no self-join.  All
-    dims broadcast; the fact-fact orders⋈lineitem shuffle is the only
-    exchange that grows with data size."""
+    chain, so the share is computed in one pass with no self-join.  Hints
+    only on the bounded region/nation dims; the customer/supplier sides
+    are SF-proportional and left to AQE.  The fact-fact orders⋈lineitem
+    shuffle is the only exchange that grows with data size."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     local_nations = nation.join(
@@ -232,8 +235,8 @@ def region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
-        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             round4(
@@ -285,15 +288,16 @@ def returned_item_losses(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
 
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: PROMO parts' percentage of one month's revenue.
-    part is a broadcast dim; the share is a conditional aggregate over the
-    joined scan (sum(CASE)/sum in one reduce — never two queries diffed)."""
+    part is SF-proportional (no hint — AQE broadcasts it when small); the
+    share is a conditional aggregate over the joined scan (sum(CASE)/sum
+    in one reduce — never two queries diffed)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         round4(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
@@ -322,7 +326,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -365,13 +369,14 @@ def bracketed_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from an OR of (brand, size, quantity-band)
     brackets.  The disjunction stays ONE scan with one composite predicate —
     Catalyst pushes the common p_partkey equi-key into the join and the
-    brand/size legs prune the broadcast part dim; three separate
-    filtered-union queries would read the fact three times."""
+    brand/size legs prune the part side (no hint — SF-proportional, AQE
+    decides); three separate filtered-union queries would read the fact
+    three times."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     bracket = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -428,10 +433,10 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: per-nation revenue where customer and supplier share
-    a nation, within one region and a date band.  region→nation→supplier are
-    broadcast dims; customer is mid-size (broadcast at test SF, shuffled at
-    100 TB — AQE decides); orders⋈lineitem is the one unavoidable big
-    shuffle."""
+    a nation, within one region and a date band.  Hints only on the bounded
+    region/nation dims; supplier and customer are SF-proportional (broadcast
+    at test SF, shuffled at 100 TB — AQE decides); orders⋈lineitem is the
+    one unavoidable big shuffle."""
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == VOLUME_REGION
     )
@@ -451,7 +456,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")

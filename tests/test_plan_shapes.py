@@ -152,15 +152,24 @@ def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
 
 
 def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
-    """The region→nation→supplier dim chain must broadcast — a sort-merge
-    join against a 5-row region would shuffle the fact table for nothing."""
+    """The region→nation dim chain carries explicit broadcast hints (bounded
+    tables) so the static plan already shows BroadcastHashJoin; the
+    supplier/customer sides are SF-proportional and deliberately un-hinted —
+    the static plan may sort-merge them, but AQE must converge every join to
+    broadcast at this scale (no SortMergeJoin survives in the executed
+    adaptive plan)."""
     from hadoop_pyspark_streaming_analytics_spark.operators.star import (
         local_supplier_volume,
     )
 
-    plan = plan_of(local_supplier_volume(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = local_supplier_volume(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(df)
+    # AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan =="
+    # (which legitimately sort-merges the un-hinted sides) — assert on the
+    # final section only.
+    final = final_plan_of(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
 
 
 def test_semi_and_anti_joins_are_broadcast_existence_probes(spark, sf_dir):
@@ -452,3 +461,52 @@ def test_count_min_reads_fact_twice_not_per_hash_row(spark, sf_dir):
     plan = plan_of(count_min_heavy_hitters(spark, sf_dir))
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert "BroadcastHashJoin" in plan  # the 1024-row counter table
+
+
+def test_broadcast_hint_policy():
+    """SCALE.md broadcast-hint policy, grep-enforced: every hard-coded
+    ``F.broadcast(`` call site in the package must target a PROVABLY
+    BOUNDED table (bounded by schema or algorithm parameter — nation,
+    region, centroids, cutpoints, sketch-day rows, query sets, 1-row
+    scalars), never anything doc-/user-/vocab-/order-/part-grain, filtered
+    or aggregated.  A forced hint on a corpus-proportional side overrides
+    AQE's size fallback and OOMs at 100 TB instead of degrading to a
+    shuffle join."""
+    import re
+    from pathlib import Path
+
+    import hadoop_pyspark_streaming_analytics_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    # (file, first identifier inside F.broadcast(...)) -> why it is bounded
+    allowed = {
+        ("operators/sketches.py", "b"): "per-day sketch table, 365 rows/yr",
+        ("operators/sketches.py", "cms"): "d*w=1024-row counter table",
+        ("operators/similarity.py", "q"): "ANN query set (per-request)",
+        ("operators/similarity.py", "cents"): "k centroids / PQ codebook",
+        ("operators/similarity.py", "probes"): "nprobe rows per query",
+        ("operators/corpus.py", "n_docs"): "1-row scalar",
+        ("operators/corpus.py", "cuts"): "decile cutpoints",
+        ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
+        ("operators/corpus.py", "corpus_total"): "1-row scalar",
+        ("operators/star.py", "nation"): "25 rows by TPC-H schema",
+        ("operators/star.py", "region"): "5 rows by TPC-H schema",
+        ("operators/star.py", "local_nations"): "subset of nation",
+        ("operators/star.py", "max_rev"): "1-row scalar",
+        ("operators/star.py", "avg_bal"): "1-row scalar",
+        ("operators/relational.py", "total"): "1-row scalar",
+        ("operators/windows.py", "cuts"): "decile cutpoints",
+        ("streaming/extensions.py", "dim"): "caller-contracted dimension",
+    }
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    violations = []
+    for py in sorted(root.rglob("*.py")):
+        rel = py.relative_to(root).as_posix()
+        for m in pat.finditer(py.read_text()):
+            if (rel, m.group(1)) not in allowed:
+                line = py.read_text()[: m.start()].count("\n") + 1
+                violations.append(f"{rel}:{line} F.broadcast({m.group(1)}...)")
+    assert not violations, (
+        "broadcast hint on a table not in the reviewed bounded-table "
+        f"allowlist (see SCALE.md policy): {violations}"
+    )
