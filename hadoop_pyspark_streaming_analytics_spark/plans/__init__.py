@@ -23,6 +23,41 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _TAIL = [
+    # ---- round-4 rotation -------------------------------------------------
+    # The r3 window was 50/50 green (CORRECTNESS_r03.json) and 25 catalog
+    # entries had NEVER had a driver row; this round pulls all of them into
+    # the window (plus sketch_daily_user_hll, the deliberate rows-only HLL
+    # exception — see the VERDICT r3 item 6 note in tests).  To make room,
+    # the 25 r3-green entries below rotate out; every one keeps per-round
+    # local oracle coverage (test_catalog_oracle at sf0.001 +
+    # scripts/check_sf001.py at sf0.01).
+    "bonus_categorize_expr",          # r3 green; U1 tier, twins also tailed
+    "bonus_left_join",                # r3 green; J3/P11/F6 tier
+    "q1_word_count_top20",            # r3 green; O2 plan-guarded top-k
+    "events_user_sessions",           # r3 green; sessionization tier
+    "events_values_winsorized",       # r3 green; per-type p05/p95 clamp
+    "temporal_asof_last_click",       # r3 green; backward as-of (forward
+                                      # twin temporal_asof_next_click is in)
+    "events_props_map_stats",         # r3 green; map-column stats
+    "temporal_point_in_time_value",   # r3 green; PIT join tier
+    "events_resample_hourly_locf",    # r3 green; gap-fill LOCF
+    "star_pricing_summary",           # r3 green; TPC-H Q1 shape
+    "star_shipping_priority",         # r3 green; TPC-H Q3 shape
+    "star_local_supplier_volume",     # r3 green; TPC-H Q5 shape
+    "star_forecast_revenue_change",   # r3 green; TPC-H Q6 shape
+    "star_nation_trade_volume",       # r3 green; TPC-H Q7 shape
+    "star_region_market_share",       # r3 green; TPC-H Q8 shape
+    "star_returned_item_losses",      # r3 green; TPC-H Q10 shape
+    "star_promo_revenue_share",       # r3 green; TPC-H Q14 shape
+    "star_top_supplier",              # r3 green; TPC-H Q15 shape
+    "star_large_volume_customers",    # r3 green; TPC-H Q18 shape
+    "star_bracketed_discount_revenue",  # r3 green; TPC-H Q19 shape
+    "star_inactive_rich_customers",   # r3 green; TPC-H Q22 shape
+    "stratified_sample",              # r3 green; fixed-N twin stays in
+    "train_split_assign",             # r3 green; deterministic split
+    "text_language_id",               # r3 green; n-gram language ID
+    "corpus_vocabulary",              # r3 green; vocab/doc-freq tier
+    # ---- pre-round-4 tail (unchanged) ------------------------------------
     # same-oracle twins of in-window entries
     "bonus_categorize_python_udf",   # twin of bonus_categorize_expr (U1)
     "bonus_categorize_pandas_udf",   # twin of bonus_categorize_expr (U1)
@@ -64,9 +99,10 @@ _TAIL = [
     # displaced for events_props_map_stats
     "pipeline_surviving_docs",        # r02-green composed pipeline; every
                                       # stage is separately in-window
-    # oracle-less (rows-only) sketch tier: a driver slot spent here carries
-    # no differential signal — pytest-gated (test_scale_variants roundtrip)
-    "sketch_daily_user_hll",
+    # oracle-less (rows-only) sketch tier — pytest-gated (test_scale_variants
+    # roundtrip).  sketch_daily_user_hll moved IN-window in round 4 as the
+    # tier's one deliberate rows-only driver signal (VERDICT r3 item 6);
+    # these two stay tailed (their estimates derive from the same digests).
     "sketch_merged_distinct_users",
     "sketch_rolling_7d_users",
     # r01-green derivatives of in-window entries, displaced so the round-2
@@ -82,33 +118,7 @@ _TAIL = [
     "events_top_users_per_type",
     "skew_salted_count",
     "q2_spend_distribution",
-    "q2_spend_deciles_scalable",  # round-2 scale twin of q2_spend_distribution
-
     "set_union_active_users",         # displaced for events_resample_hourly_locf
-    "events_value_anomalies_zscore",  # round-2 batch twin of the streaming
-                                      # EWMA anomaly flags (locally gated)
-    "multimodal_video_frame_features",  # round-2 real video tier (locally gated)
-    "multimodal_wav_features",        # round-2 real audio tier (locally gated)
-    "mixture_sample_by_source",       # round-2 data-recipe sampling
-    "training_shard_assignment",      # round-2 deterministic shuffle+shard
-    "dedup_edit_distance_verify",     # round-2 third dedup verify signal
-    "agg_revenue_decimal_exact",      # round-2 exact-decimal money (locally gated)
-    "q3b_customer_brand_unpivot",     # round-2 inverse-pivot (locally gated)
-    "star_segment_contribution",      # round-2 ratio-to-report (locally gated)
-    "events_weekly_change",           # round-2 WoW reporting (locally gated)
-    "star_fk_integrity_audit",        # round-2 FK audit (locally gated)
-    "events_value_histogram",         # round-2 distribution glance (locally gated)
-    "corpus_tfidf_similar_pairs",     # round-2 sparse lexical cosine (locally gated)
-    "events_cohort_retention",        # round-2 cohort analytics (locally gated)
-    "temporal_asof_next_click",       # round-2 forward as-of twin (locally gated)
-    "events_funnel_conversion",       # round-2 funnel analytics (locally gated)
-    "events_session_attribution",     # round-2 per-event session key (locally gated)
-    "events_props_typed",             # round-2 parse-once twin of events_props_avg_k
-    "events_profile_columns",         # round-2 data-quality audit (locally gated)
-    "events_user_value_scd2",         # round-2 warehouse history op (locally gated)
-    "merge_upsert_customers",         # round-2 CDC apply (locally gated)
-    "multimodal_png_features",        # round-2 real pixel tier (locally gated)
-    "multimodal_png_resize",          # round-2 real pixel tier (locally gated)
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
     "star_semi_join_big_spenders",
