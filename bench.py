@@ -57,6 +57,13 @@ def main() -> None:
     streaming = _bench_streaming(spark)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability: ``value`` grows whenever the headline
+    # set grows, so also report the frozen ROUND-2 core set (24 queries) —
+    # core_total is the number to diff against BENCH_r02/r03 regardless of
+    # how many headline queries later rounds add.
+    core_total = round(
+        sum(t for name, t in timings.items() if name in CORE_QUERIES), 3
+    )
     print(
         json.dumps(
             {
@@ -64,6 +71,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core_total": core_total,
+                "core_n": sum(1 for n in timings if n in CORE_QUERIES),
                 "sf": sf,
                 **streaming,
             }
@@ -72,13 +81,39 @@ def main() -> None:
     spark.stop()
 
 
+# The 24 headline queries of BENCH_r02.json, frozen for cross-round
+# comparability (see core_total above).  Do NOT edit when adding headline
+# queries — new ones are reported in ``queries``/``value`` only.
+CORE_QUERIES = frozenset(
+    {
+        "ann_brute_force_topk", "ann_ivf_search", "corpus_tfidf_top_terms",
+        "dedup_components", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "events_hourly_rollup", "events_resample_hourly_locf",
+        "events_session_attribution", "events_sliding_10min_5min",
+        "events_tumbling_5min", "events_user_sessions", "pack_documents",
+        "q1_word_count_top20", "q2a_customer_summary",
+        "q2b_customer_orders_window", "q3a_product_statistics",
+        "q3b_customer_brand_pivot", "q3b_customer_brand_unpivot",
+        "star_local_supplier_volume", "star_pricing_summary",
+        "star_shipping_priority", "temporal_asof_last_click",
+        "text_quality_scores",
+    }
+)
+
+
 def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     """The reference's ONE published performance fact is streaming lag: its
     3 concurrent queries (running stats / tumbling / sliding) took
     ~16.4-18.0 s per ~100-150-row micro-batch against a 10 s trigger
     (BASELINE.md, q4_streaming.ipynb warnings).  Measure the same 3-query
     workload here: one micro-batch of ``n_rows`` sensor readings processed
-    to completion by all three queries concurrently."""
+    to completion by all three queries concurrently.
+
+    Measurement protocol (matched to the batch tier after the r3 2.3×
+    phantom regression, VERDICT r3 item 3): one small warm-up pass pays
+    state-store + memory-sink + file-listing init, then best-of-2 measured
+    passes at ``n_rows``; per-query processAllAvailable splits are reported
+    so a state-store or listing stall is attributable."""
     import datetime as dt
     import shutil
     import tempfile
@@ -95,32 +130,49 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
         with_event_time,
     )
 
-    watch = tempfile.mkdtemp(prefix="bench_stream_")
-    base = dt.datetime(2024, 1, 16)
-    with open(f"{watch}/batch0.json", "w") as f:
-        for i in range(n_rows):
-            ts = (base + dt.timedelta(seconds=i % 1800)).isoformat()
-            f.write(
-                '{"sensor_id": "S%03d", "temperature": %.1f, "timestamp": "%s"}\n'
-                % (i % 10 + 1, 50.0 + (i % 400) / 10.0, ts)
-            )
-    runs = []
-    try:
-        t0 = time.perf_counter()
-        stream = with_event_time(read_sensor_stream(spark, watch))
-        runs = [
-            MemorySinkRun(spark, running_sensor_stats(stream), output_mode="update"),
-            MemorySinkRun(spark, tumbling_window_stats(stream), output_mode="update"),
-            MemorySinkRun(spark, sliding_window_max(stream), output_mode="update"),
-        ]
-        for r in runs:
-            r.process_all()
-        wall = round(time.perf_counter() - t0, 3)
-    finally:
-        for r in runs:
-            r.stop()
-        shutil.rmtree(watch, ignore_errors=True)
-    return {"streaming_3query_rows": n_rows, "streaming_3query_wall_sec": wall}
+    def write_batch(watch: str, rows: int) -> None:
+        base = dt.datetime(2024, 1, 16)
+        with open(f"{watch}/batch0.json", "w") as f:
+            for i in range(rows):
+                ts = (base + dt.timedelta(seconds=i % 1800)).isoformat()
+                f.write(
+                    '{"sensor_id": "S%03d", "temperature": %.1f, "timestamp": "%s"}\n'
+                    % (i % 10 + 1, 50.0 + (i % 400) / 10.0, ts)
+                )
+
+    def run_once(rows: int) -> tuple[float, dict[str, float]]:
+        watch = tempfile.mkdtemp(prefix="bench_stream_")
+        write_batch(watch, rows)
+        runs, splits = [], {}
+        try:
+            t0 = time.perf_counter()
+            stream = with_event_time(read_sensor_stream(spark, watch))
+            runs = [
+                ("running", MemorySinkRun(spark, running_sensor_stats(stream), output_mode="update")),
+                ("tumbling", MemorySinkRun(spark, tumbling_window_stats(stream), output_mode="update")),
+                ("sliding", MemorySinkRun(spark, sliding_window_max(stream), output_mode="update")),
+            ]
+            for qname, r in runs:
+                q0 = time.perf_counter()
+                r.process_all()
+                splits[qname] = round(time.perf_counter() - q0, 3)
+            wall = round(time.perf_counter() - t0, 3)
+        finally:
+            for _, r in runs:
+                r.stop()
+            shutil.rmtree(watch, ignore_errors=True)
+        return wall, splits
+
+    run_once(2_000)  # warm-up: state-store / sink / listing init
+    wall, splits = run_once(n_rows)
+    wall2, splits2 = run_once(n_rows)
+    if wall2 < wall:
+        wall, splits = wall2, splits2
+    return {
+        "streaming_3query_rows": n_rows,
+        "streaming_3query_wall_sec": wall,
+        "streaming_query_splits_sec": splits,
+    }
 
 
 if __name__ == "__main__":
