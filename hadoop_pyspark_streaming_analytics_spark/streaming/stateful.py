@@ -253,3 +253,63 @@ def running_stats_per_key_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def running_stats_per_key_apws(
+    df: DataFrame,
+    key_col: str = "sensor_id",
+    value_col: str = "temperature",
+) -> DataFrame:
+    """Transport twin of :func:`running_stats_per_key_tws`: the SAME
+    ``RunningStatsProcessor`` folding logic, executed end-to-end through
+    ``applyInPandasWithState`` with a ValueState→GroupState adapter.
+
+    Why it exists: transformWithState's driver-side state server speaks
+    protobuf, which some runtimes (including this sandbox) lack — so the
+    TWS operator alone is implemented-but-unprovable there.  This twin
+    carries the identical processor semantics over the older transport,
+    letting the e2e test assert the processor under a real streaming
+    engine everywhere, while the TWS leg runs wherever protobuf exists
+    (tests/test_stateful.py branches on availability instead of skipping).
+    """
+    from pyspark.sql import functions as F
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        class _ValueStateAdapter:
+            """ValueState surface (exists/get/update) over a GroupState."""
+
+            def exists(self) -> bool:
+                return state.exists
+
+            def get(self):
+                return state.get
+
+            def update(self, value) -> None:
+                state.update(tuple(value))
+
+            def clear(self) -> None:
+                state.remove()
+
+        class _HandleAdapter:
+            def getValueState(self, name, schema, ttlDurationMs=None):
+                return _ValueStateAdapter()
+
+        proc = make_running_stats_processor()
+        proc.init(_HandleAdapter())
+        out = proc.handleInputRows(key, pdfs, None)
+        if out is not None:
+            yield from out
+
+    normalized = df.select(
+        F.col(key_col).alias("sensor_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return normalized.groupBy("sensor_id").applyInPandasWithState(
+        update,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType=TWS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

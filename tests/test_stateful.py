@@ -208,22 +208,33 @@ def test_transform_with_state_processor_fold_logic():
 
 
 def test_transform_with_state_running_stats(spark, tmp_path):
-    """The Spark 4 StatefulProcessor tier end-to-end: state carries across
-    batches under the RocksDB provider, min/max/mean fold correctly per
-    key.  transformWithState's driver-side state server speaks protobuf —
-    absent from this container, so the e2e leg skips here and runs on any
-    runtime with protobuf installed."""
-    pytest.importorskip("google.protobuf")
+    """The StatefulProcessor tier end-to-end: state carries across batches,
+    min/max/mean fold correctly per key.  transformWithState's driver-side
+    state server speaks protobuf; where that is missing (this sandbox), the
+    SAME processor logic runs end-to-end through the
+    ``applyInPandasWithState`` transport twin (running_stats_per_key_apws) —
+    so the test always executes under a real streaming engine instead of
+    skipping, and exercises the genuine TWS + RocksDB path on any runtime
+    with protobuf installed."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
     from hadoop_pyspark_streaming_analytics_spark.streaming.stateful import (
+        running_stats_per_key_apws,
         running_stats_per_key_tws,
     )
 
+    operator = running_stats_per_key_tws if has_protobuf else running_stats_per_key_apws
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    if has_protobuf:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     watch = str(tmp_path / "sensors_tws")
     b0 = [
         {"sensor_id": "S1", "temperature": 10.0, "timestamp": "2024-01-16T00:01:00"},
@@ -238,9 +249,7 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         stream = with_event_time(
             read_sensor_stream(spark, watch, max_files_per_trigger=1)
         )
-        run = MemorySinkRun(
-            spark, running_stats_per_key_tws(stream), output_mode="update"
-        )
+        run = MemorySinkRun(spark, operator(stream), output_mode="update")
         try:
             run.process_all()
             write_json_batch(watch, b1, 1)
