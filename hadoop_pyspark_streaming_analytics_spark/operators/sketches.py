@@ -16,10 +16,15 @@ whole-stage codegen, no Python in the path.
 Estimates are approximate (relative error ~1.6% at the default lgK=12), so
 these operators carry NO DuckDB oracle (DuckDB's approx_count_distinct is a
 different HLL implementation) — they are gated by tests/test_llm_ops.py:
-accuracy vs exact distinct, merge-vs-direct consistency, and the rolling
-window's union semantics.  The estimates themselves are deterministic:
-DataSketches hashing has no run-time seed, so results are stable across
-runs, partitionings, and executor counts.
+accuracy vs exact distinct, merge-vs-direct consistency, the rolling
+window's union semantics, and a pinned-estimate regression test.
+Determinism caveat (measured, test_llm_ops.py:test_hll_pinned_estimates):
+DataSketches hashing has no run-time seed, so for a FIXED physical plan
+(pinned partitioning) estimates are bit-stable across runs; across
+DIFFERENT partitionings the partial-sketch merge order changes internal
+representation promotions and estimates can drift ~±0.5% — so pinned
+values must pin the partitioning too, and the driver's check for the
+in-window HLL entry is rows-only by design.
 """
 
 from __future__ import annotations
