@@ -15,7 +15,15 @@ batch and micro-batch-streaming readers:
   plain row indices; every micro-batch emits the next B rows of the SAME
   deterministic sequence until M, so replays after checkpoint recovery
   produce identical data (exactly the property a reliable source must
-  give the engine).
+  give the engine).  The stream uses ``SimpleDataSourceStreamReader``:
+  its ``read(start)`` receives the CHECKPOINTED start offset, so the
+  next offset is always derived from a committed position and a driver
+  restart can never regress the offset log (the planner-API spelling
+  kept a ``latestOffset`` counter in driver memory, which after a
+  restart briefly trailed the committed offset and could double-emit a
+  batch).  Trade-off, per the simple API's contract: stream batches
+  materialize driver-side — fine at rows_per_batch scale for a
+  synthetic/test source; the BATCH reader stays executor-parallel.
 
 Every field is a pure function of the row index (md5-mixed), so two reads
 NEVER diverge — no RNG state anywhere.
@@ -29,8 +37,8 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 # Ship by value: executors outside the repo cwd have no package on sys.path.
@@ -90,40 +98,36 @@ class _BatchReader(DataSourceReader):
             yield _row(i)
 
 
-class _StreamReader(DataSourceStreamReader):
-    """Offsets are row indices; latestOffset advances ``rows_per_batch``
-    per trigger, capped at ``max_rows`` so bounded tests terminate.
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offsets are row indices; each ``read(start)`` emits the next
+    ``rows_per_batch`` rows after the CHECKPOINTED start, capped at
+    ``max_rows`` so bounded tests terminate.
 
-    Restart safety: ``self._latest`` is driver memory and is NOT restored
-    from the checkpoint (Spark skips initialOffset when one exists), so
-    ``partitions(start, end)`` — which IS called with checkpointed
-    offsets — re-anchors the counter at the committed position, and
-    ``read`` iterates ``range(start, end)`` (empty when a post-restart
-    probe briefly trails the committed offset).  Net effect: after a
-    driver restart the source emits each row index exactly once; no
-    committed range is ever re-read."""
+    Restart safety by construction: the simple stream-reader API hands
+    ``read`` the start offset Spark recovered from the offset log, and the
+    returned next-offset is derived from it — there is NO driver-memory
+    counter to desynchronize.  The planner-API spelling this replaced kept
+    ``self._latest`` on the driver; after a checkpoint restart its fresh
+    ``latestOffset()`` (counter at 0) could return an offset BEHIND the
+    committed one, Spark would log that regressed end, and the following
+    batch re-emitted the already-delivered range — duplicates under
+    exactly-once claims.  ``readBetweenOffsets`` replays any logged range
+    deterministically (pure function of the row index)."""
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.max_rows = int(options.get("max_rows", 1000))
-        self._latest = 0
 
     def initialOffset(self):
         return {"idx": 0}
 
-    def latestOffset(self):
-        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
-        return {"idx": self._latest}
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"idx": hi}
 
-    def partitions(self, start: dict, end: dict):
-        # Re-anchor after restart: never fall behind an offset Spark has
-        # already planned or committed.
-        self._latest = max(self._latest, start["idx"], end["idx"])
-        return [_RangePartition(start["idx"], end["idx"])]
-
-    def read(self, partition: _RangePartition):
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["idx"], end["idx"])])
 
     def commit(self, end: dict) -> None:
         pass
@@ -140,7 +144,7 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(self.options)
 
-    def streamReader(self, schema) -> _StreamReader:
+    def simpleStreamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
 
 

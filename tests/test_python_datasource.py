@@ -128,3 +128,43 @@ def test_stream_composes_with_engine_window_agg(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) == 300
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """The ADVICE r3 restart scenario: stop the query mid-sequence, then
+    restart from the SAME checkpoint with a FRESH source instance (fresh
+    driver state) and let it continue.  With the simple stream reader the
+    resumed batch's start is the checkpointed offset, so the union of both
+    legs must deliver each row index exactly once — the planner-API
+    spelling re-emitted the last committed range here ([100, 200) arrived
+    twice).  Sink is parquet (fault-tolerant, unlike memory sinks, which
+    refuse checkpoint recovery)."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt_restart")
+    out = str(tmp_path / "out_restart")
+
+    def run_leg(max_rows: int) -> None:
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 100)
+            .option("max_rows", max_rows)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_leg(200)   # leg 1: commits offsets up to idx=200, then "crashes"
+    run_leg(300)   # leg 2: fresh reader, same checkpoint, resumes at 200
+    ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
+    assert len(ids) == 300, f"expected 300 rows, got {len(ids)}"
+    assert len(set(ids)) == 300, "restart re-emitted committed row indices"
+    assert set(ids) == set(range(300))
