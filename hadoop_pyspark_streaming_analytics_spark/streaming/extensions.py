@@ -179,10 +179,15 @@ def foreach_batch_lsh_dedup(
                 .filter(F.col("batch_id") < batch_id)
                 .select("band_id", "band_hash")
             )
-        except AnalysisException:  # first batch: store path doesn't exist yet
-            # ONLY the missing-path case may degrade to no-prior-state —
-            # a transient FS/permission/corruption error must propagate,
-            # not silently admit near-dups against an unreadable store.
+        except AnalysisException as e:
+            # ONLY the genuinely-missing-store first-batch case may degrade
+            # to no-prior-state.  Any other AnalysisException — an empty but
+            # existing directory ([UNABLE_TO_INFER_SCHEMA]), a schema-broken
+            # store, etc. — means the store exists but is unreadable, and
+            # MUST propagate rather than silently admit near-dups against
+            # an effectively-unreadable authority.
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
             prior = None
         victims = None
         if prior is not None:
@@ -192,11 +197,31 @@ def foreach_batch_lsh_dedup(
                 .distinct()
             )
             victims = vs_store
+        # Intra-batch victims with BATCH-PARITY semantics: connected
+        # components over the batch's collision pairs, keeping each
+        # component's smallest doc_id — exactly what the batch-mode
+        # duplicate_components → keep_canonical pipeline admits.  The
+        # earlier larger-side-of-any-collision rule diverged on chains
+        # (bucket {A,B} + bucket {B,C}: it dropped per-pair, so a doc
+        # could be dropped for colliding only with an unadmitted victim,
+        # or survive mid-chain — ADVICE r3).  A micro-batch's collision
+        # graph is tiny, so the iterative component propagation is cheap.
+        from ..operators.dedup import connected_components
+
         a, b = buckets.alias("a"), buckets.alias("b")
-        intra = (
+        pairs = (
             a.join(b, ["band_id", "band_hash"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("b.doc_id").alias("doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        comp = connected_components(pairs)
+        intra = (
+            comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
             .distinct()
         )
         # Checkpoint the (tiny) victim id set: it gates BOTH writes below,

@@ -350,3 +350,41 @@ def test_foreach_batch_lsh_dedup_across_batches_and_replay(spark, tmp_path):
         for r in spark.read.option("basePath", out).parquet(out).collect()
     )
     assert kept3 == [1, 3]  # both collide with doc 3's bands via the store
+
+
+def test_foreach_batch_lsh_dedup_intra_batch_chain_component(spark, tmp_path):
+    """Intra-batch chains must resolve with batch-parity component
+    semantics (ADVICE r3): if A~B and B~C collide inside ONE batch, the
+    admitted set is one representative per connected component (the
+    smallest doc_id) — not the per-pair larger-side rule, under which a
+    doc could be dropped for colliding only with an unadmitted victim or
+    survive mid-chain."""
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_lsh_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight while stars shine bright"
+    )
+    # A ~ B (one word differs) and B ~ C (another word differs from B);
+    # A and C differ in two words — a chain, likely not a direct collision.
+    a_txt = base
+    b_txt = base.replace("tonight", "today")
+    c_txt = b_txt.replace("quick", "swift")
+    store = str(tmp_path / "bands_chain")
+    out = str(tmp_path / "clean_chain")
+    apply_fn = foreach_batch_lsh_dedup(store, out)
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text=a_txt), Row(doc_id=2, text=b_txt), Row(doc_id=3, text=c_txt)]
+    )
+    apply_fn(batch, 0)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    # all three are one component (1~2, 2~3): exactly the min survives
+    assert kept == [1]
