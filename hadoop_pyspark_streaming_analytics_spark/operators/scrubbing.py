@@ -69,26 +69,29 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     document.  One projection pass: three ``regexp_extract_all`` counts +
     a chained ``regexp_replace``; the output carries an md5 of the
     redacted text so the oracle diff covers the replacement bytes, not
-    just the counts."""
+    just the counts.
+
+    Counting semantics (ADVICE r3): each pattern is counted on the
+    PROGRESSIVELY-redacted intermediate it is actually replaced on —
+    emails on the raw text, phones after email replacement, IPs after
+    phone replacement — so the counts equal the number of substitutions
+    performed.  Independent counts over the raw text double-count
+    overlapping entities (``a@1.2.3.4.example.com`` is consumed once as
+    [EMAIL] but would increment both n_emails and n_ips).  The DuckDB
+    oracle mirrors the same staged counting."""
     d = _with_synthetic_pii(load_table(spark, sf_dir, "documents"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("aug"), EMAIL_RE, "[EMAIL]"),
-            PHONE_RE,
-            "[PHONE]",
-        ),
-        IPV4_RE,
-        "[IP]",
-    )
+    after_email = F.regexp_replace(F.col("aug"), EMAIL_RE, "[EMAIL]")
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "[PHONE]")
+    redacted = F.regexp_replace(after_phone, IPV4_RE, "[IP]")
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("aug"), F.lit(EMAIL_RE), 0))
         .cast("int")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("aug"), F.lit(PHONE_RE), 0))
+        F.size(F.regexp_extract_all(after_email, F.lit(PHONE_RE), 0))
         .cast("int")
         .alias("n_phones"),
-        F.size(F.regexp_extract_all(F.col("aug"), F.lit(IPV4_RE), 0))
+        F.size(F.regexp_extract_all(after_phone, F.lit(IPV4_RE), 0))
         .cast("int")
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),

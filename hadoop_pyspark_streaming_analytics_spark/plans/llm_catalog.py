@@ -1148,27 +1148,38 @@ WITH aug AS (
   FROM documents
 ),
 red AS (
+  -- staged redaction: each pattern counts on the intermediate it is
+  -- actually replaced on (mirrors operators/scrubbing.py:pii_redaction)
   SELECT doc_id, aug,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(aug,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-             '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+         regexp_replace(aug,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g')
+           AS after_email
+  FROM aug
+),
+red2 AS (
+  SELECT doc_id, aug, after_email,
+         regexp_replace(after_email, '\b555-[0-9]{4}\b', '[PHONE]', 'g')
+           AS after_phone
+  FROM red
+),
+red3 AS (
+  SELECT doc_id, aug, after_email, after_phone,
+         regexp_replace(after_phone,
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
            AS redacted
-  FROM aug
+  FROM red2
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(aug,
          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS INTEGER)
+       CAST(len(regexp_extract_all(after_email, '\b555-[0-9]{4}\b')) AS INTEGER)
          AS n_phones,
-       CAST(len(regexp_extract_all(aug,
+       CAST(len(regexp_extract_all(after_phone,
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
          AS n_ips,
        md5(redacted) AS redacted_md5,
        CAST(length(aug) - length(redacted) AS INTEGER) AS chars_removed
-FROM red""",
+FROM red3""",
         headline=True,
         tags=("llm", "scrubbing"),
     ),
@@ -1249,6 +1260,90 @@ SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
        round(dist + 1e-8, 4) AS dist
 FROM best WHERE rk = 1""",
         tags=("llm", "similarity", "quantization"),
+    ),
+    # --- round-4 additions: PQ asymmetric-distance search + boilerplate ---
+    QuerySpec(
+        "ann_pq_adc_topk",
+        similarity.pq_adc_topk,
+        """
+WITH cents AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT e.vec_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
+                 - c.cvec[s.sub * 8 + i])
+                * (e.embedding[s.sub * 8 + i]::DOUBLE
+                   - c.cvec[s.sub * 8 + i]))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM pairs) WHERE rk = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+dtab AS (
+  SELECT q.query_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i])
+              * (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i]))) AS qdist
+  FROM queries q
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+approx AS (
+  SELECT d.query_id, k.vec_id, round(sum(d.qdist) + 1e-8, 4) AS adc_dist
+  FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+  WHERE k.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS rk
+      FROM approx)
+WHERE rk <= 10""",
+        headline=True,
+        tags=("llm", "similarity", "quantization", "ann"),
+    ),
+    QuerySpec(
+        "corpus_boilerplate_ngrams",
+        corpus.boilerplate_ngram_fraction,
+        """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+gfreq AS (SELECT gram, count(*) AS doc_freq FROM grams GROUP BY 1),
+boiler AS (
+  SELECT gram FROM (
+    SELECT gram, row_number() OVER (ORDER BY doc_freq DESC, gram) AS rk
+    FROM gfreq)
+  WHERE rk <= 20
+)
+SELECT g.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+         AS n_boilerplate,
+       round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / count(*) + 1e-8, 4) AS boilerplate_frac
+FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
+GROUP BY 1""",
+        tags=("llm", "corpus", "boilerplate"),
     ),
 ]
 
