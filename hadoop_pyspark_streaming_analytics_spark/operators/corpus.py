@@ -386,3 +386,54 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+def boilerplate_ngram_fraction(
+    spark: SparkSession, sf_dir: str, top_b: int = 20
+) -> DataFrame:
+    """Per-document boilerplate exposure: the fraction of a document's
+    DISTINCT trigrams that belong to the corpus's ``top_b`` most-shared
+    trigrams (ranked by document frequency, ties by gram) — the signal
+    behind header/footer/template removal in web-corpus pipelines (C4
+    strips repeated boilerplate lines; at flat-text grain the shared-
+    n-gram fraction is the analogous detector).  Output: (doc_id, n_grams,
+    n_boilerplate, boilerplate_frac); docs with < 3 tokens have no
+    trigrams and don't appear (the contamination_check convention).
+
+    Scale shape: ONE corpus scan builds the distinct (doc_id, gram) table
+    (localCheckpoint — it feeds both the frequency agg and the per-doc
+    join); gram doc-frequencies are map-side combined; the boilerplate
+    set is top_b rows via orderBy+limit (TakeOrderedAndProject — no
+    global sort) and bounded by the algorithm parameter, so the per-doc
+    attach join is against a ~20-row table (AQE broadcasts it).  No
+    corpus-sized shuffle carries text beyond the gram aggregation itself.
+    """
+    from .scrubbing import _doc_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_ngrams(docs).localCheckpoint(eager=True)
+    gfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    boiler = (
+        gfreq.orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(top_b)
+        .select("gram")
+        .withColumn("is_boiler", F.lit(1))
+    )
+    return (
+        grams.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("int")
+            .alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate") / F.col("n_grams") + F.lit(1e-8), 4
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -576,3 +576,74 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search (ADC, Jégou et al. TPAMI 2011
+    §IV): per query, pre-compute the (subspace × code) distance table
+    against the codebook, then score every vector by SUMMING the table
+    entries its stored PQ codes select — the uncompressed query against
+    the compressed corpus, which is how a 100 TB vector store is actually
+    scanned (reference parity: the ANN tier of SURVEY.md §2; no reference
+    file implements PQ — this extends the quantization tier pq_codes
+    builds).
+
+    Plan shape: the distance table is |queries|·PQ_M·PQ_K rows (640 here)
+    — bounded by algorithm parameters, broadcast; the codes table
+    (corpus × PQ_M rows, int-sized) joins it on (sub, code) with NO
+    corpus-sized shuffle before the per-(query, vec) partial-aggregated
+    sum.  At scale the codes table is ~64× smaller than the raw
+    embeddings, so the whole scan is bandwidth-cheap; re-ranking the
+    top-k against raw vectors (brute_force_topk on the candidate ids) is
+    the standard second stage and deliberately out of scope here.
+
+    Distances are rounded to 4dp (+1e-8) before ranking with a vec_id
+    tiebreak — the cross-engine float discipline every similarity
+    operator uses."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = pq_codes(spark, sf_dir).select("vec_id", "sub", "code")
+    cents = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
+    # (query, sub, code) -> squared L2 of the query subvector vs codeword:
+    # 640 rows, computed once, broadcast into the codes scan.
+    dtab = (
+        queries.select("query_id", "q_emb", sub)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.expr(
+                f"aggregate(zip_with("
+                f"  slice(q_emb, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"  slice(cvec, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+                f"  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                f"          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+                f"  0D, (acc, v) -> acc + v)"
+            ).alias("qdist"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qdist") + F.lit(1e-8), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        approx.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+    )

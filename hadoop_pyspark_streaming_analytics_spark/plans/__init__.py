@@ -57,6 +57,10 @@ _TAIL = [
     "train_split_assign",             # r3 green; deterministic split
     "text_language_id",               # r3 green; n-gram language ID
     "corpus_vocabulary",              # r3 green; vocab/doc-freq tier
+    # displaced for the round-4 additions ann_pq_adc_topk +
+    # corpus_boilerplate_ngrams (both never gated → must be in-window)
+    "q3a_product_statistics",         # r1+r3 green; explode/nested tier
+    "q3b_customer_brand_pivot",       # r1+r3 green; unpivot twin is in-window
     # ---- pre-round-4 tail (unchanged) ------------------------------------
     # same-oracle twins of in-window entries
     "bonus_categorize_python_udf",   # twin of bonus_categorize_expr (U1)

@@ -60,6 +60,9 @@ def test_driver_window_priority():
         "text_pii_redaction",
         # the deliberate rows-only HLL driver signal (VERDICT r3 item 6)
         "sketch_daily_user_hll",
+        # round-4 new operators (never gated)
+        "ann_pq_adc_topk",
+        "corpus_boilerplate_ngrams",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

@@ -485,6 +485,7 @@ def test_broadcast_hint_policy():
         ("operators/similarity.py", "q"): "ANN query set (per-request)",
         ("operators/similarity.py", "cents"): "k centroids / PQ codebook",
         ("operators/similarity.py", "probes"): "nprobe rows per query",
+        ("operators/similarity.py", "dtab"): "|queries|*M*K ADC dist table",
         ("operators/corpus.py", "n_docs"): "1-row scalar",
         ("operators/corpus.py", "cuts"): "decile cutpoints",
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
@@ -510,3 +511,19 @@ def test_broadcast_hint_policy():
         "broadcast hint on a table not in the reviewed bounded-table "
         f"allowlist (see SCALE.md policy): {violations}"
     )
+
+
+def test_pq_adc_topk_broadcasts_table_and_partially_aggregates(spark, sf_dir):
+    """ADC search must join the (bounded, broadcast) per-query distance
+    table into the codes scan with a hash join — never a sort-merge or a
+    corpus-sized cartesian — and the per-(query, vec) distance sum must
+    partially aggregate before its exchange."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    plan = plan_of(pq_adc_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
