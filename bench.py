@@ -35,11 +35,18 @@ def main() -> None:
     # before measurement — bench numbers are steady-state execution, not
     # first-query JVM warm-up (which dominated: 5.2s cold vs 2.0s warm).
     warm_dir = "/root/testdata/sf0.001"
+    import gc
+
     for spec in specs:
         try:
             spec.builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+        # Release the Python-side DataFrame refs so py4j drops the JVM
+        # handles and the ContextCleaner can reclaim localCheckpoint blocks
+        # — otherwise checkpointed RDDs from every prior query accumulate
+        # in block-manager memory and skew later measurements.
+        gc.collect()
 
     # Steady-state timing: best of 2 measured runs per query (single-JVM
     # local mode has ~±0.5 s GC/scheduler noise per query; min-of-N is the
@@ -52,6 +59,8 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            del df
+            gc.collect()
         timings[spec.name] = round(best, 3)
 
     streaming = _bench_streaming(spark)
