@@ -66,6 +66,17 @@ def test_driver_window_priority():
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
+    # the window must be exactly full: if non-tail entries exceed
+    # DRIVER_WINDOW, whichever sorts last silently falls outside the
+    # driver's evaluation — the failure mode this whole policy exists to
+    # prevent.  (Fewer than DRIVER_WINDOW would waste hard-signal slots.)
+    from hadoop_pyspark_streaming_analytics_spark.plans import _TAIL
+
+    non_tail = len(CATALOG) - len(_TAIL)
+    assert non_tail == DRIVER_WINDOW, (
+        f"{non_tail} non-tail entries vs {DRIVER_WINDOW} driver slots — "
+        "update _TAIL in plans/__init__.py"
+    )
     # every driver slot must carry a hard differential check — an
     # oracle-less entry inside the window wastes one of the 50 slots.
     # One reviewed exception: sketch_daily_user_hll (DataSketches digests

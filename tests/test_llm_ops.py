@@ -1085,3 +1085,47 @@ def test_hll_pinned_estimates(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).collect()[0]["est"]
     assert merged == 932
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """ADC quality gate: PQ-compressed distances must retrieve a
+    substantial fraction of the TRUE L2 top-10 — measured 0.34 recall@10
+    with the deliberately-untrained first-16-vectors codebook (the
+    oracle-reproducible choice; a k-means-trained codebook per subspace is
+    the production upgrade and would raise this).  Floor at 0.25: far
+    above the ~0.02 random baseline, low enough to survive codebook-free
+    determinism across testdata regenerations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(embedding, q_emb,"
+        " (x,y) -> (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))"
+        "        * (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
+        " 0D, (a,v) -> a+v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("l2", l2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .collect()
+    }
+    adc = {
+        (r["query_id"], r["vec_id"]) for r in pq_adc_topk(spark, SF).collect()
+    }
+    assert len(exact) == 50 and len(adc) == 50
+    recall = len(adc & exact) / len(exact)
+    assert recall >= 0.25, f"ADC recall@10 collapsed: {recall}"
