@@ -593,20 +593,24 @@ def pq_adc_topk(
     file implements PQ — this extends the quantization tier pq_codes
     builds).
 
-    Plan shape: the distance table is |queries|·PQ_M·PQ_K rows (640 here)
-    — bounded by algorithm parameters, broadcast; the codes table
-    (corpus × PQ_M rows, int-sized) joins it on (sub, code) with NO
-    corpus-sized shuffle before the per-(query, vec) partial-aggregated
-    sum.  At scale the codes table is ~64× smaller than the raw
-    embeddings, so the whole scan is bandwidth-cheap; re-ranking the
+    Plan shape — scan-speed by construction, which is the entire point of
+    PQ: the codebook collapses to ONE broadcast row (PQ_K ordered structs)
+    and the per-query distance tables to |queries| broadcast rows (each a
+    PQ_M·PQ_K-entry ordered array), so code assignment AND the ADC sum are
+    a single codegen projection over one corpus scan — no corpus-sized
+    shuffle anywhere.  (A (sub, code)-join + per-(query, vec) groupBy
+    spelling would shuffle |queries|·PQ_M·|corpus| partial rows — 40× the
+    corpus here — because pq_codes' long output hashes (vec_id, sub) apart;
+    deliberately avoided.)  The only exchange is the per-query top-k
+    window, and filter(row_number ≤ k) plans WindowGroupLimit, so each
+    scan partition forwards at most k rows per query.  Re-ranking the
     top-k against raw vectors (brute_force_topk on the candidate ids) is
     the standard second stage and deliberately out of scope here.
 
-    Distances are rounded to 4dp (+1e-8) before ranking with a vec_id
-    tiebreak — the cross-engine float discipline every similarity
-    operator uses."""
+    The argmin tiebreak (dist, then code) and the 4dp (+1e-8) rounding
+    before the vec_id-tiebroken ranking mirror pq_codes and the rest of
+    the similarity tier — the cross-engine float discipline."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codes = pq_codes(spark, sf_dir).select("vec_id", "sub", "code")
     cents = emb.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), F.col("embedding").alias("cvec")
     )
@@ -614,8 +618,17 @@ def pq_adc_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
-    # (query, sub, code) -> squared L2 of the query subvector vs codeword:
-    # 640 rows, computed once, broadcast into the codes scan.
+    sqdist = (
+        "aggregate(zip_with("
+        f"  slice({{a}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"  slice({{b}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        "  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        "  0D, (acc, v) -> acc + v)"
+    )
+    # Per-query ADC table: qd[sub * PQ_K + code] = ||q_sub - codeword||².
+    # array_sort on (sub, code) structs pins the entry order (collect_list
+    # alone is unordered), giving |queries| rows of PQ_M·PQ_K doubles.
     dtab = (
         queries.select("query_id", "q_emb", sub)
         .crossJoin(F.broadcast(cents))
@@ -623,27 +636,57 @@ def pq_adc_topk(
             "query_id",
             "sub",
             "code",
-            F.expr(
-                f"aggregate(zip_with("
-                f"  slice(q_emb, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-                f"  slice(cvec, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-                f"  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-                f"          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-                f"  0D, (acc, v) -> acc + v)"
-            ).alias("qdist"),
+            F.expr(sqdist.format(a="q_emb", b="cvec")).alias("qdist"),
         )
     )
-    approx = (
-        codes.join(F.broadcast(dtab), ["sub", "code"])
+    qtab = dtab.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code", "qdist"))),
+            lambda x: x["qdist"],
+        ).alias("qd")
+    )
+    # The whole codebook as one broadcast row, ordered by code — the
+    # in-scan argmin walks it in code order so strict-less keeps the
+    # smallest code on ties (== pq_codes' min(struct(dist, code))).
+    cb = cents.agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cb")
+    )
+    codes_expr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), sub ->"
+        "  aggregate(cb,"
+        "    named_struct('d', CAST('Infinity' AS DOUBLE),"
+        "                 'c', CAST(-1 AS BIGINT)),"
+        "    (acc, e) -> CASE WHEN "
+        + sqdist.format(a="embedding", b="e.cvec")
+        + " < acc.d THEN named_struct('d', "
+        + sqdist.format(a="embedding", b="e.cvec")
+        + ", 'c', e.code) ELSE acc END,"
+        "    acc -> acc.c))"
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cb))
+        .select("vec_id", codes_expr.alias("codes"))
+        .crossJoin(F.broadcast(qtab))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qdist") + F.lit(1e-8), 4).alias("adc_dist"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(
+                    f"aggregate(sequence(0, {PQ_M - 1}), 0D, (acc, s) ->"
+                    f" acc + element_at(qd, CAST(s * {PQ_K}"
+                    f" + element_at(codes, s + 1) + 1 AS INT)))"
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
     return (
-        approx.withColumn("rk", F.row_number().over(w).cast("int"))
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "adc_dist", "rk")
     )

@@ -485,7 +485,8 @@ def test_broadcast_hint_policy():
         ("operators/similarity.py", "q"): "ANN query set (per-request)",
         ("operators/similarity.py", "cents"): "k centroids / PQ codebook",
         ("operators/similarity.py", "probes"): "nprobe rows per query",
-        ("operators/similarity.py", "dtab"): "|queries|*M*K ADC dist table",
+        ("operators/similarity.py", "cb"): "1-row collapsed PQ codebook",
+        ("operators/similarity.py", "qtab"): "|queries| rows of M*K dists",
         ("operators/corpus.py", "n_docs"): "1-row scalar",
         ("operators/corpus.py", "cuts"): "decile cutpoints",
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
@@ -513,17 +514,24 @@ def test_broadcast_hint_policy():
     )
 
 
-def test_pq_adc_topk_broadcasts_table_and_partially_aggregates(spark, sf_dir):
-    """ADC search must join the (bounded, broadcast) per-query distance
-    table into the codes scan with a hash join — never a sort-merge or a
-    corpus-sized cartesian — and the per-(query, vec) distance sum must
-    partially aggregate before its exchange."""
+def test_pq_adc_topk_is_single_scan_with_partial_topk(spark, sf_dir):
+    """ADC search must be scan-speed: the codebook (1 row) and the
+    per-query distance tables (|queries| rows) attach via broadcast
+    nested-loop joins — bounded build sides, the one place BNLJ is the
+    right plan — and code assignment + the ADC sum happen inside the
+    projection.  The per-query top-k must plan WindowGroupLimit BOTH
+    per-partition (before the exchange) and finally, so the only
+    corpus-wide exchange carries at most k rows per partition per query —
+    never a (sub, code)-join + per-(query, vec) groupBy, which would
+    shuffle |queries|·PQ_M·|corpus| partial rows."""
     from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
         pq_adc_topk,
     )
 
     plan = plan_of(pq_adc_topk(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    # formatted mode prints each node twice (tree + detail entry)
+    assert plan.count("WindowGroupLimit") == 4  # partial + final
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan.split("WindowGroupLimit")[0]
