@@ -32,6 +32,12 @@ _TAIL = [
     # local oracle coverage (test_catalog_oracle at sf0.001 +
     # scripts/check_sf001.py at sf0.01).
     "bonus_categorize_expr",          # r3 green; U1 tier, twins also tailed
+    "q2a_customer_summary",           # r1+r2+r3 green; flagship (still the
+                                      # entry() smoke + locally oracle-diffed);
+                                      # displaced so dedup_ngram_jaccard — a
+                                      # hint-removal-affected op — gets its r4 row
+    "q2b_customer_orders_window",     # r1+r2+r3 green; displaced for
+                                      # dedup_keep_canonical (hint removal)
     "bonus_left_join",                # r3 green; J3/P11/F6 tier
     "q1_word_count_top20",            # r3 green; O2 plan-guarded top-k
     "events_user_sessions",           # r3 green; sessionization tier
@@ -72,7 +78,6 @@ _TAIL = [
     # embedding_quantize_int8).  Every one is a near-twin or derivative of
     # an entry still in-window and stays locally oracle-diffed per round.
     "dedup_simhash",                  # hash-fingerprint twin of minhash tier
-    "dedup_keep_canonical",           # derivative of dedup_components
     "ann_partitioned_topk",           # twin of ann_brute_force_topk
     "ann_ivf_assign",                 # subsumed by ann_ivf_search/kmeans
     "embedding_near_duplicates",      # superseded by the _lsh twin (in-window)
@@ -87,7 +92,6 @@ _TAIL = [
     "events_hourly_rollup",           # ROLLUP; CUBE twin already tail-gated
     "events_ewma_per_user",           # batch twin of the streaming EWMA
     "events_type_percentiles",        # r01+r02 green exact-percentile tier
-    "dedup_ngram_jaccard",            # exactness baseline of the LSH tier
     # displaced for temporal_point_in_time_value + stratified_fixed_n_sample
     "events_tumbling_5min",           # T2; pytest+golden-gated (test_streaming)
     "multimodal_frame_sample",        # stub-codec tier; png_decode stays in

@@ -58,6 +58,9 @@ def test_driver_window_priority():
         "corpus_tfidf_top_terms",
         "dedup_keep_best_quality",
         "text_pii_redaction",
+        "dedup_ngram_jaccard",
+        "dedup_keep_canonical",
+        "corpus_tfidf_similar_pairs",
         # the deliberate rows-only HLL driver signal (VERDICT r3 item 6)
         "sketch_daily_user_hll",
         # round-4 new operators (never gated)
