@@ -1129,3 +1129,36 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert len(exact) == 50 and len(adc) == 50
     recall = len(adc & exact) / len(exact)
     assert recall >= 0.25, f"ADC recall@10 collapsed: {recall}"
+
+
+def test_boilerplate_fraction_bounds_and_ranking(spark):
+    """Boilerplate exposure semantics on the real corpus: fractions in
+    [0, 1]; the total boilerplate-gram hits across docs must equal the
+    summed doc-frequency of the top-B shared trigrams (each doc counts a
+    distinct gram once — the inverted identity of the doc_freq ranking);
+    and at least one document must have non-zero exposure (the synthetic
+    31-word vocabulary guarantees shared trigrams)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        boilerplate_ngram_fraction,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.scrubbing import (
+        _doc_ngrams,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = boilerplate_ngram_fraction(spark, SF).collect()
+    assert all(0.0 <= r["boilerplate_frac"] <= 1.0 for r in rows)
+    assert all(0 <= r["n_boilerplate"] <= r["n_grams"] for r in rows)
+    assert any(r["n_boilerplate"] > 0 for r in rows)
+
+    grams = _doc_ngrams(load_table(spark, SF, "documents"))
+    top20 = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(20)
+        .collect()
+    )
+    assert sum(r["df"] for r in top20) == sum(r["n_boilerplate"] for r in rows)
