@@ -690,3 +690,116 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "adc_dist", "rk")
     )
+
+
+def ivf_pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    rerank: int | None = 30,
+) -> DataFrame:
+    """The production ANN composition — IVF pruning + PQ/ADC scoring +
+    exact re-rank, i.e. the full IVFADC pipeline of Jégou et al. (TPAMI
+    2011 §V) assembled from this module's tested parts:
+
+    1. rank centroids per query and keep the best ``nprobe`` clusters
+       (:func:`ivf_search`'s probe step — at 100 TB the cluster id is the
+       stored index's partition column, so this prunes the SCAN);
+    2. ADC-score ONLY vectors assigned to probed clusters against the
+       per-query subspace distance table (:func:`pq_adc_topk`'s in-scan
+       projection — the codes are 64× smaller than raw vectors);
+    3. optionally re-rank the best ``rerank`` ADC candidates per query
+       with EXACT squared L2 on the raw vectors (the standard accuracy
+       recovery: only k·rerank raw-vector reads per query ever happen).
+
+    Plan: everything broadcast except the corpus scan; per-query top-k
+    via WindowGroupLimit both at the ADC cut and the final cut.  Returns
+    (query_id, vec_id, dist, rk) where dist is exact L2 when re-ranking
+    (rounded 4dp +1e-8) and the ADC approximation otherwise.
+
+    Pytest-gated (recall floor + rerank-exactness in test_llm_ops); a
+    driver-window slot is a round-5 rotation candidate — the oracle is
+    the composition of the ivf_search and pq_adc_topk oracles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # -- stage 1: probe selection (tiny x tiny) --
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # -- stage 2: ADC over the pruned scan --
+    adc_all = pq_adc_topk(
+        spark, sf_dir, query_ids=query_ids, k=max(k, rerank or 0)
+    )
+    # candidate gate: (query, vec) pairs whose vector lives in a probed
+    # cluster.  At 100 TB the gate IS partition pruning of the codes scan;
+    # here it composes as a join against the (|queries|*nprobe)-row probe
+    # set attached to the assignment map.
+    cand = assign.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "vec_id"
+    )
+    pruned = adc_all.drop("rk").join(cand, ["query_id", "vec_id"])
+    if rerank is None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            pruned.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk")
+        )
+    # -- stage 3: exact re-rank of the top-`rerank` ADC candidates --
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        pruned.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .join(
+            F.broadcast(queries),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, q_emb,"
+                    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                    "         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+                    " 0D, (acc, v) -> acc + v)"
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("dist"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(we).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "dist", "rk")
+    )

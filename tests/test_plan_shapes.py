@@ -487,6 +487,7 @@ def test_broadcast_hint_policy():
         ("operators/similarity.py", "probes"): "nprobe rows per query",
         ("operators/similarity.py", "cb"): "1-row collapsed PQ codebook",
         ("operators/similarity.py", "qtab"): "|queries| rows of M*K dists",
+        ("operators/similarity.py", "queries"): "ANN query set (per-request)",
         ("operators/corpus.py", "n_docs"): "1-row scalar",
         ("operators/corpus.py", "cuts"): "decile cutpoints",
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
