@@ -611,11 +611,23 @@ def pq_adc_topk(
     before the vec_id-tiebroken ranking mirror pq_codes and the rest of
     the similarity tier — the cross-engine float discipline."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"), F.col("embedding").alias("cvec")
-    )
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return adc_topk_for_queries(emb, queries, k)
+
+
+def adc_topk_for_queries(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """ADC core over an arbitrary (query_id, q_emb) set — the reusable
+    engine behind :func:`pq_adc_topk` (fixed corpus query ids) and the
+    streaming retrieval handler (micro-batches of external queries,
+    streaming/extensions.foreach_batch_adc_topk).  See pq_adc_topk for
+    the plan-shape discussion; ``emb`` supplies both the corpus to scan
+    and the first-PQ_K codebook rows."""
+    cents = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cvec")
     )
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
     sqdist = (

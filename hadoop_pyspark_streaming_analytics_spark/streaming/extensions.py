@@ -239,3 +239,37 @@ def foreach_batch_lsh_dedup(
         ).parquet(f"{store_path}/batch_id={batch_id}")
 
     return apply
+
+
+def foreach_batch_adc_topk(
+    sf_dir: str, out_path: str, k: int = 10
+) -> Callable[[DataFrame, int], None]:
+    """Online vector retrieval: a foreachBatch stage that scores each
+    micro-batch of query embeddings against the STATIC PQ-compressed
+    corpus with asymmetric-distance computation and writes each query's
+    top-``k`` neighbors — the streaming face of
+    operators/similarity.py:pq_adc_topk (same scan-speed plan per batch:
+    1-row broadcast codebook, per-query broadcast distance tables,
+    WindowGroupLimit top-k; no corpus-sized shuffle).
+
+    Micro-batch schema: (query_id, q_emb array<float>).  State: none —
+    the corpus/codebook are read per batch (at scale, a cached/compacted
+    codes table); retrieval is embarrassingly replayable, so exactly-once
+    comes from the same batch_id=N overwrite discipline as the other
+    foreachBatch sinks here (a replayed batch rewrites its own directory).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import adc_topk_for_queries
+        from ..sources.readers import load_table
+
+        spark = batch_df.sparkSession
+        queries = batch_df.select("query_id", "q_emb")
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        adc_topk_for_queries(emb, queries, k).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return apply

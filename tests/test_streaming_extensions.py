@@ -388,3 +388,41 @@ def test_foreach_batch_lsh_dedup_intra_batch_chain_component(spark, tmp_path):
     )
     # all three are one component (1~2, 2~3): exactly the min survives
     assert kept == [1]
+
+
+def test_foreach_batch_adc_topk_matches_batch_path(spark, tmp_path):
+    """Streaming retrieval parity: feeding corpus vectors 0-4 as the query
+    stream must produce EXACTLY pq_adc_topk's batch answer (same engine
+    underneath), split across micro-batches; replaying a batch is
+    idempotent (overwrite discipline)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "retrieval")
+    apply_fn = foreach_batch_adc_topk(sf, out)
+    emb = load_table(spark, sf, "embeddings")
+    q = lambda ids: emb.filter(F.col("vec_id").isin(*ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    apply_fn(q((0, 1, 2)), 0)
+    apply_fn(q((3, 4)), 1)
+    apply_fn(q((3, 4)), 1)  # replay: must overwrite, not duplicate
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in spark.read.option("basePath", out).parquet(out)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+        .collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in pq_adc_topk(spark, sf).collect()
+    )
+    assert got == want
