@@ -617,27 +617,140 @@ def pq_adc_topk(
     return adc_topk_for_queries(emb, queries, k)
 
 
-def adc_topk_for_queries(
-    emb: DataFrame, queries: DataFrame, k: int = 10
-) -> DataFrame:
-    """ADC core over an arbitrary (query_id, q_emb) set — the reusable
-    engine behind :func:`pq_adc_topk` (fixed corpus query ids) and the
-    streaming retrieval handler (micro-batches of external queries,
-    streaming/extensions.foreach_batch_adc_topk).  See pq_adc_topk for
-    the plan-shape discussion; ``emb`` supplies both the corpus to scan
-    and the first-PQ_K codebook rows."""
-    cents = emb.filter(F.col("vec_id") < PQ_K).select(
+#: Per-subspace squared-L2 template over two array columns (sub in scope).
+_SUBSQ = (
+    "aggregate(zip_with("
+    f"  slice({{a}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+    f"  slice({{b}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+    "  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    "          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    "  0D, (acc, v) -> acc + v)"
+)
+
+
+def l2sq_expr(a: str, b: str):
+    """Full-vector squared L2 as a Catalyst column over two array<float>
+    columns — the metric PQ/ADC approximates and the exact re-rank uses."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """The deterministic first-PQ_K-vectors codebook as (code, cvec) —
+    oracle-rebuildable (see :func:`pq_codes`); kept float so distances are
+    bit-identical whether cvec comes from this or a materialized copy."""
+    return emb.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code"), F.col("embedding").alias("cvec")
     )
-    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
-    sqdist = (
-        "aggregate(zip_with("
-        f"  slice({{a}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-        f"  slice({{b}}, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
-        "  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        "          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        "  0D, (acc, v) -> acc + v)"
+
+
+def build_pq_codes_compact(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Compact PQ code assignment: (vec_id, codes array<int>) — the row-
+    per-vector twin of :func:`pq_codes`' long form, and the thing a 100 TB
+    vector store actually PERSISTS (64 floats → PQ_M 4-bit codes, 64×
+    smaller).  The codebook collapses to ONE broadcast row and the argmin
+    over (subspace × code) runs inside a single codegen projection — one
+    scan, zero shuffle.  The in-scan argmin walks the code-ordered array so
+    strict-less keeps the smallest code on ties (== pq_codes'
+    min(struct(dist, code)) tiebreak)."""
+    cb = cents.agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cb")
     )
+    codes_expr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), sub ->"
+        "  CAST(aggregate(cb,"
+        "    named_struct('d', CAST('Infinity' AS DOUBLE),"
+        "                 'c', CAST(-1 AS BIGINT)),"
+        "    (acc, e) -> CASE WHEN "
+        + _SUBSQ.format(a="embedding", b="e.cvec")
+        + " < acc.d THEN named_struct('d', "
+        + _SUBSQ.format(a="embedding", b="e.cvec")
+        + ", 'c', e.code) ELSE acc END,"
+        "    acc -> acc.c) AS INT))"
+    )
+    return emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", codes_expr.alias("codes")
+    )
+
+
+def materialize_pq_index(
+    spark: SparkSession, sf_dir: str, path: str, n_centroids: int = 8
+) -> None:
+    """Build-once persistence of the PQ index: ``{path}/codes`` holds
+    (vec_id, codes) PARTITIONED BY the vector's IVF cell (centroid_id) and
+    ``{path}/codebook`` the PQ_K (code, cvec) rows.  This is the point of
+    PQ at 100 TB — assignment runs once at build time, every later
+    query/micro-batch scans the 64×-smaller codes table, and an IVF probe
+    becomes literal partition PRUNING of the codes scan (the directory
+    layout is the index).  Consumed by :func:`load_pq_index` and the
+    streaming retrieval handler (streaming/extensions.py)."""
+    from ..sources.sinks import write_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = pq_codebook(emb)
+    assign = ivf_assign(spark, sf_dir, n_centroids).select(
+        "vec_id", "centroid_id"
+    )
+    codes = build_pq_codes_compact(emb, cents).join(assign, "vec_id")
+    write_parquet(codes, f"{path}/codes", partition_by=["centroid_id"])
+    write_parquet(cents, f"{path}/codebook")
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebook) from a :func:`materialize_pq_index` layout."""
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebook"),
+    )
+
+
+def adc_topk_for_queries(
+    emb: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    codes: DataFrame | None = None,
+    cents: DataFrame | None = None,
+    cand: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC core over an arbitrary (query_id, q_emb) set — the reusable
+    engine behind :func:`pq_adc_topk` (fixed corpus query ids),
+    :func:`ivf_pq_search` (probed-cluster gate) and the streaming
+    retrieval handler (micro-batches of external queries,
+    streaming/extensions.foreach_batch_adc_topk).  See pq_adc_topk for
+    the plan-shape discussion.
+
+    * ``codes`` / ``cents`` — a materialized (vec_id, codes) table and
+      (code, cvec) codebook (:func:`load_pq_index`).  When given, the
+      corpus scan reads ONLY the 64×-smaller codes — no raw-vector read
+      anywhere; ``emb`` may be None.  Without them, codes are assigned
+      in-scan from ``emb`` (the small-data convenience path).
+    * ``cand`` — optional (query_id, vec_id) gate applied BEFORE scoring
+      and BEFORE the top-k window (IVFADC: only vectors in probed cells
+      are ever ADC-scored, so probed candidates can never be displaced by
+      unprobed global leaders).  At 100 TB the gate is partition pruning
+      of the codes table (materialize_pq_index partitions by centroid_id);
+      here it composes as an equi-join that AQE sizes.
+    * ``exclude_self`` — drop vec_id == query_id rows.  True for corpus-
+      internal queries (a vector is trivially its own nearest neighbor);
+      MUST be False for external query streams, where an id collision
+      with a corpus vec_id is meaningless and would silently drop an
+      unrelated vector (round-4 advice)."""
+    if codes is None or cents is None:
+        if emb is None:
+            raise ValueError("need emb when codes/cents are not materialized")
+        if cents is None:
+            cents = pq_codebook(emb)
+        if codes is None:
+            codes = build_pq_codes_compact(emb, cents)
+    sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
     # Per-query ADC table: qd[sub * PQ_K + code] = ||q_sub - codeword||².
     # array_sort on (sub, code) structs pins the entry order (collect_list
     # alone is unordered), giving |queries| rows of PQ_M·PQ_K doubles.
@@ -648,7 +761,7 @@ def adc_topk_for_queries(
             "query_id",
             "sub",
             "code",
-            F.expr(sqdist.format(a="q_emb", b="cvec")).alias("qdist"),
+            F.expr(_SUBSQ.format(a="q_emb", b="cvec")).alias("qdist"),
         )
     )
     qtab = dtab.groupBy("query_id").agg(
@@ -657,42 +770,26 @@ def adc_topk_for_queries(
             lambda x: x["qdist"],
         ).alias("qd")
     )
-    # The whole codebook as one broadcast row, ordered by code — the
-    # in-scan argmin walks it in code order so strict-less keeps the
-    # smallest code on ties (== pq_codes' min(struct(dist, code))).
-    cb = cents.agg(
-        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cb")
-    )
-    codes_expr = F.expr(
-        f"transform(sequence(0, {PQ_M - 1}), sub ->"
-        "  aggregate(cb,"
-        "    named_struct('d', CAST('Infinity' AS DOUBLE),"
-        "                 'c', CAST(-1 AS BIGINT)),"
-        "    (acc, e) -> CASE WHEN "
-        + sqdist.format(a="embedding", b="e.cvec")
-        + " < acc.d THEN named_struct('d', "
-        + sqdist.format(a="embedding", b="e.cvec")
-        + ", 'c', e.code) ELSE acc END,"
-        "    acc -> acc.c))"
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(cb))
-        .select("vec_id", codes_expr.alias("codes"))
-        .crossJoin(F.broadcast(qtab))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                F.expr(
-                    f"aggregate(sequence(0, {PQ_M - 1}), 0D, (acc, s) ->"
-                    f" acc + element_at(qd, CAST(s * {PQ_K}"
-                    f" + element_at(codes, s + 1) + 1 AS INT)))"
-                )
-                + F.lit(1e-8),
-                4,
-            ).alias("adc_dist"),
-        )
+    if cand is not None:
+        # Gate first: only probed (query, vec) pairs are ever paired with
+        # a distance table or scored — the pruned-scan shape of IVFADC.
+        paired = codes.join(cand, "vec_id").join(F.broadcast(qtab), "query_id")
+    else:
+        paired = codes.crossJoin(F.broadcast(qtab))
+    if exclude_self:
+        paired = paired.filter(F.col("vec_id") != F.col("query_id"))
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), 0D, (acc, s) ->"
+                f" acc + element_at(qd, CAST(s * {PQ_K}"
+                f" + element_at(codes, s + 1) + 1 AS INT)))"
+            )
+            + F.lit(1e-8),
+            4,
+        ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
@@ -732,9 +829,17 @@ def ivf_pq_search(
     (query_id, vec_id, dist, rk) where dist is exact L2 when re-ranking
     (rounded 4dp +1e-8) and the ADC approximation otherwise.
 
-    Pytest-gated (recall floor + rerank-exactness in test_llm_ops); a
-    driver-window slot is a round-5 rotation candidate — the oracle is
-    the composition of the ivf_search and pq_adc_topk oracles.
+    Metric discipline (round-4 advice): probe ranking, ADC scoring and
+    the exact re-rank all use squared L2 end-to-end.  The cell ASSIGNMENT
+    (:func:`ivf_assign`) ranks by cosine — equivalent by construction on
+    this corpus because the embeddings are unit-normalized
+    (‖a−b‖² = 2·(1−cos) for unit vectors, a monotone map), which
+    tests/test_llm_ops.py::test_embeddings_unit_norm_and_metric_equivalence
+    pins; on un-normalized data, rebuild the index with an L2 argmin.
+
+    Driver-gated (ann_ivf_pq_search: the oracle composes the proven
+    ivf_search and pq_adc_topk oracles) + pytest recall floor and
+    rerank-exactness in test_llm_ops.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
@@ -744,48 +849,41 @@ def ivf_pq_search(
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    # -- stage 1: probe selection (tiny x tiny) --
+    # -- stage 1: probe selection (tiny x tiny), squared L2 ascending; 6dp
+    # pre-round mirrors ivf_assign so float noise cannot flip a probe
+    # across engines --
     probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", F.round(cosine_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
+        "cl2", F.round(l2sq_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
     )
     wp = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
+        F.col("cl2").asc(), F.col("centroid_id").asc()
     )
     probes = (
         probe_scored.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "centroid_id")
     )
-    # -- stage 2: ADC over the pruned scan --
-    adc_all = pq_adc_topk(
-        spark, sf_dir, query_ids=query_ids, k=max(k, rerank or 0)
-    )
-    # candidate gate: (query, vec) pairs whose vector lives in a probed
-    # cluster.  At 100 TB the gate IS partition pruning of the codes scan;
-    # here it composes as a join against the (|queries|*nprobe)-row probe
-    # set attached to the assignment map.
+    # -- stage 2: ADC over the probed subset ONLY.  The candidate gate —
+    # (query, vec) pairs whose vector lives in a probed cluster — is
+    # applied INSIDE adc_topk_for_queries, ahead of both the scoring
+    # projection and the top-k window, so probed candidates are ranked
+    # among themselves (true IVFADC: an unprobed global leader can never
+    # displace them, and the shortlist always fills from probed cells).
+    # At 100 TB the gate IS partition pruning of the materialized codes
+    # table (materialize_pq_index partitions by centroid_id); here it
+    # composes as a join against the (|queries|·nprobe)-row probe set
+    # attached to the assignment map.
     cand = assign.join(F.broadcast(probes), "centroid_id").select(
         "query_id", "vec_id"
     )
-    pruned = adc_all.drop("rk").join(cand, ["query_id", "vec_id"])
+    shortlist_k = k if rerank is None else max(k, rerank)
+    adc = adc_topk_for_queries(emb, queries, shortlist_k, cand=cand)
     if rerank is None:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_dist").asc(), F.col("vec_id").asc()
-        )
-        return (
-            pruned.withColumn("rk", F.row_number().over(w).cast("int"))
-            .filter(F.col("rk") <= k)
-            .select("query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk")
-        )
+        return adc.select(
+            "query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk"
+        ).filter(F.col("rk") <= k)
     # -- stage 3: exact re-rank of the top-`rerank` ADC candidates --
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
-    )
-    shortlist = (
-        pruned.withColumn("ar", F.row_number().over(wa))
-        .filter(F.col("ar") <= rerank)
-        .select("query_id", "vec_id")
-    )
+    shortlist = adc.filter(F.col("rk") <= rerank).select("query_id", "vec_id")
     exact = (
         shortlist.join(emb, "vec_id")
         .join(
@@ -796,14 +894,7 @@ def ivf_pq_search(
             "query_id",
             "vec_id",
             F.round(
-                F.expr(
-                    "aggregate(zip_with(embedding, q_emb,"
-                    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-                    "         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-                    " 0D, (acc, v) -> acc + v)"
-                )
-                + F.lit(1e-8),
-                4,
+                l2sq_expr("embedding", "q_emb") + F.lit(1e-8), 4
             ).alias("dist"),
         )
     )

@@ -242,7 +242,7 @@ def foreach_batch_lsh_dedup(
 
 
 def foreach_batch_adc_topk(
-    sf_dir: str, out_path: str, k: int = 10
+    sf_dir: str, out_path: str, k: int = 10, codes_path: str | None = None
 ) -> Callable[[DataFrame, int], None]:
     """Online vector retrieval: a foreachBatch stage that scores each
     micro-batch of query embeddings against the STATIC PQ-compressed
@@ -252,23 +252,43 @@ def foreach_batch_adc_topk(
     1-row broadcast codebook, per-query broadcast distance tables,
     WindowGroupLimit top-k; no corpus-sized shuffle).
 
+    ``codes_path`` points at a :func:`materialize_pq_index` layout; when
+    given, each micro-batch scans ONLY the persisted 64×-smaller codes
+    table + the PQ_K-row codebook — zero raw-embedding reads per batch,
+    which is the whole point of PQ at 100 TB (build once, query forever).
+    Without it, codes are re-assigned from raw vectors per batch (the
+    small-data convenience; round-4 advice named it a scale wart).
+
+    Queries are EXTERNAL here, so self-exclusion is OFF: a query id that
+    happens to collide with a corpus vec_id must not silently drop that
+    unrelated corpus vector from its candidates (round-4 advice).
+
     Micro-batch schema: (query_id, q_emb array<float>).  State: none —
-    the corpus/codebook are read per batch (at scale, a cached/compacted
-    codes table); retrieval is embarrassingly replayable, so exactly-once
-    comes from the same batch_id=N overwrite discipline as the other
-    foreachBatch sinks here (a replayed batch rewrites its own directory).
+    retrieval is embarrassingly replayable, so exactly-once comes from
+    the same batch_id=N overwrite discipline as the other foreachBatch
+    sinks here (a replayed batch rewrites its own directory).
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.similarity import adc_topk_for_queries
+        from ..operators.similarity import adc_topk_for_queries, load_pq_index
         from ..sources.readers import load_table
 
         spark = batch_df.sparkSession
         queries = batch_df.select("query_id", "q_emb")
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        adc_topk_for_queries(emb, queries, k).write.mode("overwrite").parquet(
+        if codes_path is not None:
+            codes, cents = load_pq_index(spark, codes_path)
+            result = adc_topk_for_queries(
+                None, queries, k, codes=codes.select("vec_id", "codes"),
+                cents=cents, exclude_self=False,
+            )
+        else:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            result = adc_topk_for_queries(
+                emb, queries, k, exclude_self=False
+            )
+        result.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
 

@@ -1079,12 +1079,19 @@ def test_hll_pinned_estimates(spark):
             "day", F.hll_sketch_estimate("sk").alias("est")
         ).collect()
     }
-    # 937 true distinct per day; pinned estimates captured on pyspark 4.1.2
-    assert daily == {0: 932, 1: 932, 2: 931}
+    # 937 true distinct per day.  A tolerance band, not exact pins
+    # (round-4 advice): DataSketches' HIP estimator is merge-order
+    # sensitive and shuffle block fetch order is not contractually
+    # deterministic, so exact values (932/932/931 observed on pyspark
+    # 4.1.2) would be flaky across executors/versions.  ±1.5% is ~3× the
+    # measured ±0.5% drift while still catching real estimator breakage.
+    assert set(daily) == {0, 1, 2}
+    for day, est in daily.items():
+        assert abs(est - 937) / 937 <= 0.015, (day, est)
     merged = per_day.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).collect()[0]["est"]
-    assert merged == 932
+    assert abs(merged - 937) / 937 <= 0.015, merged
 
 
 def test_pq_adc_recall_vs_exact_l2(spark):
@@ -1231,3 +1238,58 @@ def test_ivf_pq_search_recall_and_rerank_exactness(spark):
     for r in got:
         probed.setdefault(r["query_id"], set()).add(assign[r["vec_id"]])
     assert all(len(c) <= 2 for c in probed.values())  # nprobe = 2
+    # with the gate applied BEFORE the ADC top-k window, the shortlist
+    # always fills from probed cells — every query returns exactly k rows
+    # regardless of how its probed clusters rank globally
+    per_q: dict = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q == {q: 10 for q in (0, 1, 2, 3, 4)}
+
+
+def test_embeddings_unit_norm_and_metric_equivalence(spark):
+    """ivf_pq_search is squared-L2 end-to-end (probe, ADC, re-rank) while
+    the cell ASSIGNMENT it composes with (ivf_assign) ranks by cosine —
+    consistent because the corpus is unit-normalized, where
+    ‖a−b‖² = 2·(1−cos(a,b)) makes the two rankings monotone images of
+    each other.  Pin the precondition and the consequence: (a) every
+    corpus vector has unit norm to 1e-4; (b) the L2-argmin assignment
+    over the 8 baseline centroids equals the cosine-argmax assignment for
+    every vector (what 'rebuild with an L2 argmin on un-normalized data'
+    in the ivf_pq_search docstring would change)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign,
+        l2sq_expr,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    norms = emb.select(
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x),"
+                " 0D, (acc, v) -> acc + v)"
+            )
+        ).alias("n")
+    ).agg(F.min("n").alias("lo"), F.max("n").alias("hi")).collect()[0]
+    assert abs(norms["lo"] - 1.0) < 1e-4 and abs(norms["hi"] - 1.0) < 1e-4
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_expr("embedding", "c_emb").alias("cos"),
+        l2sq_expr("embedding", "c_emb").alias("l2"),
+    )
+    by_l2 = scored.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("l2"), F.col("centroid_id"))).alias("m")
+    ).select("vec_id", F.col("m.centroid_id").alias("l2_centroid"))
+    by_cos = ivf_assign(spark, SF).select("vec_id", "centroid_id")
+    mismatches = by_cos.join(by_l2, "vec_id").filter(
+        F.col("centroid_id") != F.col("l2_centroid")
+    ).count()
+    assert mismatches == 0

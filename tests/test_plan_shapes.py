@@ -530,8 +530,16 @@ def test_pq_adc_topk_is_single_scan_with_partial_topk(spark, sf_dir):
     )
 
     plan = plan_of(pq_adc_topk(spark, sf_dir))
-    # formatted mode prints each node twice (tree + detail entry)
-    assert plan.count("WindowGroupLimit") == 4  # partial + final
+    # Assert the partial AND final top-k modes by their detail blocks
+    # (node-print COUNTS vary across harmless explain-format changes;
+    # the modes are the actual plan property — round-4 advice).
+    wgl = [
+        b
+        for b in plan.split("\n\n")
+        if b.strip() and b.strip().splitlines()[0].endswith("WindowGroupLimit")
+    ]
+    assert any(", Partial" in b for b in wgl), "no partial WindowGroupLimit"
+    assert any(", Final" in b for b in wgl), "no final WindowGroupLimit"
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -391,14 +391,19 @@ def test_foreach_batch_lsh_dedup_intra_batch_chain_component(spark, tmp_path):
 
 
 def test_foreach_batch_adc_topk_matches_batch_path(spark, tmp_path):
-    """Streaming retrieval parity: feeding corpus vectors 0-4 as the query
-    stream must produce EXACTLY pq_adc_topk's batch answer (same engine
-    underneath), split across micro-batches; replaying a batch is
-    idempotent (overwrite discipline)."""
+    """Streaming retrieval parity: an EXTERNAL query stream (ids that do
+    not live in the corpus, embeddings copied from corpus vectors 0-4)
+    must produce EXACTLY the batch engine's answer for the same queries
+    (adc_topk_for_queries, self-exclusion off), split across
+    micro-batches; replaying a batch is idempotent (overwrite
+    discipline).  Collision-safety (round-4 advice): external queries
+    must NOT inherit the corpus-internal vec_id != query_id filter — an
+    external query whose embedding equals corpus vector v retrieves v
+    itself at rank 1."""
     from pyspark.sql import functions as F
 
     from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
-        pq_adc_topk,
+        adc_topk_for_queries,
     )
     from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
     from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
@@ -408,9 +413,10 @@ def test_foreach_batch_adc_topk_matches_batch_path(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     out = str(tmp_path / "retrieval")
     apply_fn = foreach_batch_adc_topk(sf, out)
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     q = lambda ids: emb.filter(F.col("vec_id").isin(*ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        (F.col("vec_id") + 10_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
     )
     apply_fn(q((0, 1, 2)), 0)
     apply_fn(q((3, 4)), 1)
@@ -421,8 +427,80 @@ def test_foreach_batch_adc_topk_matches_batch_path(spark, tmp_path):
         .select("query_id", "vec_id", "adc_dist", "rk")
         .collect()
     )
+    want_rows = adc_topk_for_queries(
+        emb, q((0, 1, 2, 3, 4)), exclude_self=False
+    ).collect()
     want = sorted(
         (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
-        for r in pq_adc_topk(spark, sf).collect()
+        for r in want_rows
     )
     assert got == want
+    # the source vector itself surfaces at rank 1 (ADC distance to self is
+    # the quantization floor — minimal by construction)
+    rank1 = {r[0]: r[1] for r in got if r[3] == 1}
+    assert rank1 == {10_000_000 + v: v for v in (0, 1, 2, 3, 4)}
+
+
+def test_foreach_batch_adc_topk_reads_materialized_codes(spark, tmp_path):
+    """The materialized-index path (round-4 advice): build the PQ index
+    once (codes partitioned by IVF cell + codebook), then every
+    micro-batch must (a) return byte-identical results to the
+    recompute-from-raw-vectors path and (b) scan ONLY the persisted codes
+    — no `embedding` column read anywhere in the per-batch plan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        adc_topk_for_queries,
+        load_pq_index,
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "pq_index")
+    out = str(tmp_path / "retrieval")
+    materialize_pq_index(spark, sf, idx)
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        (F.col("vec_id") + 10_000_000).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    apply_fn = foreach_batch_adc_topk(sf, out, codes_path=idx)
+    apply_fn(queries, 0)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in adc_topk_for_queries(
+            emb, queries, exclude_self=False
+        ).collect()
+    )
+    assert got == want
+    # plan audit: with the query vectors arriving as stream-local rows
+    # (as in a real micro-batch), the codes-backed ADC plan must never
+    # touch the embeddings table — corpus scan is codes-only, codebook is
+    # the PQ_K-row parquet
+    local_q = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["q_emb"]]) for r in queries.collect()],
+        "query_id bigint, q_emb array<float>",
+    )
+    codes, cents = load_pq_index(spark, idx)
+    codes_df = adc_topk_for_queries(
+        None,
+        local_q,
+        codes=codes.select("vec_id", "codes"),
+        cents=cents,
+        exclude_self=False,
+    )
+    plan = codes_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "embeddings.parquet" not in plan
+    assert "embedding:" not in plan  # no raw-vector column in any ReadSchema
