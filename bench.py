@@ -177,11 +177,83 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     wall2, splits2 = run_once(n_rows)
     if wall2 < wall:
         wall, splits = wall2, splits2
+    splits["adc_retrieval"] = _bench_streaming_retrieval(spark)
     return {
         "streaming_3query_rows": n_rows,
         "streaming_3query_wall_sec": wall,
         "streaming_query_splits_sec": splits,
     }
+
+
+def _bench_streaming_retrieval(spark, n_queries: int = 32) -> float:
+    """Online ANN retrieval: one micro-batch of ``n_queries`` external
+    query embeddings scored against the PQ-compressed corpus via the
+    foreachBatch ADC handler, reading the MATERIALIZED codes table (built
+    once, outside the timed window — the build-once/query-forever split
+    that is the point of PQ at scale).  Best-of-2 after a warm-up, same
+    protocol as the other streaming figures."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_adc_topk,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx = tempfile.mkdtemp(prefix="bench_pq_idx_")
+    watch = tempfile.mkdtemp(prefix="bench_adc_q_")
+    try:
+        materialize_pq_index(spark, sf_dir, idx)
+        qrows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .limit(n_queries)
+            .collect()
+        )
+        with open(f"{watch}/q0.json", "w") as f:
+            for r in qrows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "query_id": int(r["vec_id"]) + 10_000_000,
+                            "q_emb": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+
+        def run_once() -> float:
+            ckpt = tempfile.mkdtemp(prefix="bench_adc_ck_")
+            out = tempfile.mkdtemp(prefix="bench_adc_out_")
+            try:
+                t0 = time.perf_counter()
+                q = (
+                    spark.readStream.schema("query_id bigint, q_emb array<float>")
+                    .json(watch)
+                    .writeStream.foreachBatch(
+                        foreach_batch_adc_topk(sf_dir, out, codes_path=idx)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                return time.perf_counter() - t0
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+                shutil.rmtree(out, ignore_errors=True)
+
+        run_once()  # warm-up
+        return round(min(run_once(), run_once()), 3)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(watch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -906,3 +906,95 @@ def ivf_pq_search(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "dist", "rk")
     )
+
+
+def ivf_pq_search_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    rerank: int | None = 30,
+) -> DataFrame:
+    """:func:`ivf_pq_search` against a :func:`materialize_pq_index` layout
+    — the production spelling, where the r4-advice scale warts are gone by
+    construction:
+
+    * the corpus scan reads ONLY the persisted 64×-smaller codes (no
+      in-scan re-assignment from raw vectors), and
+    * the probe step is literal partition PRUNING: the union of probed
+      cells (≤ |queries|·nprobe ids, collected — a bounded driver action)
+      becomes an `isin` filter on the codes table's partition column, so
+      unprobed directories are never read (PartitionFilters in the scan,
+      plan-asserted in tests).  The per-(query, vec) gate then rides the
+      centroid_id column already stored in the codes table — no separate
+      assignment recompute anywhere.
+
+    Raw vectors are touched in exactly two bounded places, as in the
+    Jégou pipeline: the n_centroids probe centroids (+ the query vectors)
+    and the |queries|·rerank shortlist rows fetched for the exact re-rank.
+    Result-identical to :func:`ivf_pq_search` (same index semantics;
+    parity-tested), so the catalog oracle covers this path by composition.
+    """
+    codes_full, cents_pq = load_pq_index(spark, index_path)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cl2", F.round(l2sq_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cl2").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    probed_cells = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    codes = codes_full.filter(F.col("centroid_id").isin(*probed_cells))
+    cand = codes.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "vec_id"
+    )
+    shortlist_k = k if rerank is None else max(k, rerank)
+    adc = adc_topk_for_queries(
+        None,
+        queries,
+        shortlist_k,
+        codes=codes.select("vec_id", "codes"),
+        cents=cents_pq,
+        cand=cand,
+    )
+    if rerank is None:
+        return adc.select(
+            "query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk"
+        ).filter(F.col("rk") <= k)
+    shortlist = adc.filter(F.col("rk") <= rerank).select("query_id", "vec_id")
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                l2sq_expr("embedding", "q_emb") + F.lit(1e-8), 4
+            ).alias("dist"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(we).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "dist", "rk")
+    )

@@ -23,6 +23,38 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _TAIL = [
+    # ---- round-5 rotation -------------------------------------------------
+    # r4 closed the backlog (49/50 green; the 50th was the no-oracle HLL
+    # slot — the driver has no rows-only mode, so that experiment is over
+    # and the slot is reclaimed).  Round 5 adds ann_ivf_pq_search (new,
+    # never gated → in-window), finally gates chunk_documents_udtf (the
+    # last never-gated oracle-backed entry), and starts the standing
+    # REFRESH schedule: the driver regenerates testdata each round, so a
+    # green row AGES (the r3 timestamp-flavor drift proved it) — each
+    # round, any window slots not needed by new/red entries go to the
+    # entries whose last driver row is OLDEST (r5 refresh: the r1-green
+    # q2b_avg_days_between_orders, q1_word_length_histogram,
+    # bonus_inner_join + the r1-green set-ops tier).  Displaced to make
+    # room: the reclaimed HLL slot + 6 r4-green near-twins below (every
+    # one stays locally oracle-diffed per round, and the PQ-codes oracle
+    # lives on verbatim inside the in-window ADC oracles).  NOT displaced:
+    # ann_pq_adc_topk — its engine (adc_topk_for_queries) was restructured
+    # this round (cand gate, materialized-codes path), and changed code
+    # outranks oldest-green refresh for window slots, so it stays in for
+    # hard-signal re-confirmation; q1_word_length_histogram's refresh is
+    # postponed to r6 to fund it.
+    "sketch_daily_user_hll",          # no_oracle in r4 — driver can't gate
+                                      # rows-only; pytest test_hll_pinned_
+                                      # estimates is the right gate
+    "embedding_pq_codes",             # r4 green; codes CTE embedded in
+                                      # both in-window ADC oracles
+    "dedup_edit_distance_verify",     # r4 green; verify stage of the LSH
+                                      # tier (candidates entry stays in)
+    "mixture_sample_by_source",       # r4 green; sampling tier keeps
+                                      # quality_weighted + stratified_fixed_n
+    "training_shard_assignment",      # r4 green; same md5-bucket family
+    "multimodal_png_resize",          # r4 green; png_features stays in
+    "corpus_tfidf_similar_pairs",     # r4 green; tfidf_top_terms stays in
     # ---- round-4 rotation -------------------------------------------------
     # The r3 window was 50/50 green (CORRECTNESS_r03.json) and 25 catalog
     # entries had NEVER had a driver row; this round pulls all of them into
@@ -84,7 +116,6 @@ _TAIL = [
     "multimodal_decoded_metadata",    # stub tier; png_decode is the real path
     "text_document_fingerprints",     # r01+r02 green, simple rolling hash
     "temporal_clicks_trailing_5min",  # r02 green after the r01 oracle CAST
-    "bonus_inner_join",               # contrast twin of bonus_left_join
     "q2_order_count_thresholds",      # derivative of q2a tier
     "q2_top_customers_by_spend",      # derivative of q2a tier
     "events_props_avg_k",             # parse-per-row twin of events_props_typed
@@ -95,8 +126,6 @@ _TAIL = [
     # displaced for temporal_point_in_time_value + stratified_fixed_n_sample
     "events_tumbling_5min",           # T2; pytest+golden-gated (test_streaming)
     "multimodal_frame_sample",        # stub-codec tier; png_decode stays in
-    "chunk_documents_udtf",           # Python-UDTF twin, same oracle as
-                                      # chunk_documents (API tier)
     # displaced for dedup_keep_best_quality
     "dedup_exact",                    # r01+r02 green; md5 groupBy tier
     # displaced for sketch_count_min_heavy_hitters (exact-oracle CMS)
@@ -115,7 +144,9 @@ _TAIL = [
     "sketch_rolling_7d_users",
     # r01-green derivatives of in-window entries, displaced so the round-2
     # corpus tier (never driver-gated) sits inside the window
-    "q2b_avg_days_between_orders",   # scalar over in-window q2b (A11)
+    # (q2b_avg_days_between_orders rotated back IN for the round-5
+    # oldest-green refresh; q1_word_length_histogram's refresh postponed
+    # to r6 — its slot funds the changed-code ann_pq_adc_topk re-gate)
     "q1_word_length_histogram",      # same tokenize tier as q1_word_count (A15)
     "q1_corpus_stats",               # same tokenize tier (A16)
     "events_running_stats",          # T4/A17 twin, pytest-gated by
@@ -126,9 +157,7 @@ _TAIL = [
     "events_top_users_per_type",
     "skew_salted_count",
     "q2_spend_distribution",
-    "set_union_active_users",         # displaced for events_resample_hourly_locf
-    "set_intersect_buyers_with_events",
-    "set_except_buyers_without_events",
+    # (set-ops tier rotated back IN for the round-5 oldest-green refresh)
     "star_semi_join_big_spenders",
     "star_anti_join_dormant_customers",
     "agg_order_baskets",

@@ -1345,6 +1345,118 @@ FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
 GROUP BY 1""",
         tags=("llm", "corpus", "boilerplate"),
     ),
+    # --- round-5 addition: the composed IVFADC pipeline -------------------
+    # The oracle composes the two PROVEN oracles it is built from:
+    # ivf_search's assignment/probe CTEs (probe metric switched to squared
+    # L2 per the round-4 advice — equivalent on this unit-normalized
+    # corpus, see similarity.ivf_pq_search docstring) and pq_adc_topk's
+    # codes/distance-table CTEs, with the candidate gate applied BEFORE
+    # the ADC shortlist cut — mirroring the operators' prune-before-top-k
+    # composition — then the exact-L2 re-rank of the top-30.
+    QuerySpec(
+        "ann_ivf_pq_search",
+        similarity.ivf_pq_search,
+        """
+WITH cents8 AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents8 c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+probe_scored AS (
+  SELECT q.query_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (q.q_emb[i] - c.embedding[i]::DOUBLE)
+              * (q.q_emb[i] - c.embedding[i]::DOUBLE))) + 1e-8, 6) AS cl2
+  FROM q CROSS JOIN cents8 c
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cl2 ASC, centroid_id) AS pr
+    FROM probe_scored
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+),
+cents AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT e.vec_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
+                 - c.cvec[s.sub * 8 + i])
+                * (e.embedding[s.sub * 8 + i]::DOUBLE
+                   - c.cvec[s.sub * 8 + i]))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM pairs) WHERE rk = 1
+),
+dtab AS (
+  SELECT q.query_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i])
+              * (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i]))) AS qdist
+  FROM q
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+approx AS (
+  SELECT d.query_id, k.vec_id, round(sum(d.qdist) + 1e-8, 4) AS adc_dist
+  FROM codes k
+  JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+  JOIN cand c ON c.query_id = d.query_id AND c.vec_id = k.vec_id
+  WHERE k.vec_id <> d.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS ar
+    FROM approx) WHERE ar <= 30
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (e.embedding[i]::DOUBLE - q.q_emb[i])
+              * (e.embedding[i]::DOUBLE - q.q_emb[i]))) + 1e-8, 4) AS dist
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, dist, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist, vec_id) AS rk
+      FROM exact)
+WHERE rk <= 10""",
+        headline=True,
+        tags=("llm", "similarity", "quantization", "ann"),
+    ),
 ]
 
 # Python-UDTF twin: same rows, same oracle as chunk_documents (API tier).

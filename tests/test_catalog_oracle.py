@@ -26,46 +26,23 @@ def test_driver_window_priority():
 
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
     must_be_gated = {
-        # round-4 backlog burn-down: every oracle-backed entry that had no
-        # driver CORRECTNESS row in r1-r3 (VERDICT r3 item 1; the
-        # chunk_documents_udtf same-oracle twin is the allowed exception)
-        "q3b_customer_brand_unpivot",
-        "events_session_attribution",
-        "events_funnel_conversion",
-        "events_cohort_retention",
-        "merge_upsert_customers",
-        "events_user_value_scd2",
-        "multimodal_png_features",
-        "multimodal_png_resize",
-        "multimodal_wav_features",
-        "multimodal_video_frame_features",
-        "mixture_sample_by_source",
-        "training_shard_assignment",
-        "dedup_edit_distance_verify",
-        "agg_revenue_decimal_exact",
-        "corpus_tfidf_similar_pairs",
-        "temporal_asof_next_click",
-        "star_fk_integrity_audit",
-        "star_segment_contribution",
-        "events_weekly_change",
-        "events_value_histogram",
-        "events_props_typed",
-        "events_profile_columns",
-        "events_value_anomalies_zscore",
-        "q2_spend_deciles_scalable",
-        # entries whose operator code changed this round (broadcast-hint
-        # removal / PII count semantics) — the hard signal must re-confirm
-        "corpus_tfidf_top_terms",
-        "dedup_keep_best_quality",
-        "text_pii_redaction",
-        "dedup_ngram_jaccard",
-        "dedup_keep_canonical",
-        "corpus_tfidf_similar_pairs",
-        # the deliberate rows-only HLL driver signal (VERDICT r3 item 6)
-        "sketch_daily_user_hll",
-        # round-4 new operators (never gated)
+        # round-5 new operator (never gated)
+        "ann_ivf_pq_search",
+        # last never-gated oracle-backed entry (same-oracle twin of
+        # chunk_documents; its tail exception ends this round so every
+        # oracle-backed entry becomes ever-gated)
+        "chunk_documents_udtf",
+        # entries whose operator code changed this round — the hard signal
+        # must re-confirm (adc_topk_for_queries was restructured: cand
+        # gate, materialized-codes path, compact int codes)
         "ann_pq_adc_topk",
-        "corpus_boilerplate_ngrams",
+        # round-5 oldest-green refresh (r1-green rows age because the
+        # driver regenerates testdata each round; see plans/__init__.py)
+        "q2b_avg_days_between_orders",
+        "bonus_inner_join",
+        "set_union_active_users",
+        "set_intersect_buyers_with_events",
+        "set_except_buyers_without_events",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

@@ -1247,6 +1247,47 @@ def test_ivf_pq_search_recall_and_rerank_exactness(spark):
     assert per_q == {q: 10 for q in (0, 1, 2, 3, 4)}
 
 
+def test_ivf_pq_search_indexed_parity_and_partition_pruning(spark, tmp_path):
+    """The production IVFADC spelling against the materialized index must
+    (a) return EXACTLY ivf_pq_search's rows (same index semantics, same
+    metric, same tiebreaks) and (b) plan the probe as literal partition
+    pruning: the codes scan carries a PartitionFilters entry on
+    centroid_id and reads no raw `embedding` column (raw vectors appear
+    only in the bounded probe/query/re-rank reads of the embeddings
+    table)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        ivf_pq_search,
+        ivf_pq_search_indexed,
+        materialize_pq_index,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    materialize_pq_index(spark, SF, idx)
+    got_df = ivf_pq_search_indexed(spark, SF, idx)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["dist"], r["rk"])
+        for r in got_df.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["dist"], r["rk"])
+        for r in ivf_pq_search(spark, SF).collect()
+    )
+    assert got == want and len(got) == 50
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    codes_scans = [
+        b
+        for b in plan.split("\n\n")
+        if "pq_index/codes" in b and "Scan parquet" in b.splitlines()[0]
+    ]
+    assert codes_scans, "no codes-table scan in the plan"
+    assert all("PartitionFilters" in b and "centroid_id" in b for b in codes_scans)
+    assert all("embedding" not in b for b in codes_scans)
+
+
 def test_embeddings_unit_norm_and_metric_equivalence(spark):
     """ivf_pq_search is squared-L2 end-to-end (probe, ADC, re-rank) while
     the cell ASSIGNMENT it composes with (ivf_assign) ranks by cosine —
