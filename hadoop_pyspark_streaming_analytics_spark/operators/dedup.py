@@ -426,3 +426,72 @@ def keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qual, "doc_id")
         .select("doc_id", "quality_score")
     )
+
+
+def split_leakage_check(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test LEAKAGE audit: near-duplicate pairs that straddle a
+    split boundary — the eval-integrity check every training pipeline
+    needs (a val doc with a train near-twin inflates eval scores; the
+    hash-based split prevents VERSION drift but cannot prevent two
+    distinct near-dup docs from hashing into different splits).
+
+    Composition of proven parts: MinHash-LSH candidates
+    (:func:`minhash_lsh_candidates`, sub-quadratic) → exact n-gram
+    Jaccard verify restricted to the candidate pairs (shingles attach
+    THROUGH the small pair table — two equi-joins, never all-pairs) →
+    each side's split derived directly from the md5(doc_id) bucket (same
+    expression as quality.train_split_assign: splits are id-derivable, so
+    no split table is stored or joined) → keep pairs with split_a !=
+    split_b.  At 100 TB every stage is the LSH tier's own shape; the
+    verify touches only candidate pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(spark, sf_dir, n)
+    sh = doc_shingles(docs, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+
+    def split_of(col: str):
+        bucket = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10
+        ).cast("long") % 100
+        return (
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+                + F.lit(1e-8),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

@@ -361,3 +361,59 @@ def stratified_fixed_n_sample(
             "doc_id", "lang", F.col("rk").cast("int").alias("rk")
         )
     )
+
+
+def language_mixture_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled language rebalancing (α = 0.5) — the multilingual
+    pretraining standard: resample so the language mixture follows
+    p_l^α / Σ p_m^α instead of the raw token shares p_l, boosting
+    low-resource languages without discarding high-resource ones entirely
+    (the sampling scheme popularized by multilingual-BERT/XLM-style
+    recipes).  Downsampling-only spelling: language l keeps documents at
+    rate r_l = sqrt(min_tokens / tokens_l), so the RAREST language keeps
+    everything and a language with 4× the tokens keeps half — exactly the
+    α = 0.5 mixture after normalization.
+
+    Determinism discipline: rates materialize as integer per-10k
+    thresholds (floor(r·10000 + 1e-6)) compared against the seedless
+    md5(doc_id) mod 10000 hash — all-integer keep decisions, reproducible
+    across runs/engines/partitionings (sqrt is IEEE-correctly-rounded in
+    both engines, so the threshold itself is bit-identical).  Plan: one
+    scan for per-language token totals (map-side combinable), a
+    LANGUAGE-grain rate table (bounded by the ISO code space → broadcast
+    is provably safe), one scan for the keep filter.  At 100 TB both scans
+    parallelize perfectly and nothing corpus-sized shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(_tokens_col()).alias("n_tokens")
+    )
+    lang_tokens = docs.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens")
+    )
+    min_toks = lang_tokens.agg(F.min("lang_tokens").alias("min_tokens"))
+    lang_rates = (
+        lang_tokens.crossJoin(F.broadcast(min_toks))
+        .select(
+            "lang",
+            F.floor(
+                F.sqrt(
+                    F.col("min_tokens").cast("double")
+                    / F.col("lang_tokens").cast("double")
+                )
+                * 10000
+                + F.lit(1e-6)
+            )
+            .cast("int")
+            .alias("rate_10k"),
+        )
+    )
+    hash10k = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 10000
+    return (
+        docs.join(F.broadcast(lang_rates), "lang")
+        .withColumn("keep_hash", hash10k.cast("int"))
+        .filter(F.col("keep_hash") < F.col("rate_10k"))
+        .select("doc_id", "lang", "rate_10k", "keep_hash")
+    )

@@ -908,6 +908,48 @@ def ivf_pq_search(
     )
 
 
+def ivf_cell_stats(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """IVF index HEALTH report: per-cell population and assignment-quality
+    stats — the operational companion every partitioned ANN index needs,
+    because cell SKEW is what makes probes slow at scale (a probe into a
+    cell holding 10× its fair share does 10× the ADC work; the fix is
+    re-training or splitting hot cells, and this report is what triggers
+    it).
+
+    Output per centroid: n_vecs, the mean/worst assignment cosine (how
+    well the cell's members fit their centroid — a low min_cos cell is a
+    candidate for splitting), and ``skew`` = n_vecs · k / N (1.0 = ideal
+    balance; the max over cells bounds worst-case probe cost).
+
+    Plan: :func:`ivf_assign`'s scan + one k-group aggregate (map-side
+    combinable) + a 1-row total broadcast — nothing corpus-sized shuffles,
+    so the report is effectively free next to the build it audits.  The
+    4dp (+1e-8) rounding on the float outputs is the cross-engine float
+    discipline (averages inherit summation-order noise)."""
+    assign = ivf_assign(spark, sf_dir, k).select("vec_id", "centroid_id", "cosine")
+    total = assign.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assign.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cosine") + F.lit(1e-8), 4).alias("avg_cos"),
+            F.round(F.min("cosine") + F.lit(1e-8), 4).alias("min_cos"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            "avg_cos",
+            "min_cos",
+            F.round(
+                F.col("n_vecs") * k / F.col("n_total") + F.lit(1e-8), 4
+            ).alias("skew"),
+        )
+    )
+
+
 def ivf_pq_search_indexed(
     spark: SparkSession,
     sf_dir: str,

@@ -55,6 +55,13 @@ _TAIL = [
     "training_shard_assignment",      # r4 green; same md5-bucket family
     "multimodal_png_resize",          # r4 green; png_features stays in
     "corpus_tfidf_similar_pairs",     # r4 green; tfidf_top_terms stays in
+    # displaced for the round-5 breadth additions (corpus_language_mixture,
+    # dedup_split_leakage, ann_ivf_cell_stats — never gated → in-window)
+    "corpus_repetition_scores",       # r4 green; quality tier keeps
+                                      # text_quality_scores + boilerplate
+    "corpus_unigram_surprisal",       # r4 green; same LM-quality family
+    "embedding_quantize_int8",        # r4 green; quantization tier keeps
+                                      # both ADC entries + pq composition
     # ---- round-4 rotation -------------------------------------------------
     # The r3 window was 50/50 green (CORRECTNESS_r03.json) and 25 catalog
     # entries had NEVER had a driver row; this round pulls all of them into

@@ -1457,6 +1457,105 @@ WHERE rk <= 10""",
         headline=True,
         tags=("llm", "similarity", "quantization", "ann"),
     ),
+    # --- round-5 breadth: mixture rebalancing, eval integrity, index health
+    QuerySpec(
+        "corpus_language_mixture",
+        quality.language_mixture_temperature_sample,
+        r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens
+  FROM documents
+),
+lt AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY 1),
+mt AS (SELECT min(lang_tokens) AS min_tokens FROM lt),
+rates AS (
+  SELECT lang,
+         CAST(floor(sqrt(min_tokens::DOUBLE / lang_tokens::DOUBLE) * 10000
+                    + 1e-6) AS INTEGER) AS rate_10k
+  FROM lt CROSS JOIN mt
+)
+SELECT d.doc_id, d.lang, r.rate_10k,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+            % 10000 AS INTEGER) AS keep_hash
+FROM d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 10000
+      < r.rate_10k""",
+        tags=("llm", "sampling", "mixture"),
+    ),
+    QuerySpec(
+        "dedup_split_leakage",
+        dedup.split_leakage_check,
+        f"""
+WITH {_lsh_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS intersection
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.intersection::DOUBLE
+               / (za.n_shingles + zb.n_shingles - i.intersection) + 1e-8, 4)
+           AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+tagged AS (
+  SELECT doc_a, doc_b, jaccard,
+         ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 6))::BIGINT % 100
+           AS ha,
+         ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 6))::BIGINT % 100
+           AS hb
+  FROM jac WHERE jaccard >= 0.5
+)
+SELECT doc_a, doc_b,
+       CASE WHEN ha < 90 THEN 'train' WHEN ha < 95 THEN 'val'
+            ELSE 'test' END AS split_a,
+       CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val'
+            ELSE 'test' END AS split_b,
+       jaccard
+FROM tagged
+WHERE (CASE WHEN ha < 90 THEN 'train' WHEN ha < 95 THEN 'val'
+            ELSE 'test' END)
+   != (CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val'
+            ELSE 'test' END)""",
+        tags=("llm", "dedup", "split", "audit"),
+    ),
+    QuerySpec(
+        "ann_ivf_cell_stats",
+        similarity.ivf_cell_stats,
+        """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+tot AS (SELECT count(*) AS n_total FROM assign)
+SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+       count(*) AS n_vecs,
+       round(avg(cos) + 1e-8, 4) AS avg_cos,
+       round(min(cos) + 1e-8, 4) AS min_cos,
+       round(count(*) * 8.0 / n_total + 1e-8, 4) AS skew
+FROM assign CROSS JOIN tot
+GROUP BY centroid_id, n_total""",
+        tags=("llm", "similarity", "index-health"),
+    ),
 ]
 
 # Python-UDTF twin: same rows, same oracle as chunk_documents (API tier).

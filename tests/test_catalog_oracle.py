@@ -26,8 +26,11 @@ def test_driver_window_priority():
 
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
     must_be_gated = {
-        # round-5 new operator (never gated)
+        # round-5 new operators (never gated)
         "ann_ivf_pq_search",
+        "corpus_language_mixture",
+        "dedup_split_leakage",
+        "ann_ivf_cell_stats",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -1288,6 +1288,110 @@ def test_ivf_pq_search_indexed_parity_and_partition_pruning(spark, tmp_path):
     assert all("embedding" not in b for b in codes_scans)
 
 
+def test_language_mixture_temperature_semantics(spark):
+    """α=0.5 temperature rebalancing invariants: the rarest language keeps
+    EVERYTHING (rate_10k == 10000 — downsampling-only, so the mixture
+    flattens by cutting dominant languages, never by dropping rare ones);
+    rates order inversely to language token mass; and the keep decision is
+    exactly hash < rate (all-integer, so re-running is bit-stable)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        language_mixture_temperature_sample,
+        _tokens_col,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    kept = language_mixture_temperature_sample(spark, SF)
+    rates = {
+        r["lang"]: r["rate_10k"]
+        for r in kept.select("lang", "rate_10k").distinct().collect()
+    }
+    toks = {
+        r["lang"]: r["t"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(_tokens_col())).alias("t"))
+        .collect()
+    }
+    rarest = min(toks, key=toks.get)
+    assert rates[rarest] == 10000
+    for a in rates:
+        for b in rates:
+            if toks[a] < toks[b]:
+                assert rates[a] >= rates[b], (a, b, rates, toks)
+    assert kept.filter(F.col("keep_hash") >= F.col("rate_10k")).count() == 0
+    # expected mixture: kept-token share per lang flattens vs raw share
+    # (the α=0.5 point sits between raw and uniform) — sanity only, the
+    # exact rates are oracle-gated
+    assert all(0 < r <= 10000 for r in rates.values())
+
+
+def test_split_leakage_pairs_are_verified_cross_split_neardups(spark):
+    """Every reported leak is (a) an LSH candidate pair, (b) Jaccard ≥ 0.5
+    under the same shingle definition, and (c) genuinely cross-split under
+    the md5 bucket rule; and every verified near-dup pair that IS
+    cross-split appears (no silent drops)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        split_leakage_check,
+    )
+
+    leaks = split_leakage_check(spark, SF).collect()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(spark, SF).collect()
+    }
+    # ngram_jaccard_pairs is the all-pairs exact baseline at the same
+    # threshold; leak pairs must be the cross-split subset of candidates
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, SF).collect()
+    }
+
+    def split(doc_id: int) -> str:
+        import hashlib
+
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    for r in leaks:
+        pair = (r["doc_a"], r["doc_b"])
+        assert pair in cand, f"leak pair {pair} not an LSH candidate"
+        assert pair in exact and r["jaccard"] == exact[pair]
+        assert r["split_a"] == split(r["doc_a"])
+        assert r["split_b"] == split(r["doc_b"])
+        assert r["split_a"] != r["split_b"]
+    want = {
+        p
+        for p in exact
+        if p in cand and split(p[0]) != split(p[1])
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in leaks} == want
+
+
+def test_ivf_cell_stats_accounting(spark):
+    """The cell report must account for every vector exactly once
+    (Σ n_vecs == corpus size), skew must average to 1.0 by construction
+    (Σ n_vecs·k/N over cells == k), and per-cell mins can never exceed
+    their averages."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        ivf_cell_stats,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = ivf_cell_stats(spark, SF).collect()
+    n_corpus = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_corpus
+    assert abs(sum(r["skew"] for r in rows) - 8.0) < 1e-2
+    for r in rows:
+        assert r["min_cos"] <= r["avg_cos"] + 1e-9
+        assert r["n_vecs"] > 0
+
+
 def test_embeddings_unit_norm_and_metric_equivalence(spark):
     """ivf_pq_search is squared-L2 end-to-end (probe, ADC, re-rank) while
     the cell ASSIGNMENT it composes with (ivf_assign) ranks by cosine —

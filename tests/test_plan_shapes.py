@@ -488,6 +488,9 @@ def test_broadcast_hint_policy():
         ("operators/similarity.py", "cb"): "1-row collapsed PQ codebook",
         ("operators/similarity.py", "qtab"): "|queries| rows of M*K dists",
         ("operators/similarity.py", "queries"): "ANN query set (per-request)",
+        ("operators/similarity.py", "total"): "1-row scalar",
+        ("operators/quality.py", "min_toks"): "1-row scalar",
+        ("operators/quality.py", "lang_rates"): "language-grain, bounded by ISO code space",
         ("operators/corpus.py", "n_docs"): "1-row scalar",
         ("operators/corpus.py", "cuts"): "decile cutpoints",
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
