@@ -950,6 +950,34 @@ def ivf_cell_stats(
     )
 
 
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_per_cell: int = 40
+) -> DataFrame:
+    """Diversity-preserving sample over the embedding space: assign every
+    vector to its k-means cell, then keep exactly ``n_per_cell`` per cell
+    by seedless hash order — the cluster-then-sample recipe modern
+    pipelines use to keep a training subset SEMANTICALLY diverse
+    (uniform random sampling reproduces the corpus's mode collapse; equal
+    per-cell quotas flatten it, the same motivation as SemDeDup-style
+    cluster pruning).
+
+    Determinism discipline: md5(vec_id) ordering within each cell (no
+    RNG, stable under re-partitioning and re-ingestion, engine-portable).
+    Plan: the :func:`ivf_assign` scan + ONE window partitioned by the k
+    cells — each cell's rank state is a single partition's worth, fine
+    while cells are few; at corpus scale with large k prefer the
+    two-phase cutoff (approx_percentile over the hash, then a stateless
+    filter — same escalation as stratified_fixed_n_sample)."""
+    assign = ivf_assign(spark, sf_dir, k).select("vec_id", "centroid_id")
+    h = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("centroid_id").orderBy(h)
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= n_per_cell)
+        .select("vec_id", "centroid_id", "rk")
+    )
+
+
 def ivf_pq_search_indexed(
     spark: SparkSession,
     sf_dir: str,

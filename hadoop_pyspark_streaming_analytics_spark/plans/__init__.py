@@ -62,6 +62,9 @@ _TAIL = [
     "corpus_unigram_surprisal",       # r4 green; same LM-quality family
     "embedding_quantize_int8",        # r4 green; quantization tier keeps
                                       # both ADC entries + pq composition
+    # displaced for embedding_cluster_balanced_sample (never gated)
+    "multimodal_wav_features",        # r4 green; video_frame + png_features
+                                      # keep the multimodal tier in-window
     # ---- round-4 rotation -------------------------------------------------
     # The r3 window was 50/50 green (CORRECTNESS_r03.json) and 25 catalog
     # entries had NEVER had a driver row; this round pulls all of them into

@@ -1527,6 +1527,36 @@ WHERE (CASE WHEN ha < 90 THEN 'train' WHEN ha < 95 THEN 'val'
         tags=("llm", "dedup", "split", "audit"),
     ),
     QuerySpec(
+        "embedding_cluster_balanced_sample",
+        similarity.cluster_balanced_sample,
+        """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+  FROM assign
+) WHERE rk <= 40""",
+        tags=("llm", "sampling", "similarity", "diversity"),
+    ),
+    QuerySpec(
         "ann_ivf_cell_stats",
         similarity.ivf_cell_stats,
         """

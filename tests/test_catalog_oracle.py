@@ -31,6 +31,7 @@ def test_driver_window_priority():
         "corpus_language_mixture",
         "dedup_split_leakage",
         "ann_ivf_cell_stats",
+        "embedding_cluster_balanced_sample",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -1373,6 +1373,36 @@ def test_split_leakage_pairs_are_verified_cross_split_neardups(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in leaks} == want
 
 
+def test_cluster_balanced_sample_quotas_and_determinism(spark):
+    """Diversity sampling invariants: per-cell counts are exactly
+    min(n_per_cell, cell population); members belong to the cell they
+    were sampled from; and the sample is bit-stable across
+    repartitionings (hash-ordered, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_assign,
+    )
+
+    n_per = 40
+    got = cluster_balanced_sample(spark, SF, n_per_cell=n_per).collect()
+    assign = {
+        r["vec_id"]: r["centroid_id"] for r in ivf_assign(spark, SF).collect()
+    }
+    pops: dict = {}
+    for cid in assign.values():
+        pops[cid] = pops.get(cid, 0) + 1
+    per_cell: dict = {}
+    for r in got:
+        assert assign[r["vec_id"]] == r["centroid_id"]
+        per_cell[r["centroid_id"]] = per_cell.get(r["centroid_id"], 0) + 1
+    for cid, pop in pops.items():
+        assert per_cell.get(cid, 0) == min(n_per, pop), (cid, pop)
+    again = cluster_balanced_sample(spark, SF, n_per_cell=n_per).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_ivf_cell_stats_accounting(spark):
     """The cell report must account for every vector exactly once
     (Σ n_vecs == corpus size), skew must average to 1.0 by construction
