@@ -396,10 +396,13 @@ def language_mixture_temperature_sample(
         lang_tokens.crossJoin(F.broadcast(min_toks))
         .select(
             "lang",
+            # greatest(…, 1): a zero-token language (possible only on
+            # degenerate inputs) must not divide by zero — both engines
+            # would otherwise produce inf and diverge on the int cast.
             F.floor(
                 F.sqrt(
                     F.col("min_tokens").cast("double")
-                    / F.col("lang_tokens").cast("double")
+                    / F.greatest(F.col("lang_tokens"), F.lit(1)).cast("double")
                 )
                 * 10000
                 + F.lit(1e-6)

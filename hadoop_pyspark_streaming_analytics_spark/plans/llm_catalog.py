@@ -1471,7 +1471,8 @@ lt AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM d GROUP BY 1),
 mt AS (SELECT min(lang_tokens) AS min_tokens FROM lt),
 rates AS (
   SELECT lang,
-         CAST(floor(sqrt(min_tokens::DOUBLE / lang_tokens::DOUBLE) * 10000
+         CAST(floor(sqrt(min_tokens::DOUBLE
+                         / greatest(lang_tokens, 1)::DOUBLE) * 10000
                     + 1e-6) AS INTEGER) AS rate_10k
   FROM lt CROSS JOIN mt
 )
