@@ -749,6 +749,15 @@ def adc_topk_for_queries(
         if cents is None:
             cents = pq_codebook(emb)
         if codes is None:
+            # Deliberately NOT semi-join-gated by ``cand``: assigning codes
+            # only to probed vectors reads as a saving (the argmin is the
+            # expensive projection) but MEASURED SLOWER at sf0.1 (1.82 s vs
+            # 1.48 s best-of-3) — the gate forces the assignment pass to
+            # finish before code assignment can start and adds a join,
+            # serializing two otherwise-independent corpus scans.  Real
+            # scan pruning comes from the materialized path (codes= +
+            # partition pruning, ivf_pq_search_indexed), not from gating
+            # this convenience path.
             codes = build_pq_codes_compact(emb, cents)
     sub = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub")
     # Per-query ADC table: qd[sub * PQ_K + code] = ||q_sub - codeword||².
