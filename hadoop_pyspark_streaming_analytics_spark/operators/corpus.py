@@ -437,3 +437,88 @@ def boilerplate_ngram_fraction(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+#: Interpolation weight on the bigram MLE in :func:`bigram_surprisal`
+#: (the remainder falls back to the unigram model) — Jelinek-Mercer
+#: smoothing with a fixed lambda, the simplest back-off that keeps
+#: unseen-context probabilities finite.
+BIGRAM_LAMBDA = 0.7
+#: Spelled as its own literal (not ``1 - BIGRAM_LAMBDA``): the oracle SQL
+#: embeds the same literal, and 1.0-0.7 != 0.3 in IEEE doubles.
+BIGRAM_BACKOFF = 0.3
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal -ln(λ·p(w₂|w₁) + (1-λ)·p(w₂))
+    under the corpus's own bigram model with Jelinek-Mercer back-off to
+    unigrams — one order up from :func:`unigram_surprisal`, i.e. the
+    KenLM-perplexity quality filter (CCNet, Wenzek et al.) reduced to the
+    first-order case that needs no external model.  Repetitive/boilerplate
+    documents score low; incoherent token soups score high even when
+    their unigrams are common — which is exactly what the unigram filter
+    cannot see.
+
+    Plan shape at 100 TB:
+    * Bigram EXTRACTION is array-native codegen (``transform`` over the
+      token array) — no posexplode-then-self-join on position, which
+      would shuffle corpus-token-count rows twice.
+    * (doc_id, bigram) counts aggregate map-side; the bigram model
+      (bigram → count) and context model (w₁ → count) are
+      vocabulary²-bounded in theory but Heaps-law-sized in practice —
+      both join back on their token keys; AQE broadcasts when they fit.
+    * The unigram back-off model rides the SAME per-doc counts (grouped
+      by w₂), and the corpus total is a 1-row broadcast.
+    * Final per-doc aggregate is one map-side-combinable weighted mean.
+
+    Docs with < 2 tokens have no bigrams and drop out (same convention as
+    the trigram shingle tiers).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0).alias(
+            "t"
+        ),
+    ).filter(F.size("t") >= 2)
+    # (doc_id, w1, w2) one row per bigram occurrence, built array-side.
+    per_doc = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the bigram model, the context model, the unigram model AND
+        # the probe join — checkpoint so the corpus scan + tokenize + first
+        # aggregation run once (the unigram_surprisal convention).
+        .localCheckpoint(eager=True)
+    )
+    bi_model = per_doc.groupBy("w1", "w2").agg(F.sum("c").alias("bi_total"))
+    ctx_model = bi_model.groupBy("w1").agg(F.sum("bi_total").alias("ctx_total"))
+    # Unigram back-off over the SECOND position (the predicted token), so
+    # λ·p_bi + (1-λ)·p_uni is a proper conditional mixture.
+    uni_model = per_doc.groupBy("w2").agg(F.sum("c").alias("uni_total"))
+    corpus_total = uni_model.agg(F.sum("uni_total").alias("corpus_total"))
+    p_mix = F.lit(BIGRAM_LAMBDA) * (
+        F.col("bi_total") / F.col("ctx_total")
+    ) + F.lit(BIGRAM_BACKOFF) * (F.col("uni_total") / F.col("corpus_total"))
+    return (
+        per_doc.join(bi_model, ["w1", "w2"])
+        .join(ctx_model, "w1")
+        .join(uni_model, "w2")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * -F.log(p_mix)) / F.sum("c") + F.lit(1e-8), 4
+            ).alias("mean_surprisal"),
+        )
+    )

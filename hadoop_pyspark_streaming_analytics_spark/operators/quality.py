@@ -420,3 +420,52 @@ def language_mixture_temperature_sample(
         .filter(F.col("keep_hash") < F.col("rate_10k"))
         .select("doc_id", "lang", "rate_10k", "keep_hash")
     )
+
+
+#: Fixed logistic-regression weights for the model-based quality filter.
+#: The coefficients are hand-set over the four extracted features (the
+#: shape CCNet / LLaMA-style pipelines learn with a fastText classifier
+#: trained on a reference corpus); calibrated so the testdata splits
+#: roughly in half instead of saturating.  Deterministic literals — no
+#: model artifact to load, so the score is reproducible across engines.
+CLASSIFIER_BIAS = -8.0
+CLASSIFIER_WEIGHTS = {
+    # least(word_count / 100, 1): length prior, saturating
+    "len_norm": 6.0,
+    "avg_word_len": 0.5,
+    "stopword_ratio": 8.0,
+    "alpha_ratio": 2.0,
+}
+CLASSIFIER_KEEP_THRESHOLD = 0.5
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic model over the
+    :func:`quality_scores` features — the Spark-side analog of the
+    fastText/CCNet "looks like reference text" classifier gate that
+    LLaMA-style pipelines run after the heuristic filters.
+
+    The dot product + sigmoid are one codegen projection over the feature
+    extraction (itself expression-only), so the gate runs at scan speed
+    over 100 TB with zero Python and no model-artifact distribution
+    problem: the weights ARE the plan.  Scoring uses the 4dp-ROUNDED
+    feature columns so the cross-engine float surface is the rounded
+    values, not raw aggregates; ``keep`` compares the rounded probability,
+    so both engines gate on the identical number.
+    """
+    feats = quality_scores(spark, sf_dir)
+    w = CLASSIFIER_WEIGHTS
+    logit = (
+        F.lit(CLASSIFIER_BIAS)
+        + F.least(F.col("word_count") / 100.0, F.lit(1.0)) * w["len_norm"]
+        + F.col("avg_word_len") * w["avg_word_len"]
+        + F.col("stopword_ratio") * w["stopword_ratio"]
+        + F.col("alpha_ratio") * w["alpha_ratio"]
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) + F.lit(1e-8), 4)
+    return feats.select(
+        "doc_id",
+        "word_count",
+        prob.alias("model_score"),
+        (prob >= CLASSIFIER_KEEP_THRESHOLD).alias("keep"),
+    )

@@ -1077,3 +1077,72 @@ def ivf_pq_search_indexed(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "dist", "rk")
     )
+
+
+#: Within-cell cosine at or above which the higher-id member is pruned by
+#: :func:`semdedup`.  Calibrated to the synthetic corpus (pairwise cosine
+#: tops out near 0.48): high enough that survivors dominate, low enough
+#: that the pruning path is actually exercised at test scale.
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means the
+    embedding space, then prune near-identical members WITHIN each cell —
+    the embedding-cosine near-dup tier the brief names, in its published
+    scale-out form.  Pairwise comparison never crosses a cell boundary,
+    which is the whole trick: O(Σ|cell|²) work instead of O(N²), and each
+    cell's pairs co-locate under one shuffle key.
+
+    Pruning rule (deterministic, engine-portable): a vector is DROPPED iff
+    some LOWER-id member of its cell matches it at ``cosine >= threshold``
+    — the fixed-priority variant of the paper's keep-one-per-group (ids
+    stand in for the paper's keep-lowest-distance-to-centroid choice, and
+    the survivor set is exactly the id-minimal independent prefix).  The
+    6dp (+1e-8) pre-round on the comparison cosine is the same
+    cross-engine float discipline as the assignment step.
+
+    Plan shape at 100 TB: the trained assignment (:func:`kmeans_centroids`
+    is k broadcast rows) rides the corpus scan; members repartition ON the
+    cell id, so the self-join is per-cell-local; the drop set aggregates
+    to DISTINCT ids (bounded by the duplicate count, << corpus) and joins
+    back as a small side.  Cell skew bounds the quadratic term — which is
+    why :func:`ivf_cell_stats` (skew report) is the operational companion;
+    the paper's answer is raising k so cells stay ~constant-sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(spark, sf_dir, k, rounds)
+    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+    members = assign.join(emb, "vec_id").repartition("centroid_id")
+    a = members.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = members.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos", F.round(cosine_expr("emb_a", "emb_b") + F.lit(1e-8), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+    )

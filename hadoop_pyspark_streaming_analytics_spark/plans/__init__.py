@@ -43,6 +43,13 @@ _TAIL = [
     # outranks oldest-green refresh for window slots, so it stays in for
     # hard-signal re-confirmation; q1_word_length_histogram's refresh is
     # postponed to r6 to fund it.
+    # displaced for the round-5 NEW never-gated trio embedding_semdedup /
+    # text_quality_classifier / corpus_bigram_surprisal (new entries
+    # outrank oldest-green refresh): the r1-green set-ops refresh moves
+    # to r6 with q1_word_length_histogram.
+    "set_union_active_users",
+    "set_intersect_buyers_with_events",
+    "set_except_buyers_without_events",
     "sketch_daily_user_hll",          # no_oracle in r4 — driver can't gate
                                       # rows-only; pytest test_hll_pinned_
                                       # estimates is the right gate

@@ -202,12 +202,14 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk,
 FROM ranked WHERE rnk <= 10"""
 
 
-def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd iteration mirroring similarity.ivf_build_kmeans:
+def _kmeans_assign_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iteration mirroring similarity.kmeans_centroids:
     hash-sampled init, then ``rounds`` x (assign -> 6dp-rounded per-dim
     mean), then a final assignment.  Rounding the means at 6dp on both
     sides keeps cross-engine avg summation-order noise out of later
-    rounds' argmax."""
+    rounds' argmax.  Returns the CTE chain ending in
+    ``kbest(vec_id, centroid_id, cos)`` — shared by the ann_ivf_build_kmeans
+    and embedding_semdedup oracles."""
     init = f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
               - 1 AS INTEGER) AS centroid_id,
@@ -243,23 +245,56 @@ cent{r + 1} AS (
     GROUP BY b.centroid_id, d.dim
   ) GROUP BY centroid_id
 )""")
-    ctes = ",\n".join(stages)
-    return f"""
-WITH {ctes},
-final_assign AS (
+    stages.append(f"""final_assign AS (
   SELECT e.vec_id, c.centroid_id,
          round(list_cosine_similarity(
                  list_transform(e.embedding, x -> x::DOUBLE), c.c_emb)
                + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cent{rounds} c
-)
+),
+kbest AS (
+  SELECT vec_id, centroid_id, cos FROM (
+    SELECT vec_id, centroid_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, centroid_id) AS rn
+    FROM final_assign
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(stages)
+
+
+def _kmeans_sql(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iteration mirroring similarity.ivf_build_kmeans —
+    see :func:`_kmeans_assign_ctes` (shared with the semdedup oracle)."""
+    return f"""
+WITH {_kmeans_assign_ctes(k, rounds, dim)}
 SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id, cos AS cosine
-FROM (
-  SELECT vec_id, centroid_id, cos,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos DESC, centroid_id) AS rn
-  FROM final_assign
-) WHERE rn = 1"""
+FROM kbest"""
+
+
+def _semdedup_sql(
+    k: int = 8, rounds: int = 2, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """Oracle for similarity.semdedup: the SAME unrolled-Lloyd assignment
+    CTEs as the ann_ivf_build_kmeans oracle (so a kmeans divergence shows
+    up there first), then within-cell a<b pairs at 6dp-rounded cosine >=
+    threshold mark the higher id dropped."""
+    return f"""
+WITH {_kmeans_assign_ctes(k, rounds, dim)},
+mem AS (
+  SELECT b.vec_id, b.centroid_id,
+         list_transform(e.embedding, x -> x::DOUBLE) AS emb
+  FROM kbest b JOIN embeddings e ON b.vec_id = e.vec_id
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM mem x JOIN mem y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.emb, y.emb) + 1e-8, 6) >= {threshold}
+)
+SELECT b.vec_id, CAST(b.centroid_id AS BIGINT) AS centroid_id,
+       (d.vec_id IS NULL) AS keep
+FROM kbest b LEFT JOIN dropped d ON b.vec_id = d.vec_id"""
 
 
 def _rhp_lsh_sql(threshold: float = 0.4) -> str:
@@ -412,6 +447,31 @@ WITH {_QUALITY_CTES}
 SELECT doc_id, word_count, avg_word_len, stopword_ratio, alpha_ratio,
        quality_score
 FROM qual"""
+
+
+def _classifier_sql() -> str:
+    """Oracle for quality.quality_classifier: the SAME quality-feature
+    CTEs, then the logistic score from the module's weight constants
+    (embedded as repr literals so both engines evaluate the identical
+    doubles; the keep gate compares the 4dp-rounded probability)."""
+    w = quality.CLASSIFIER_WEIGHTS
+    logit = (
+        f"{quality.CLASSIFIER_BIAS!r}"
+        f" + least(word_count / 100.0, 1.0) * {w['len_norm']!r}"
+        f" + avg_word_len * {w['avg_word_len']!r}"
+        f" + stopword_ratio * {w['stopword_ratio']!r}"
+        f" + alpha_ratio * {w['alpha_ratio']!r}"
+    )
+    return f"""
+WITH {_QUALITY_CTES},
+scored AS (
+  SELECT doc_id, word_count,
+         round(1.0 / (1.0 + exp(-({logit}))) + 1e-8, 4) AS model_score
+  FROM qual
+)
+SELECT doc_id, word_count, model_score,
+       (model_score >= {quality.CLASSIFIER_KEEP_THRESHOLD!r}) AS keep
+FROM scored"""
 
 
 def _pipeline_sql(jaccard_threshold: float = 0.5, min_quality: float = 0.3) -> str:
@@ -635,6 +695,12 @@ FROM ranked WHERE rn = 1""",
         tags=("llm", "similarity"),
     ),
     QuerySpec(
+        "embedding_semdedup",
+        similarity.semdedup,
+        _semdedup_sql(threshold=similarity.SEMDEDUP_THRESHOLD),
+        tags=("llm", "similarity", "dedup"),
+    ),
+    QuerySpec(
         "embedding_near_duplicates",
         similarity.embedding_near_duplicates,
         """
@@ -704,6 +770,12 @@ FROM b GROUP BY 1""",
         _quality_sql(),
         headline=True,
         tags=("llm", "text-analysis"),
+    ),
+    QuerySpec(
+        "text_quality_classifier",
+        quality.quality_classifier,
+        _classifier_sql(),
+        tags=("llm", "text-analysis", "quality"),
     ),
     QuerySpec(
         "text_token_counts",
@@ -1228,6 +1300,42 @@ SELECT p.doc_id,
        round(sum(p.c * -ln(m.tok_total::DOUBLE / t.corpus_total))
              / sum(p.c) + 1e-8, 4) AS mean_surprisal
 FROM per_doc p JOIN model m ON p.token = m.token CROSS JOIN total t
+GROUP BY 1""",
+        tags=("llm", "corpus", "quality"),
+    ),
+    QuerySpec(
+        "corpus_bigram_surprisal",
+        corpus.bigram_surprisal,
+        f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS gram
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, split_part(gram, ' ', 1) AS w1,
+         split_part(gram, ' ', 2) AS w2, count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+bi AS (SELECT w1, w2, sum(c) AS bi_total FROM per_doc GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(bi_total) AS ctx_total FROM bi GROUP BY 1),
+uni AS (SELECT w2, sum(c) AS uni_total FROM per_doc GROUP BY 1),
+total AS (SELECT sum(uni_total) AS corpus_total FROM uni)
+SELECT p.doc_id,
+       CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+       round(sum(p.c * -ln({corpus.BIGRAM_LAMBDA!r} * (b.bi_total / x.ctx_total)
+                           + {corpus.BIGRAM_BACKOFF!r} * (u.uni_total / t.corpus_total)))
+             / sum(p.c) + 1e-8, 4) AS mean_surprisal
+FROM per_doc p
+JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN ctx x ON p.w1 = x.w1
+JOIN uni u ON p.w2 = u.w2
+CROSS JOIN total t
 GROUP BY 1""",
         tags=("llm", "corpus", "quality"),
     ),

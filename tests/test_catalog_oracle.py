@@ -27,6 +27,9 @@ def test_driver_window_priority():
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
     must_be_gated = {
         # round-5 new operators (never gated)
+        "embedding_semdedup",
+        "text_quality_classifier",
+        "corpus_bigram_surprisal",
         "ann_ivf_pq_search",
         "corpus_language_mixture",
         "dedup_split_leakage",
@@ -42,11 +45,10 @@ def test_driver_window_priority():
         "ann_pq_adc_topk",
         # round-5 oldest-green refresh (r1-green rows age because the
         # driver regenerates testdata each round; see plans/__init__.py)
+        # (the set-ops refresh moved to r6: the new never-gated trio
+        # outranks oldest-green refresh for window slots)
         "q2b_avg_days_between_orders",
         "bonus_inner_join",
-        "set_union_active_users",
-        "set_intersect_buyers_with_events",
-        "set_except_buyers_without_events",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

