@@ -64,6 +64,7 @@ def main() -> None:
         timings[spec.name] = round(best, 3)
 
     streaming = _bench_streaming(spark)
+    calibration = _bench_calibration(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: ``value`` grows whenever the headline
@@ -84,6 +85,7 @@ def main() -> None:
                 "core_n": sum(1 for n in timings if n in CORE_QUERIES),
                 "sf": sf,
                 **streaming,
+                **calibration,
             }
         )
     )
@@ -108,6 +110,49 @@ CORE_QUERIES = frozenset(
         "text_quality_scores",
     }
 )
+
+
+def _bench_calibration(spark, sf_dir: str) -> dict:
+    """Fixed reference workloads whose cost depends ONLY on host speed —
+    never on engine code — so cross-round comparisons can separate
+    machine noise from real regressions (r5 observed a uniform ~+30%
+    drift on UNTOUCHED queries vs BENCH_r04; per-query deltas are
+    meaningless without a same-run host yardstick).
+
+    * ``calibration_cpu_sec``: sum over spark.range(1e9) with arithmetic —
+      pure whole-stage codegen, no disk, no shuffle.
+    * ``calibration_scan_sec``: full-column count over the lineitem
+      parquet — disk + decode path at the bench SF.
+    Both best-of-2 after a warm-up run, like the query tier.  To compare
+    round N to round M, scale per-query times by the calibration ratio.
+    """
+    import gc
+    import time
+
+    out = {}
+    workloads = {
+        "calibration_cpu_sec": lambda: spark.range(1_000_000_000)
+        .selectExpr("sum(id * 2 + 1)")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+        "calibration_scan_sec": lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    }
+    for name, fn in workloads.items():
+        fn()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+            gc.collect()
+        out[name] = round(best, 3)
+    return out
 
 
 def _bench_streaming(spark, n_rows: int = 50_000) -> dict:

@@ -174,7 +174,8 @@ _TAIL = [
     "events_top_users_per_type",
     "skew_salted_count",
     "q2_spend_distribution",
-    # (set-ops tier rotated back IN for the round-5 oldest-green refresh)
+    # (set-ops tier: its round-5 refresh slot was re-funded to the new
+    # never-gated trio — see the round-5 block above; refresh now r6)
     "star_semi_join_big_spenders",
     "star_anti_join_dormant_customers",
     "agg_order_baskets",

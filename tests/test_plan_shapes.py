@@ -547,3 +547,36 @@ def test_pq_adc_topk_is_single_scan_with_partial_topk(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" not in plan.split("WindowGroupLimit")[0]
+
+
+def test_quality_classifier_is_shuffle_free_single_scan(spark, sf_dir):
+    """The model gate must stay one codegen projection over the documents
+    scan: no Exchange (nothing aggregates), no Python evaluation (the
+    weights are plan literals, not a UDF), and the scan reads only the
+    columns the features need."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        quality_classifier,
+    )
+
+    plan = plan_of(quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    # formatted mode prints each node twice (tree + detail block): exactly
+    # one scan means exactly two mentions.
+    assert plan.count("Scan parquet") == 2
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_semdedup_pairs_join_per_cell_not_cross(spark, sf_dir):
+    """SemDeDup's quadratic stage must be keyed on the cell id: the
+    members self-join appears as an equi-join on centroid_id (hash-
+    partitioned per cell), never a CartesianProduct / BroadcastNestedLoop
+    over the corpus — the difference between O(Σ|cell|²) and O(N²) at
+    100 TB."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        semdedup,
+    )
+
+    plan = plan_of(semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
