@@ -97,3 +97,61 @@ def pipeline_yield_report(spark: SparkSession, sf_dir: str, **kwargs) -> DataFra
         ("after_neardup_and_quality", after_all),
     ]
     return spark.createDataFrame(rows, "stage string, docs bigint")
+
+
+#: Training docs whose (4dp-rounded) benchmark-trigram overlap exceeds this
+#: are dropped by :func:`curate_documents_modern`.  Calibrated to the
+#: synthetic corpus (p90 ≈ 0.028, max ≈ 0.11): survivors dominate, the
+#: gate is exercised.
+CONTAMINATION_MAX = 0.05
+
+
+def curate_documents_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 curation composition — the "modern" counterpart of
+    :func:`prepare_documents` (which is the heuristic/near-dup pipeline):
+
+        documents → exact-dedup canonical → MODEL quality gate
+                  → benchmark decontamination
+
+    i.e. the C4→CCNet→LLaMA progression: hash dedup first (cheapest),
+    then the learned classifier gate, then drop both eval members and any
+    training doc overlapping the eval set above CONTAMINATION_MAX.  Every
+    stage is an existing driver-gated operator; this wires them under one
+    result (and one composed oracle), so a stage/pipeline divergence is a
+    hash mismatch in either place.
+
+    Plan shape at 100 TB: three corpus-grain scans (fingerprint groupBy,
+    feature projection, gram explode) joined back on doc_id — each stage's
+    own scale notes apply unchanged; the joins are doc-grain (left_semi /
+    inner on the id), never content-grain.  Short (<3-token) docs have no
+    trigrams → contamination 0 → kept, made explicit with the left join +
+    coalesce.
+    """
+    from .operators import scrubbing
+
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = (
+        docs.select(
+            "doc_id",
+            F.md5(dedup.normalized_text(F.col("text"))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gate = quality.quality_classifier(spark, sf_dir).filter(F.col("keep"))
+    contamination = scrubbing.contamination_check(spark, sf_dir).select(
+        "doc_id", "contamination_frac"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .filter(F.col("doc_id") % scrubbing.BENCHMARK_MOD != 0)
+        .join(canonical, "doc_id", "left_semi")
+        .join(gate.select("doc_id", "model_score"), "doc_id")
+        .join(contamination, "doc_id", "left")
+        .withColumn(
+            "contamination_frac",
+            F.coalesce(F.col("contamination_frac"), F.lit(0.0)),
+        )
+        .filter(F.col("contamination_frac") <= CONTAMINATION_MAX)
+    )

@@ -50,6 +50,11 @@ _TAIL = [
     "set_union_active_users",
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
+    # displaced for pipeline_curated_modern (new composed entry, never
+    # gated): its three component gates (classifier / exact dedup /
+    # contamination) all keep their own in-window rows this round.
+    "stratified_fixed_n_sample",      # r4 green; sampling tier keeps
+                                      # quality_weighted + cluster_balanced
     "sketch_daily_user_hll",          # no_oracle in r4 — driver can't gate
                                       # rows-only; pytest test_hll_pinned_
                                       # estimates is the right gate

@@ -474,6 +474,66 @@ SELECT doc_id, word_count, model_score,
 FROM scored"""
 
 
+def _curation_v2_sql() -> str:
+    """Composed oracle for pipelines.curate_documents_modern: the
+    classifier CTEs (verbatim from _classifier_sql), the md5-canonical
+    exact-dedup fragment (verbatim from the dedup_exact oracle), and the
+    trigram decontamination CTEs (verbatim from the
+    text_contamination_check oracle) — intersected on doc_id, so a
+    stage/pipeline divergence is a hash mismatch in both places."""
+    from ..pipelines import CONTAMINATION_MAX
+
+    w = quality.CLASSIFIER_WEIGHTS
+    logit = (
+        f"{quality.CLASSIFIER_BIAS!r}"
+        f" + least(word_count / 100.0, 1.0) * {w['len_norm']!r}"
+        f" + avg_word_len * {w['avg_word_len']!r}"
+        f" + stopword_ratio * {w['stopword_ratio']!r}"
+        f" + alpha_ratio * {w['alpha_ratio']!r}"
+    )
+    return rf"""
+WITH {_QUALITY_CTES},
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({logit}))) + 1e-8, 4) AS model_score
+  FROM qual
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+  GROUP BY fp
+),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM ctoks WHERE len(t) >= 3
+),
+cbench AS (SELECT DISTINCT gram FROM cgrams WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT g.doc_id,
+         round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)::DOUBLE
+               / count(*) + 1e-8, 4) AS contamination_frac
+  FROM cgrams g LEFT JOIN cbench b ON g.gram = b.gram
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id, d.source, s.model_score,
+       COALESCE(c.contamination_frac, 0.0) AS contamination_frac
+FROM documents d
+JOIN canon cn ON d.doc_id = cn.doc_id
+JOIN scored s ON d.doc_id = s.doc_id
+LEFT JOIN cont c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 97 <> 0
+  AND s.model_score >= {quality.CLASSIFIER_KEEP_THRESHOLD!r}
+  AND COALESCE(c.contamination_frac, 0.0) <= {CONTAMINATION_MAX!r}"""
+
+
 def _pipeline_sql(jaccard_threshold: float = 0.5, min_quality: float = 0.3) -> str:
     """End-to-end oracle for pipelines.prepare_documents: exact dedup
     (md5 canonical) → Jaccard>=t verified pairs → transitive components →
@@ -891,6 +951,12 @@ FROM documents WHERE doc_id % 10 = 0""",
         "pipeline_surviving_docs",
         pipelines.prepare_documents,
         _pipeline_sql(),
+        tags=("llm", "pipeline"),
+    ),
+    QuerySpec(
+        "pipeline_curated_modern",
+        pipelines.curate_documents_modern,
+        _curation_v2_sql(),
         tags=("llm", "pipeline"),
     ),
     QuerySpec(

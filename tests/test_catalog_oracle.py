@@ -28,6 +28,7 @@ def test_driver_window_priority():
     must_be_gated = {
         # round-5 new operators (never gated)
         "embedding_semdedup",
+        "pipeline_curated_modern",
         "text_quality_classifier",
         "corpus_bigram_surprisal",
         "ann_ivf_pq_search",

@@ -1552,3 +1552,40 @@ def test_semdedup_survivor_set_is_id_minimal_independent(spark):
                 ), (c, b)
             else:
                 assert matched_lower, (c, b)
+
+
+def test_curation_pipeline_is_exact_gate_intersection(spark):
+    """pipeline_curated_modern must equal the intersection of its three
+    component gates, computed independently from the component operators:
+    canonical exact-dedup survivors ∩ classifier keeps ∩ non-benchmark
+    docs under the contamination cap — and every excluded doc must
+    violate at least one gate (no silent over-pruning)."""
+    from hadoop_pyspark_streaming_analytics_spark import pipelines
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    got = {r["doc_id"] for r in pipelines.curate_documents_modern(spark, SF).collect()}
+    canon = {
+        r["canonical_doc_id"] for r in dedup.exact_duplicates(spark, SF).collect()
+    }
+    keeps = {
+        r["doc_id"]
+        for r in quality.quality_classifier(spark, SF).collect()
+        if r["keep"]
+    }
+    cont = {
+        r["doc_id"]: r["contamination_frac"]
+        for r in scrubbing.contamination_check(spark, SF).collect()
+    }
+    all_ids = {r["doc_id"] for r in load_table(spark, SF, "documents").collect()}
+    expected = {
+        d
+        for d in all_ids
+        if d % scrubbing.BENCHMARK_MOD != 0
+        and d in canon
+        and d in keeps
+        and cont.get(d, 0.0) <= pipelines.CONTAMINATION_MAX
+    }
+    assert got == expected
+    assert got  # gates must not annihilate the corpus
+    assert got != all_ids  # ...and must actually prune
