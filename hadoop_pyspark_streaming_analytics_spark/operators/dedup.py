@@ -495,3 +495,69 @@ def split_leakage_check(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+def exact_substring_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find document pairs
+    sharing a verbatim run of >= ``window`` tokens — the signal the
+    bag-of-shingles tiers (Jaccard/MinHash) cannot give, because a long
+    copied span inside otherwise-different documents barely moves set
+    similarity.  The paper builds a suffix array; the distributed
+    re-expression is a WINDOW-HASH inverted index: every ``window``-token
+    run hashes to one key, a shared key IS a shared run (md5 stands in
+    for the rolling Rabin-Karp hash — same keys, engine-portable), and
+    pairs aggregate per (doc_a, doc_b) with the shared-window count as
+    the overlap-length proxy (a run of L>=window shared tokens yields
+    L-window+1 shared window hashes).
+
+    Skew control, same policy as the TF-IDF postings cap: window hashes
+    occurring in more than ``max_df`` documents are boilerplate (think
+    license headers) — they would quadratically explode the
+    inverted-index self-join at corpus scale, and the paper's guidance is
+    that such spans get REMOVED, not pair-joined.  The cap is part of the
+    operator's semantics (deterministic, mirrored by the oracle), not a
+    sampling shortcut.
+
+    Plan shape at 100 TB: windows are codegen (``transform`` + ``slice``
+    over the token array, DISTINCT per doc); the df filter is one
+    map-side-combinable aggregate over the window key; the pair join is
+    bucket-local per window hash with per-key fan-out bounded by
+    ``max_df``.  No all-pairs stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("t"),
+    ).filter(F.size("t") >= window)
+    wins = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {window} + 1),"
+                    f" i -> md5(array_join(slice(t, i, {window}), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        # feeds the df screen AND both sides of the pair join
+        .localCheckpoint(eager=True)
+    )
+    rare = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    keyed = wins.join(rare.select("h"), "h")
+    a = keyed.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = keyed.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_windows"))
+    )

@@ -54,13 +54,14 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features + a composite score: token count,
-    mean word length, stopword ratio, alpha-character ratio.  The score
-    formula is a deterministic mix of the features — the point is the
-    feature extraction shape, which mirrors C4/Gopher-style quality
-    filters."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-document quality features + a composite score over ANY frame
+    with (doc_id, text) — batch or streaming; the projection is stateless,
+    so the same plan compiles both ways (exercised by the streaming
+    classifier parity test).  Features: token count, mean word length,
+    stopword ratio, alpha-character ratio; the score formula is a
+    deterministic mix — the point is the feature extraction shape, which
+    mirrors C4/Gopher-style quality filters."""
     stop_arr = ", ".join(f"'{w}'" for w in STOP_WORDS)
     d = docs.select(
         "doc_id",
@@ -100,6 +101,11 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table spelling of :func:`quality_features`."""
+    return quality_features(load_table(spark, sf_dir, "documents"))
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +459,13 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, not raw aggregates; ``keep`` compares the rounded probability,
     so both engines gate on the identical number.
     """
-    feats = quality_scores(spark, sf_dir)
+    return classify_documents(quality_scores(spark, sf_dir))
+
+
+def classify_documents(feats: DataFrame) -> DataFrame:
+    """The classifier projection over a :func:`quality_features` frame —
+    stateless, so it applies unchanged to a STREAMING documents source
+    (parity with the batch path is test-pinned)."""
     w = CLASSIFIER_WEIGHTS
     logit = (
         F.lit(CLASSIFIER_BIAS)

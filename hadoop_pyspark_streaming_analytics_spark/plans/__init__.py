@@ -33,8 +33,9 @@ _TAIL = [
     # green row AGES (the r3 timestamp-flavor drift proved it) — each
     # round, any window slots not needed by new/red entries go to the
     # entries whose last driver row is OLDEST (r5 refresh: the r1-green
-    # q2b_avg_days_between_orders, q1_word_length_histogram,
-    # bonus_inner_join + the r1-green set-ops tier).  Displaced to make
+    # q2b_avg_days_between_orders and bonus_inner_join; the set-ops tier
+    # and q1_word_length_histogram refreshes moved to r6 — their slots
+    # fund the round-5 NEW entries, which outrank refresh).  Displaced to make
     # room: the reclaimed HLL slot + 6 r4-green near-twins below (every
     # one stays locally oracle-diffed per round, and the PQ-codes oracle
     # lives on verbatim inside the in-window ADC oracles).  NOT displaced:
@@ -55,6 +56,10 @@ _TAIL = [
     # contamination) all keep their own in-window rows this round.
     "stratified_fixed_n_sample",      # r4 green; sampling tier keeps
                                       # quality_weighted + cluster_balanced
+    # displaced for dedup_exact_substring (new, never gated)
+    "multimodal_video_frame_features",  # r4 green; png_features stays in
+                                        # and the frame tier is pytest-
+                                        # gated by arithmetic oracles
     "sketch_daily_user_hll",          # no_oracle in r4 — driver can't gate
                                       # rows-only; pytest test_hll_pinned_
                                       # estimates is the right gate

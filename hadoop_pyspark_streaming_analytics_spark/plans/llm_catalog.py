@@ -629,6 +629,30 @@ FROM documents GROUP BY 1""",
         tags=("llm", "dedup"),
     ),
     QuerySpec(
+        "dedup_exact_substring",
+        dedup.exact_substring_pairs,
+        """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+win AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS h
+  FROM idx
+),
+rare AS (SELECT h FROM win GROUP BY h HAVING count(*) <= 100),
+keyed AS (SELECT w.doc_id, w.h FROM win w JOIN rare r ON w.h = r.h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS INTEGER) AS shared_windows
+FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+        tags=("llm", "dedup"),
+    ),
+    QuerySpec(
         "dedup_ngram_jaccard",
         dedup.ngram_jaccard_pairs,
         f"""
@@ -758,6 +782,7 @@ FROM ranked WHERE rn = 1""",
         "embedding_semdedup",
         similarity.semdedup,
         _semdedup_sql(threshold=similarity.SEMDEDUP_THRESHOLD),
+        headline=True,
         tags=("llm", "similarity", "dedup"),
     ),
     QuerySpec(
@@ -957,6 +982,7 @@ FROM documents WHERE doc_id % 10 = 0""",
         "pipeline_curated_modern",
         pipelines.curate_documents_modern,
         _curation_v2_sql(),
+        headline=True,
         tags=("llm", "pipeline"),
     ),
     QuerySpec(

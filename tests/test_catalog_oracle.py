@@ -29,6 +29,7 @@ def test_driver_window_priority():
         # round-5 new operators (never gated)
         "embedding_semdedup",
         "pipeline_curated_modern",
+        "dedup_exact_substring",
         "text_quality_classifier",
         "corpus_bigram_surprisal",
         "ann_ivf_pq_search",

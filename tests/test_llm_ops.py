@@ -1589,3 +1589,39 @@ def test_curation_pipeline_is_exact_gate_intersection(spark):
     assert got == expected
     assert got  # gates must not annihilate the corpus
     assert got != all_ids  # ...and must actually prune
+
+
+def test_exact_substring_pairs_match_bruteforce_and_df_cap(spark):
+    """Window-hash exact-substring detection must agree with a driver-side
+    brute-force check: for every reported pair the two documents share a
+    verbatim >=8-token run (count = L-8+1 per maximal shared run family),
+    and pairs subsume the high-Jaccard planted near-dups (long copied
+    spans).  max_df=1 must yield ZERO pairs — a window kept by the
+    boilerplate cap appears in <= max_df docs, and a shared window needs
+    two — proving the cap actually gates the join."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    W = 8
+    pairs = dedup.exact_substring_pairs(spark, SF, window=W).collect()
+    assert pairs
+    import re
+
+    texts = {
+        r["doc_id"]: re.findall("[a-z]+", r["text"].lower())
+        for r in load_table(spark, SF, "documents").collect()
+    }
+
+    def windows(doc):
+        t = texts[doc]
+        return {" ".join(t[i : i + W]) for i in range(len(t) - W + 1)}
+
+    for r in pairs:
+        shared = windows(r["doc_a"]) & windows(r["doc_b"])
+        assert len(shared) == r["shared_windows"], (r["doc_a"], r["doc_b"])
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF, threshold=0.8).collect()
+    }
+    assert planted <= found
+    assert dedup.exact_substring_pairs(spark, SF, window=W, max_df=1).count() == 0

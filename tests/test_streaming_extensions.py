@@ -504,3 +504,49 @@ def test_foreach_batch_adc_topk_reads_materialized_codes(spark, tmp_path):
     )
     assert "embeddings.parquet" not in plan
     assert "embedding:" not in plan  # no raw-vector column in any ReadSchema
+
+
+def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
+    """The model quality gate is a stateless projection, so the SAME
+    operator code (quality_features → classify_documents) must compile
+    under Structured Streaming and score every micro-batch identically to the
+    batch path — the classic one-plan-two-runtimes contract, here for the
+    round-5 classifier tier."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        classify_documents,
+        quality_features,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    watch = tmp_path / "docs"
+    watch.mkdir()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    docs.limit(200).coalesce(1).write.json(str(watch / "b0"), mode="overwrite")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(watch / "b0"))
+    )
+    run = MemorySinkRun(
+        spark, classify_documents(quality_features(stream)), output_mode="append"
+    )
+    try:
+        run.process_all()
+        got = {
+            r["doc_id"]: (r["model_score"], r["keep"])
+            for r in run.table().collect()
+        }
+    finally:
+        run.stop()
+    batch_src = spark.read.schema("doc_id long, text string").json(
+        str(watch / "b0")
+    )
+    expected = {
+        r["doc_id"]: (r["model_score"], r["keep"])
+        for r in classify_documents(quality_features(batch_src)).collect()
+    }
+    assert got == expected and got
