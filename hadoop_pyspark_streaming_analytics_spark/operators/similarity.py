@@ -1146,3 +1146,60 @@ def semdedup(
         F.col("centroid_id").cast("bigint").alias("centroid_id"),
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
     )
+
+
+def ivf_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Index-quality EVALUATION: per-query recall@k of :func:`ivf_search`
+    against the exact :func:`brute_force_topk` ground truth, plus the mean
+    retrieved cosine on both sides (the quality-delta a recall number
+    alone hides — an index can miss half the exact set and still return
+    near-equal-similarity substitutes).
+
+    An ANN index without a recall harness is unshippable: nprobe /
+    n_centroids tuning IS this query, run on a held-out query sample
+    before every index rollout (the standard ANN-benchmarks protocol).
+    Plan shape: both searches are the already-audited scan-shaped
+    pipelines; everything downstream operates on |queries| x k rows —
+    a left-semi hit-join and two tiny aggregations, negligible at any
+    corpus scale because the report's size is query-count-bounded.
+    """
+    exact = brute_force_topk(spark, sf_dir, query_ids, k)
+    approx = ivf_search(spark, sf_dir, query_ids, k, n_centroids, nprobe)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    exact_mean = exact.groupBy("query_id").agg(
+        F.round(F.avg("cosine") + F.lit(1e-8), 4).alias("exact_mean_cosine")
+    )
+    ivf_mean = approx.groupBy("query_id").agg(
+        F.round(F.avg("cosine") + F.lit(1e-8), 4).alias("ivf_mean_cosine")
+    )
+    return (
+        exact_mean.join(ivf_mean, "query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)) + F.lit(1e-8),
+                4,
+            ).alias("recall_at_k"),
+            "exact_mean_cosine",
+            "ivf_mean_cosine",
+        )
+        .orderBy("query_id")
+    )

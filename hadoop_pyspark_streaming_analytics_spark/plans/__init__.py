@@ -51,6 +51,19 @@ _TAIL = [
     "set_union_active_users",
     "set_intersect_buyers_with_events",
     "set_except_buyers_without_events",
+    # displaced for the round-5 evaluation/audit tier (ann_ivf_recall_report /
+    # text_language_audit / corpus_source_report / dedup_minhash_estimate —
+    # all never gated → in-window; their composed oracles embed the
+    # brute-force/ivf/lang-id/quality/LSH fragments verbatim, so the four
+    # r4-green entries below keep value-level driver coverage THROUGH the
+    # new rows on top of the per-round local oracle diff):
+    "quality_weighted_sample",        # r4 green; sampling tier keeps
+                                      # cluster_balanced in-window
+    "corpus_tfidf_top_terms",         # r4 green; corpus tier keeps
+                                      # token_budget + bigram + boilerplate
+    "events_value_histogram",         # r4 green; timeseries tier keeps
+                                      # cohort/funnel/scd2/anomalies/locf
+    "events_weekly_change",           # r4 green; same windowed-agg family
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

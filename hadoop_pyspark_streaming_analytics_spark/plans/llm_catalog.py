@@ -1798,3 +1798,176 @@ LLM_CATALOG.append(
         tags=("llm", "udtf", "twin"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 evaluation/audit tier: ANN recall harness, metadata-integrity
+# audit, per-source curation report card, minhash estimator calibration.
+# Every oracle COMPOSES already-driver-proven fragments (nested WITH
+# subqueries reuse the brute-force / ivf / lang-id / quality / LSH oracles
+# verbatim), so a green row here also re-confirms the components.
+# ---------------------------------------------------------------------------
+
+
+def _recall_report_sql(k: int = 10) -> str:
+    """Oracle for similarity.ivf_recall_report: the proven brute-force and
+    ivf_search oracles verbatim as nested-WITH subqueries, then the
+    query-grain hit-count / recall / mean-cosine rollup."""
+    exact_sql = _ANN_SQL_TEMPLATE.format(label_pred="")
+    approx_sql = _ivf_search_sql()
+    return f"""
+WITH exact AS ({exact_sql}),
+approx AS ({approx_sql}),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e
+  JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+),
+em AS (
+  SELECT query_id, round(avg(cosine) + 1e-8, 4) AS exact_mean_cosine
+  FROM exact GROUP BY 1
+),
+am AS (
+  SELECT query_id, round(avg(cosine) + 1e-8, 4) AS ivf_mean_cosine
+  FROM approx GROUP BY 1
+)
+SELECT em.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / {float(k)} + 1e-8, 4) AS recall_at_k,
+       em.exact_mean_cosine, am.ivf_mean_cosine
+FROM em
+JOIN am ON em.query_id = am.query_id
+LEFT JOIN hits h ON em.query_id = h.query_id
+ORDER BY em.query_id"""
+
+
+def _lang_audit_sql() -> str:
+    """Oracle for quality.language_mislabel_audit: the proven lang-id
+    oracle nested verbatim, joined back to the declared labels, rolled up
+    per source."""
+    return f"""
+WITH pred AS ({_lang_id_sql()}),
+j AS (
+  SELECT d.source, d.lang, p.pred_lang
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+)
+SELECT source,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(CASE WHEN pred_lang != 'und' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_decided,
+       CAST(sum(CASE WHEN pred_lang != 'und' AND pred_lang != lang
+                     THEN 1 ELSE 0 END) AS INTEGER) AS n_mismatch,
+       round(sum(CASE WHEN pred_lang != 'und' AND pred_lang != lang
+                      THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(sum(CASE WHEN pred_lang != 'und' THEN 1 ELSE 0 END), 1)
+             + 1e-8, 4) AS mismatch_rate
+FROM j GROUP BY source ORDER BY source"""
+
+
+def _source_report_sql() -> str:
+    r"""Oracle for quality.source_curation_report: the shared quality CTEs
+    + the text_document_fingerprints normalization, rolled up per source
+    with the corpus-wide exact-duplicate flag."""
+    return f"""
+WITH {_QUALITY_CTES},
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+dupc AS (
+  SELECT fingerprint, count(*) AS n_copies FROM fp GROUP BY 1
+),
+base AS (
+  SELECT d.source, q.word_count, q.quality_score,
+         (c.n_copies > 1) AS is_dup
+  FROM documents d
+  JOIN qual q ON d.doc_id = q.doc_id
+  JOIN fp f ON d.doc_id = f.doc_id
+  JOIN dupc c ON f.fingerprint = c.fingerprint
+)
+SELECT source,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(word_count) AS BIGINT) AS total_tokens,
+       round(avg(quality_score) + 1e-8, 4) AS avg_quality,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_docs,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             + 1e-8, 4) AS dup_rate
+FROM base GROUP BY source ORDER BY source"""
+
+
+def _minhash_estimate_sql(
+    bands: int = dedup.LSH_BANDS, rows: int = dedup.LSH_ROWS
+) -> str:
+    """Oracle for dedup.minhash_estimate_pairs: the LSH CTE chain (sigs +
+    cand) verbatim, the component-match estimate, and the candidate-gated
+    exact Jaccard."""
+    num_perm = bands * rows
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END" for k in range(num_perm)
+    )
+    return f"""
+WITH {_lsh_ctes(bands, rows)},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({match_sum}) / {float(num_perm)} + 1e-8, 4) AS est_jaccard
+  FROM cand c
+  JOIN sigs a ON c.doc_a = a.doc_id
+  JOIN sigs b ON c.doc_b = b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS intersection
+  FROM cand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT c.doc_a, c.doc_b,
+         round(COALESCE(i.intersection, 0)::DOUBLE
+               / (sa.n_shingles + sb.n_shingles - COALESCE(i.intersection, 0))
+               + 1e-8, 4) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+       round(abs(e.est_jaccard - x.jaccard) + 1e-8, 4) AS abs_err
+FROM est e
+JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+ORDER BY e.doc_a, e.doc_b"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "ann_ivf_recall_report",
+            similarity.ivf_recall_report,
+            _recall_report_sql(),
+            tags=("llm", "similarity", "evaluation"),
+        ),
+        QuerySpec(
+            "text_language_audit",
+            quality.language_mislabel_audit,
+            _lang_audit_sql(),
+            tags=("llm", "text-analysis", "audit"),
+        ),
+        QuerySpec(
+            "corpus_source_report",
+            quality.source_curation_report,
+            _source_report_sql(),
+            tags=("llm", "corpus", "audit"),
+        ),
+        QuerySpec(
+            "dedup_minhash_estimate",
+            dedup.minhash_estimate_pairs,
+            _minhash_estimate_sql(),
+            tags=("llm", "dedup", "evaluation"),
+        ),
+    ]
+)

@@ -37,6 +37,13 @@ def test_driver_window_priority():
         "dedup_split_leakage",
         "ann_ivf_cell_stats",
         "embedding_cluster_balanced_sample",
+        # round-5 evaluation/audit tier (never gated; composed oracles
+        # re-confirm the brute-force/ivf/lang-id/quality/LSH fragments of
+        # the four r4-green entries they displaced)
+        "ann_ivf_recall_report",
+        "text_language_audit",
+        "corpus_source_report",
+        "dedup_minhash_estimate",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

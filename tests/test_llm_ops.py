@@ -1625,3 +1625,89 @@ def test_exact_substring_pairs_match_bruteforce_and_df_cap(spark):
     }
     assert planted <= found
     assert dedup.exact_substring_pairs(spark, SF, window=W, max_df=1).count() == 0
+
+
+def test_ivf_recall_report_consistency(spark):
+    """The recall report must agree with an independent recomputation from
+    its two component searches, and the exact side's mean cosine can never
+    lose to the index's (brute force maximizes the retrieved-cosine sum)."""
+    import collections
+
+    rep = similarity.ivf_recall_report(spark, SF).collect()
+    assert len(rep) == 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_search(spark, SF).collect()
+    }
+    hits = collections.Counter(q for (q, _) in exact & approx)
+    for r in rep:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] == hits.get(r["query_id"], 0)
+        assert abs(r["recall_at_k"] - r["n_hits"] / 10.0) <= 1e-4
+        # 4dp rounding on both sides can flip a tie by at most 1e-4
+        assert r["exact_mean_cosine"] >= r["ivf_mean_cosine"] - 1e-4
+
+
+def test_language_audit_accounting(spark):
+    """Counts must nest (mismatch <= decided <= docs), cover the corpus
+    exactly once, and reproduce the rate arithmetic."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = quality.language_mislabel_audit(spark, SF).collect()
+    n_docs_total = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert 0 <= r["n_mismatch"] <= r["n_decided"] <= r["n_docs"]
+        want = round(r["n_mismatch"] / max(r["n_decided"], 1) + 1e-8, 4)
+        assert abs(r["mismatch_rate"] - want) <= 1e-9
+
+
+def test_source_report_accounting(spark):
+    """The per-source rollup must cover the corpus exactly once, and its
+    duplicate accounting must equal the exact-dedup operator's: the number
+    of docs in >1-member fingerprint groups."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = quality.source_curation_report(spark, SF).collect()
+    n_docs_total = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    dup_doc_total = sum(
+        r["dup_count"]
+        for r in dedup.exact_duplicates(spark, SF).collect()
+        if r["dup_count"] > 1
+    )
+    assert sum(r["n_dup_docs"] for r in rows) == dup_doc_total
+    for r in rows:
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 < r["avg_quality"] <= 1.0
+        assert r["total_tokens"] > 0
+
+
+def test_minhash_estimate_matches_exact_on_verified_pairs(spark):
+    """One row per LSH candidate; the estimate is quantized to 1/16 steps;
+    the exact column must agree with ngram_jaccard_pairs wherever that
+    (threshold-filtered) query also reports the pair."""
+    rows = dedup.minhash_estimate_pairs(spark, SF).collect()
+    n_cand = dedup.minhash_lsh_candidates(spark, SF).count()
+    assert len(rows) == n_cand > 0
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        steps = r["est_jaccard"] * 16
+        assert abs(steps - round(steps)) <= 16 * 2e-4
+        assert abs(
+            r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]) + 1e-8, 4)
+        ) <= 1e-9
+    exact_map = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, SF, threshold=0.5).collect()
+    }
+    shared = set(truth) & set(exact_map)
+    assert shared, "expected LSH candidates among true Jaccard>=0.5 pairs"
+    for pair in shared:
+        assert abs(exact_map[pair] - truth[pair]) <= 1e-9
