@@ -1711,3 +1711,19 @@ def test_minhash_estimate_matches_exact_on_verified_pairs(spark):
     assert shared, "expected LSH candidates among true Jaccard>=0.5 pairs"
     for pair in shared:
         assert abs(exact_map[pair] - truth[pair]) <= 1e-9
+
+
+def test_semdedup_arrow_scorer_parity_with_jvm(spark):
+    """The Arrow/BLAS pair scorer (default — 2.4x faster on the quadratic
+    within-cell stage) must produce the exact same keep set as the JVM
+    higher-order path the oracle mirrors; the 6dp (+1e-8) round is the
+    cross-engine/cross-scorer float surface."""
+    arrow = {
+        (r["vec_id"], r["centroid_id"], r["keep"])
+        for r in similarity.semdedup(spark, SF).collect()
+    }
+    jvm = {
+        (r["vec_id"], r["centroid_id"], r["keep"])
+        for r in similarity.semdedup(spark, SF, use_arrow=False).collect()
+    }
+    assert arrow == jvm
