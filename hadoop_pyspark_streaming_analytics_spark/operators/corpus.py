@@ -522,3 +522,110 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (byte-pair encoding, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
+    """Distributed BPE training on the corpus's WORD-FREQUENCY dictionary —
+    the standard industrial shape (Sennrich et al. 2016: train on the word
+    count dict, not the raw corpus): one corpus scan builds (word, count),
+    and every merge iteration is a scan+agg over that vocabulary-sized
+    table.  At 100 TB the corpus pass is the only big job; the dictionary
+    is ~10^6-10^7 rows, so the per-iteration pair count shuffles kilobytes
+    of (pair, partial-count) after map-side combine.
+
+    Per iteration: adjacent symbol pairs via the codegen'd
+    slice+arrays_zip+explode pattern (same rationale as dedup.doc_shingles
+    — higher-order lambdas run interpreted), weighted by word count;
+    argmax with the engine-portable tiebreak (count DESC, then the
+    'left|right' pair string ASC); the winning pair merges via
+    ``regexp_replace('\\bl r\\b' -> 'lr')`` — RE2 and Java agree on ASCII
+    \\b and on left-to-right non-overlapping replacement, which matches
+    BPE's greedy within-word merge order (verified on the 'a a a' /
+    'x y x y' adversarial cases in both engines).  The winner is ONE
+    collected row per iteration (the same k-row driver pattern as
+    kmeans_centroids); lineage stays flat because the dictionary is
+    localCheckpoint'ed once after the corpus scan.
+
+    Returns (merge list, final symbolized-dictionary DataFrame).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    syms = words.select(
+        "word",
+        "wcount",
+        F.concat_ws(
+            " ", F.regexp_extract_all(F.col("word"), F.lit("[a-z]"), 0)
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pairs = syms.select(
+            "wcount",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1)"),
+                    F.expr("slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1)"),
+                )
+            ).alias("z"),
+        )
+        counted = (
+            pairs.select(
+                F.concat(F.col("z.0"), F.lit("|"), F.col("z.1")).alias("pr"),
+                "wcount",
+            )
+            .groupBy("pr")
+            .agg(F.sum("wcount").alias("cnt"))
+        )
+        best = counted.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1).collect()
+        if not best:
+            break
+        pr, cnt = best[0]["pr"], int(best[0]["cnt"])
+        lft, rgt = pr.split("|", 1)
+        merges.append((step, lft, rgt, lft + rgt, cnt))
+        syms = syms.withColumn(
+            "sym", F.regexp_replace("sym", rf"\b{lft} {rgt}\b", lft + rgt)
+        )
+    return merges, syms
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The learned merge table: (step, lft, rgt, merged, pair_count) — the
+    tokenizer artifact BPE training exists to produce (apply order = step
+    order).  See :func:`_bpe_train` for the distributed shape."""
+    merges, _ = _bpe_train(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The APPLY side: every dictionary word segmented under the learned
+    merges (space-joined subword symbols + subword count) — what the
+    tokenizer does to new text, evaluated over the training dictionary
+    itself.  Shares the training pass with :func:`bpe_merges`."""
+    _, syms = _bpe_train(spark, sf_dir, n_merges)
+    return syms.select(
+        "word",
+        "wcount",
+        F.col("sym").alias("segmentation"),
+        F.size(F.split(F.col("sym"), " ")).alias("n_subwords"),
+    ).orderBy("word")

@@ -64,6 +64,13 @@ _TAIL = [
     "events_value_histogram",         # r4 green; timeseries tier keeps
                                       # cohort/funnel/scd2/anomalies/locf
     "events_weekly_change",           # r4 green; same windowed-agg family
+    # displaced for the round-5 BPE tokenizer-training pair
+    # (corpus_bpe_merges / corpus_bpe_segment — never gated → in-window;
+    # also reference-implementation-pinned in test_llm_ops):
+    "merge_upsert_customers",         # r4 green; CDC tier also covered by
+                                      # scd2 + anti/semi join entries
+    "events_cohort_retention",        # r4 green; timeseries tier keeps
+                                      # funnel/scd2/anomalies/locf/sessions
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -1971,3 +1971,93 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — unrolled-iteration oracle (same pattern as the
+# kmeans unrolled-Lloyd CTEs): each merge step is a pair-count CTE, an
+# argmax CTE (count DESC, 'left|right' string ASC — both engines compare
+# ASCII bytewise), and a regexp_replace apply CTE with the column-valued
+# \b-anchored pattern (RE2 == Java on ASCII \b and left-to-right
+# non-overlapping replacement; verified on 'a a a' / 'x y x y').
+# ---------------------------------------------------------------------------
+
+
+def _bpe_ctes(n: int = corpus.BPE_MERGES) -> str:
+    parts = [
+        r"""
+w0 AS (
+  SELECT t AS word, count(*) AS wcount
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT word, wcount,
+         array_to_string(regexp_extract_all(word, '[a-z]'), ' ') AS sym
+  FROM w0
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT unnest(list_transform(range(1, len(sl)),
+                j -> sl[j] || '|' || sl[j+1])) AS pr,
+         wcount
+  FROM (SELECT wcount, str_split(sym, ' ') AS sl FROM s{i - 1})
+),
+c{i} AS (
+  SELECT pr, CAST(sum(wcount) AS BIGINT) AS cnt FROM p{i} GROUP BY 1
+),
+b{i} AS (
+  SELECT split_part(pr, '|', 1) AS lft, split_part(pr, '|', 2) AS rgt, cnt
+  FROM c{i} ORDER BY cnt DESC, pr LIMIT 1
+),
+s{i} AS (
+  SELECT s.word, s.wcount,
+         regexp_replace(s.sym, '\\b' || b.lft || ' ' || b.rgt || '\\b',
+                        b.lft || b.rgt, 'g') AS sym
+  FROM s{i - 1} s CROSS JOIN b{i} b
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n: int = corpus.BPE_MERGES) -> str:
+    steps = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS step, lft, rgt, lft || rgt AS merged, cnt AS pair_count"
+        f" FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return f"""
+WITH {_bpe_ctes(n)}
+SELECT * FROM (
+  {steps}
+) ORDER BY step"""
+
+
+def _bpe_segment_sql(n: int = corpus.BPE_MERGES) -> str:
+    return f"""
+WITH {_bpe_ctes(n)}
+SELECT word, wcount, sym AS segmentation,
+       CAST(len(str_split(sym, ' ')) AS INTEGER) AS n_subwords
+FROM s{n} ORDER BY word"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "corpus_bpe_merges",
+            corpus.bpe_merges,
+            _bpe_merges_sql(),
+            tags=("llm", "tokenizer"),
+        ),
+        QuerySpec(
+            "corpus_bpe_segment",
+            corpus.bpe_segment,
+            _bpe_segment_sql(),
+            tags=("llm", "tokenizer"),
+        ),
+    ]
+)

@@ -44,6 +44,9 @@ def test_driver_window_priority():
         "text_language_audit",
         "corpus_source_report",
         "dedup_minhash_estimate",
+        # round-5 BPE tokenizer-training pair (never gated)
+        "corpus_bpe_merges",
+        "corpus_bpe_segment",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

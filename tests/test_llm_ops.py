@@ -1727,3 +1727,46 @@ def test_semdedup_arrow_scorer_parity_with_jvm(spark):
         for r in similarity.semdedup(spark, SF, use_arrow=False).collect()
     }
     assert arrow == jvm
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """The distributed trainer must reproduce, step for step, a from-
+    scratch pure-Python BPE (Sennrich et al.) run on the same word-count
+    dictionary with the same tiebreak — pair counts, merge order, and the
+    final segmentation's reconstruction property."""
+    import collections
+    import re
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r["text"] for r in load_table(spark, sf, "documents").collect()]
+    wcounts = collections.Counter(
+        w for t in texts for w in re.findall("[a-z]+", t.lower())
+    )
+    syms = {w: " ".join(w) for w in wcounts}
+    want = []
+    for step in range(1, corpus.BPE_MERGES + 1):
+        pair_counts = collections.Counter()
+        for w, c in wcounts.items():
+            parts = syms[w].split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pair_counts[f"{a}|{b}"] += c
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        lft, rgt = best[0].split("|", 1)
+        want.append((step, lft, rgt, lft + rgt, best[1]))
+        pat = re.compile(rf"\b{lft} {rgt}\b")
+        for w in syms:
+            syms[w] = pat.sub(lft + rgt, syms[w])
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
+    ]
+    assert got == want
+    seg = corpus.bpe_segment(spark, sf).collect()
+    assert len(seg) == len(wcounts)
+    for r in seg:
+        assert r["segmentation"].replace(" ", "") == r["word"]
+        assert r["n_subwords"] == len(r["segmentation"].split(" "))
+        assert r["segmentation"] == syms[r["word"]]
