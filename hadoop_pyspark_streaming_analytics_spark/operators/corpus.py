@@ -629,3 +629,50 @@ def bpe_segment(
         F.col("sym").alias("segmentation"),
         F.size(F.split(F.col("sym"), " ")).alias("n_subwords"),
     ).orderBy("word")
+
+
+def difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: quartile-bin every document by LM difficulty
+    (mean unigram surprisal) and by quality score — the stage labels a
+    curriculum schedule trains over (easy/clean first, hard/rare last;
+    the difficulty x quality grid also drives ablation slicing).
+
+    Scale shape: bins come from three exact percentile CUTPOINTS (one
+    scalar aggregate, broadcast back as a 1-row array) and a stateless
+    ``count(cuts < value)`` filter — the q2_spend_deciles_scalable
+    pattern, NOT a global ntile window: no global sort, no single-task
+    bottleneck, at any corpus size.  Cutpoints are 4dp-rounded (+1e-8) so
+    interpolation noise cannot flip a boundary doc across engines.
+    """
+    from .quality import quality_scores
+
+    surp = unigram_surprisal(spark, sf_dir).select("doc_id", "mean_surprisal")
+    qual = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    # one checkpoint: the joined frame feeds the cutpoint aggregate AND the
+    # binning projection (ngram_jaccard convention)
+    d = surp.join(qual, "doc_id").localCheckpoint(eager=True)
+    cuts = d.agg(
+        F.expr(
+            "transform(percentile(mean_surprisal, array(0.25D, 0.5D, 0.75D)),"
+            " c -> round(c + 1e-8, 4))"
+        ).alias("scuts"),
+        F.expr(
+            "transform(percentile(quality_score, array(0.25D, 0.5D, 0.75D)),"
+            " c -> round(c + 1e-8, 4))"
+        ).alias("qcuts"),
+    )
+    return (
+        d.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "mean_surprisal",
+            "quality_score",
+            F.expr(
+                "CAST(1 + size(filter(scuts, c -> c < mean_surprisal)) AS INT)"
+            ).alias("difficulty_bin"),
+            F.expr(
+                "CAST(1 + size(filter(qcuts, c -> c < quality_score)) AS INT)"
+            ).alias("quality_bin"),
+        )
+        .orderBy("doc_id")
+    )

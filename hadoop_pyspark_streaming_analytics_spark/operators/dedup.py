@@ -653,3 +653,45 @@ def minhash_estimate_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def cross_source_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Inter-source duplication matrix: verified near-dup pairs (LSH
+    candidates whose exact Jaccard clears ``threshold``) rolled up by
+    UNORDERED source pair — which sources copy each other, and how hard.
+    The audit that catches mirror/aggregator crawl sources (mass
+    cross-source duplication) before mixture weights are set; the
+    diagonal (source_lo == source_hi) is each source's internal near-dup
+    load.
+
+    Composes :func:`minhash_estimate_pairs` (already candidate-gated, no
+    all-pairs stage); the rollup adds two doc_id-keyed attach joins of the
+    (doc_id, source) slice and one aggregation to |sources|² rows at most
+    — nothing here grows faster than the verified-pair count.
+    """
+    pairs = minhash_estimate_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= threshold
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p = pairs.join(
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+        "doc_a",
+    ).join(
+        docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+        "doc_b",
+    )
+    return (
+        p.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_pairs"),
+            F.round(F.avg("jaccard") + F.lit(1e-8), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

@@ -71,6 +71,12 @@ _TAIL = [
                                       # scd2 + anti/semi join entries
     "events_cohort_retention",        # r4 green; timeseries tier keeps
                                       # funnel/scd2/anomalies/locf/sessions
+    # displaced for the round-5 curriculum/cross-source additions
+    # (corpus_difficulty_bins / dedup_cross_source_matrix — never gated):
+    "star_fk_integrity_audit",        # r4 green; FK-probe shape also
+                                      # covered by the semi/anti entries
+    "events_props_typed",             # r4 green; parse-per-row twin
+                                      # events_props_avg_k long tailed
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -2061,3 +2061,74 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+_SURPRISAL_SQL = next(
+    s.oracle for s in LLM_CATALOG if s.name == "corpus_unigram_surprisal"
+)
+
+
+def _difficulty_bins_sql() -> str:
+    """Oracle for corpus.difficulty_bins: the proven surprisal oracle
+    nested verbatim + the shared quality CTEs, quartile cutpoints via
+    quantile_cont (the q2_spend_deciles_scalable parity pattern), and the
+    stateless cuts<value bin count."""
+    return f"""
+WITH {_QUALITY_CTES},
+sp AS ({_SURPRISAL_SQL}),
+d AS (
+  SELECT s.doc_id, s.mean_surprisal, q.quality_score
+  FROM sp s JOIN qual q ON s.doc_id = q.doc_id
+),
+cuts AS (
+  SELECT list_transform(quantile_cont(mean_surprisal, [0.25, 0.5, 0.75]),
+                        c -> round(c + 1e-8, 4)) AS scuts,
+         list_transform(quantile_cont(quality_score, [0.25, 0.5, 0.75]),
+                        c -> round(c + 1e-8, 4)) AS qcuts
+  FROM d
+)
+SELECT doc_id, mean_surprisal, quality_score,
+       CAST(1 + len(list_filter(cuts.scuts, c -> c < mean_surprisal))
+            AS INTEGER) AS difficulty_bin,
+       CAST(1 + len(list_filter(cuts.qcuts, c -> c < quality_score))
+            AS INTEGER) AS quality_bin
+FROM d, cuts ORDER BY doc_id"""
+
+
+def _cross_source_sql(threshold: float = 0.5) -> str:
+    """Oracle for dedup.cross_source_matrix: the minhash-estimate oracle
+    nested verbatim, threshold-filtered, attached to sources, rolled up
+    by unordered source pair."""
+    return f"""
+WITH mp AS ({_minhash_estimate_sql()}),
+p AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi,
+         mp.jaccard
+  FROM mp
+  JOIN documents da ON mp.doc_a = da.doc_id
+  JOIN documents db ON mp.doc_b = db.doc_id
+  WHERE mp.jaccard >= {threshold}
+)
+SELECT source_lo, source_hi,
+       CAST(count(*) AS INTEGER) AS n_pairs,
+       round(avg(jaccard) + 1e-8, 4) AS avg_jaccard
+FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "corpus_difficulty_bins",
+            corpus.difficulty_bins,
+            _difficulty_bins_sql(),
+            tags=("llm", "corpus", "curriculum"),
+        ),
+        QuerySpec(
+            "dedup_cross_source_matrix",
+            dedup.cross_source_matrix,
+            _cross_source_sql(),
+            tags=("llm", "dedup", "audit"),
+        ),
+    ]
+)

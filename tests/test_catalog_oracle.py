@@ -47,6 +47,9 @@ def test_driver_window_priority():
         # round-5 BPE tokenizer-training pair (never gated)
         "corpus_bpe_merges",
         "corpus_bpe_segment",
+        # round-5 curriculum/cross-source additions (never gated)
+        "corpus_difficulty_bins",
+        "dedup_cross_source_matrix",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

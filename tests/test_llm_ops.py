@@ -1770,3 +1770,44 @@ def test_bpe_merges_match_reference_implementation(spark):
         assert r["segmentation"].replace(" ", "") == r["word"]
         assert r["n_subwords"] == len(r["segmentation"].split(" "))
         assert r["segmentation"] == syms[r["word"]]
+
+
+def test_difficulty_bins_quartile_accounting(spark):
+    """Bins must be 1..4, cover every document exactly once, and split
+    into ~quarters (exact quartile cutpoints; boundary ties can shift a
+    few docs between adjacent bins, never across)."""
+    import collections
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    rows = corpus.difficulty_bins(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("difficulty_bin", "quality_bin"):
+        counts = collections.Counter(r[col] for r in rows)
+        assert set(counts) <= {1, 2, 3, 4}
+        for b in (1, 2, 3, 4):
+            assert counts.get(b, 0) >= n // 8, (col, b, counts)
+    # monotone: higher bin => not-lower surprisal at the bin boundary
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["difficulty_bin"], []).append(r["mean_surprisal"])
+    for b in range(1, 4):
+        if b in by_bin and b + 1 in by_bin:
+            assert max(by_bin[b]) <= min(by_bin[b + 1]) + 1e-9
+
+
+def test_cross_source_matrix_accounting(spark):
+    """The matrix's pair total must equal the verified-pair count, and
+    every cell's avg must stay within the clearing threshold and 1."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup.minhash_estimate_pairs(spark, SF).filter(
+        F.col("jaccard") >= 0.5
+    )
+    n_pairs_total = pairs.count()
+    rows = dedup.cross_source_matrix(spark, SF).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs_total > 0
+    for r in rows:
+        assert r["source_lo"] <= r["source_hi"]
+        assert 0.5 <= r["avg_jaccard"] <= 1.0
