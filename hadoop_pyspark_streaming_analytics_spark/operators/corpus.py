@@ -676,3 +676,31 @@ def difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_tokenize_documents(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned BPE merge list to ANY (doc_id, text) frame — batch
+    or STREAMING: the whole projection is stateless (the merge rules are
+    embedded in the plan as literal regexp chains, the same
+    weights-ARE-the-plan discipline as the quality classifier), so the
+    identical operator object compiles under Structured Streaming and
+    tokenizes ingest micro-batches exactly like the batch backfill —
+    batch/stream parity is test-pinned.
+
+    ``merges`` is [(lft, rgt), ...] in step order — collect it once from
+    :func:`bpe_merges` output; 8-64k rules are all literal constants, no
+    model artifact to distribute.  Output: one row per word occurrence
+    (doc_id, pos, word, segmentation).
+    """
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "word"),
+    )
+    col = F.concat_ws(" ", F.regexp_extract_all(F.col("word"), F.lit("[a-z]"), 0))
+    for lft, rgt in merges:
+        col = F.regexp_replace(col, rf"\b{lft} {rgt}\b", lft + rgt)
+    return words.select("doc_id", "pos", "word", col.alias("segmentation"))

@@ -2051,6 +2051,7 @@ LLM_CATALOG.extend(
             "corpus_bpe_merges",
             corpus.bpe_merges,
             _bpe_merges_sql(),
+            headline=True,  # the round's iterative-workload representative
             tags=("llm", "tokenizer"),
         ),
         QuerySpec(

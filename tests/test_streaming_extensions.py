@@ -550,3 +550,53 @@ def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
         for r in classify_documents(quality_features(batch_src)).collect()
     }
     assert got == expected and got
+
+
+def test_streaming_bpe_tokenize_matches_batch_and_dictionary(spark, tmp_path):
+    """The BPE apply path is a stateless projection (merge rules embedded
+    as literal regexp chains), so the SAME operator must compile under
+    Structured Streaming, tokenize micro-batches identically to the batch
+    path, and agree word-for-word with the trained dictionary
+    segmentation (corpus.bpe_segment)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
+    ]
+    assert len(merges) == corpus.BPE_MERGES
+    watch = tmp_path / "docs"
+    watch.mkdir()
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs.limit(50).coalesce(1).write.json(str(watch / "b0"), mode="overwrite")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(watch / "b0"))
+    )
+    run = MemorySinkRun(
+        spark, corpus.bpe_tokenize_documents(stream, merges), output_mode="append"
+    )
+    try:
+        run.process_all()
+        got = {
+            (r["doc_id"], r["pos"]): (r["word"], r["segmentation"])
+            for r in run.table().collect()
+        }
+    finally:
+        run.stop()
+    batch_src = spark.read.schema("doc_id long, text string").json(str(watch / "b0"))
+    expected = {
+        (r["doc_id"], r["pos"]): (r["word"], r["segmentation"])
+        for r in corpus.bpe_tokenize_documents(batch_src, merges).collect()
+    }
+    assert got == expected and got
+    # word-for-word agreement with the trained dictionary segmentation
+    dict_seg = {
+        r["word"]: r["segmentation"] for r in corpus.bpe_segment(spark, sf).collect()
+    }
+    for word, seg in got.values():
+        assert seg == dict_seg[word]
+        assert seg.replace(" ", "") == word
