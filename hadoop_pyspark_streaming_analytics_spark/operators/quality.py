@@ -60,17 +60,23 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_language(load_table(spark, sf_dir, "documents"))
 
 
-def quality_features(docs: DataFrame) -> DataFrame:
+def quality_features(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality features + a composite score over ANY frame
     with (doc_id, text) — batch or streaming; the projection is stateless,
     so the same plan compiles both ways (exercised by the streaming
     classifier parity test).  Features: token count, mean word length,
     stopword ratio, alpha-character ratio; the score formula is a
     deterministic mix — the point is the feature extraction shape, which
-    mirrors C4/Gopher-style quality filters."""
+    mirrors C4/Gopher-style quality filters.
+
+    ``keep`` names extra input columns to carry through the projection —
+    consumers that need features NEXT TO other per-doc columns (e.g. the
+    source report card's fingerprint) ride the same single scan instead
+    of re-joining on doc_id."""
     stop_arr = ", ".join(f"'{w}'" for w in STOP_WORDS)
     d = docs.select(
         "doc_id",
+        *keep,
         F.length("text").alias("n_chars_actual"),
         _tokens_col().alias("toks"),
         F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).alias(
@@ -78,6 +84,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         ),
     ).select(
         "doc_id",
+        *keep,
         F.size("toks").alias("word_count"),
         F.round(
             F.expr("aggregate(toks, 0D, (acc, t) -> acc + length(t))")
@@ -505,15 +512,12 @@ def language_mislabel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the low-cardinality source key.  At 100 TB this is scan +
     map-side-combined aggregation; nothing else.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
-    pred = predict_language(docs).select("doc_id", "pred_lang")
-    # One scan: re-attach via the narrow join only at test scale?  No —
-    # predict_language keeps doc_id, so join back would shuffle.  Instead
-    # recompute the projection inline over the same rows: Catalyst collapses
-    # the shared scan, and the audit's grain is (source), so we join
-    # pred to the (doc_id, lang, source) slice on doc_id only if needed.
-    # Simpler and shuffle-minimal: run the prediction on a frame that
-    # CARRIES lang/source through the projection.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # The prediction is computed INLINE on a frame that carries lang/source
+    # through the projection (predict_language's loop, re-run here with
+    # passthrough columns) — one scan, no doc_id re-join.
     d = docs.withColumn("toks", _tokens_col())
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(f"'{m}'" for m in markers)
@@ -558,24 +562,23 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears more than once ANYWHERE in the corpus — cross-source copies
     count against both sources).
 
-    Plan shape at 100 TB: one scan computes fingerprint + quality features
-    together; the duplicate flag needs one shuffle on the 128-bit
-    fingerprint (groupBy count, then the flags rejoin the enriched rows on
-    fingerprint — NOT doc_id, so the dup-count attach co-partitions with
-    the groupBy and AQE reuses the exchange); the final per-source rollup
-    map-side combines to |sources| rows.  Quality features ride the same
-    projection as the fingerprint, so nothing scans documents twice.
+    Plan shape at 100 TB: ONE scan computes fingerprint + quality features
+    together (``quality_features(keep=...)`` carries source/fingerprint
+    through the projection — no doc_id re-join), and the enriched frame is
+    checkpointed so the dup screen and its rejoin reuse the materialized
+    rows instead of re-scanning; the duplicate flag needs one shuffle on
+    the 128-bit fingerprint (groupBy count, then the flags rejoin on the
+    SAME fingerprint key, so AQE reuses the exchange); the final
+    per-source rollup map-side combines to |sources| rows.  Plan-guarded:
+    a single parquet scan in the whole tree.
     """
     docs = load_table(spark, sf_dir, "documents")
-    feats = quality_features(docs).select("doc_id", "word_count", "quality_score")
-    enriched = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
-        )
-        .join(feats, "doc_id")
-    )
+    enriched = quality_features(
+        docs.withColumn("fingerprint", F.md5(normalized_text(F.col("text")))),
+        keep=("source", "fingerprint"),
+    ).select(
+        "doc_id", "source", "fingerprint", "word_count", "quality_score"
+    ).localCheckpoint(eager=True)
     dup_counts = enriched.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_copies")
     )

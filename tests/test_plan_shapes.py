@@ -580,3 +580,58 @@ def test_semdedup_pairs_join_per_cell_not_cross(spark, sf_dir):
     plan = plan_of(semdedup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "centroid_id" in plan
+
+
+def test_source_report_rides_one_scan(spark, sf_dir):
+    """The report card's features + fingerprint must ride a single
+    documents projection (quality_features keep= passthrough): the
+    enriched frame is one parquet scan, and everything downstream of the
+    checkpoint reuses it — zero additional parquet scans in the final
+    plan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+        normalized_text,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        quality_features,
+        source_curation_report,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = quality_features(
+        docs.withColumn("fingerprint", F.md5(normalized_text(F.col("text")))),
+        keep=("source", "fingerprint"),
+    )
+    # simple mode prints each physical node once (formatted repeats
+    # scans in the detail blocks)
+    assert plan_of(enriched, "simple").count("Scan parquet") == 1
+    final = plan_of(source_curation_report(spark, sf_dir), "simple")
+    assert final.count("Scan parquet") == 0  # checkpoint reuse
+    assert "CartesianProduct" not in final
+
+
+def test_difficulty_bins_no_global_window(spark, sf_dir):
+    """Curriculum binning must use broadcast percentile cutpoints + a
+    stateless filter — never a global ntile/rank Window (the single-task
+    bottleneck the scalable-deciles pattern exists to avoid)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        difficulty_bins,
+    )
+
+    plan = plan_of(difficulty_bins(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_language_audit_single_scan_no_join(spark, sf_dir):
+    """Prediction and declared label come out of ONE documents projection
+    — the audit must not self-join on doc_id."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        language_mislabel_audit,
+    )
+
+    plan = plan_of(language_mislabel_audit(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
