@@ -171,3 +171,50 @@ def chunk_documents_udtf(
         "SELECT d.doc_id, c.chunk_id, c.start, c.chunk_len, c.chunk_text "
         "FROM __chunk_udtf_docs d, LATERAL chunk_doc_udtf(d.text) c"
     )
+
+
+def pack_efficiency_report(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Packing-efficiency report per shard: total tokens, block count,
+    padding waste (the tokens the last partial block burns), fill ratio,
+    and how many documents straddle a block boundary — the numbers that
+    decide capacity/shard tuning before a training run (padding waste is
+    paid in GPU-hours; boundary crossings cost attention-mask work).
+
+    Composes :func:`pack_documents`; the rollup adds one
+    map-side-combined aggregation to ``n_shards`` rows, so the report is
+    free at any corpus size relative to the packing pass itself.
+    """
+    packed = pack_documents(spark, sf_dir, capacity, n_shards)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("end_block") > F.col("start_block")).cast("int"))
+            .cast("int")
+            .alias("n_boundary_docs"),
+        )
+        .withColumn(
+            "n_blocks",
+            F.ceil(F.col("total_tokens") / F.lit(float(capacity))).cast("int"),
+        )
+        .withColumn(
+            "waste_tokens",
+            (F.col("n_blocks").cast("bigint") * capacity - F.col("total_tokens")),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_blocks") * F.lit(float(capacity)))
+                + F.lit(1e-8),
+                4,
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -704,3 +704,49 @@ def bpe_tokenize_documents(
     for lft, rgt in merges:
         col = F.regexp_replace(col, rf"\b{lft} {rgt}\b", lft + rgt)
     return words.select("doc_id", "pos", "word", col.alias("segmentation"))
+
+
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Per-document token counts UNDER THE TRAINED TOKENIZER — the counts
+    a token budget or packing pass should actually use (whitespace/word
+    counts misprice documents whose words fragment into many subwords).
+
+    Plan shape: per-doc word occurrence counts aggregate map-side off the
+    corpus scan (the unigram-surprisal discipline); the trained dictionary
+    segmentation is vocabulary-sized and joins back on ``word`` (AQE
+    broadcasts when it fits), and the final per-doc rollup is one
+    map-side-combinable weighted sum.  Training cost is the
+    :func:`bpe_merges` pass, shared.
+    """
+    _, syms = _bpe_train(spark, sf_dir, n_merges)
+    seg = syms.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("n_subwords")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        occ.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_subwords")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words") + F.lit(1e-8), 4),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,6 +77,14 @@ _TAIL = [
                                       # covered by the semi/anti entries
     "events_props_typed",             # r4 green; parse-per-row twin
                                       # events_props_avg_k long tailed
+    # displaced for pack_efficiency_report / corpus_bpe_token_counts
+    # (never gated → in-window); both displaced entries keep value-level
+    # driver coverage THROUGH in-window oracles that embed theirs:
+    "chunk_documents",                # r4 green; chunk_documents_udtf
+                                      # (same oracle verbatim) is in-window
+    "pack_documents",                 # r4 green + headline-benched; its
+                                      # oracle is nested verbatim inside
+                                      # pack_efficiency_report's
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

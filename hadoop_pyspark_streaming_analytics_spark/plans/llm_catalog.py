@@ -2133,3 +2133,71 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+_PACK_SQL = next(s.oracle for s in LLM_CATALOG if s.name == "pack_documents")
+
+
+def _pack_efficiency_sql(capacity: int = 512) -> str:
+    """Oracle for chunking.pack_efficiency_report: the proven packing
+    oracle nested verbatim, rolled up per shard."""
+    return f"""
+WITH pk AS ({_PACK_SQL}),
+agg AS (
+  SELECT shard,
+         CAST(count(*) AS INTEGER) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN end_block > start_block THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_boundary_docs
+  FROM pk GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens, n_boundary_docs,
+       CAST(ceil(total_tokens / {float(capacity)}) AS INTEGER) AS n_blocks,
+       CAST(ceil(total_tokens / {float(capacity)}) AS BIGINT) * {capacity}
+         - total_tokens AS waste_tokens,
+       round(total_tokens
+             / (CAST(ceil(total_tokens / {float(capacity)}) AS BIGINT)
+                * {float(capacity)}) + 1e-8, 4) AS fill_ratio
+FROM agg ORDER BY shard"""
+
+
+def _bpe_token_counts_sql(n: int = corpus.BPE_MERGES) -> str:
+    """Oracle for corpus.bpe_token_counts: the BPE training CTEs to the
+    final segmentation, joined back onto per-doc word occurrences."""
+    return f"""
+WITH {_bpe_ctes(n)},
+seg AS (
+  SELECT word, CAST(len(str_split(sym, ' ')) AS INTEGER) AS n_subwords
+  FROM s{n}
+),
+occ AS (
+  SELECT doc_id, t AS word, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT o.doc_id,
+       CAST(sum(o.c) AS BIGINT) AS n_words,
+       CAST(sum(o.c * s.n_subwords) AS BIGINT) AS n_bpe_tokens,
+       round(sum(o.c * s.n_subwords)::DOUBLE / sum(o.c) + 1e-8, 4)
+         AS subwords_per_word
+FROM occ o JOIN seg s ON o.word = s.word
+GROUP BY 1 ORDER BY 1"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "pack_efficiency_report",
+            chunking.pack_efficiency_report,
+            _pack_efficiency_sql(),
+            tags=("llm", "chunking", "evaluation"),
+        ),
+        QuerySpec(
+            "corpus_bpe_token_counts",
+            corpus.bpe_token_counts,
+            _bpe_token_counts_sql(),
+            tags=("llm", "tokenizer"),
+        ),
+    ]
+)

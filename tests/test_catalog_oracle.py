@@ -50,6 +50,9 @@ def test_driver_window_priority():
         # round-5 curriculum/cross-source additions (never gated)
         "corpus_difficulty_bins",
         "dedup_cross_source_matrix",
+        # round-5 packing/tokenizer composition entries (never gated)
+        "pack_efficiency_report",
+        "corpus_bpe_token_counts",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

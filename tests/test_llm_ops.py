@@ -1811,3 +1811,56 @@ def test_cross_source_matrix_accounting(spark):
     for r in rows:
         assert r["source_lo"] <= r["source_hi"]
         assert 0.5 <= r["avg_jaccard"] <= 1.0
+
+
+def test_pack_efficiency_report_accounting(spark):
+    """Per-shard packing arithmetic must reconcile with the packing map:
+    totals match, waste = blocks*capacity - tokens, fill in (0, 1], and
+    boundary counts equal the straddling docs."""
+    rows = chunking.pack_efficiency_report(spark, SF).collect()
+    packed = chunking.pack_documents(spark, SF).collect()
+    by_shard = {}
+    for r in packed:
+        s = by_shard.setdefault(r["shard"], [0, 0, 0])
+        s[0] += 1
+        s[1] += r["n_tokens"]
+        s[2] += int(r["end_block"] > r["start_block"])
+    assert {r["shard"] for r in rows} == set(by_shard)
+    for r in rows:
+        n_docs, toks, bounds = by_shard[r["shard"]]
+        assert (r["n_docs"], r["total_tokens"], r["n_boundary_docs"]) == (
+            n_docs,
+            toks,
+            bounds,
+        )
+        assert r["n_blocks"] == -(-toks // 512)
+        assert r["waste_tokens"] == r["n_blocks"] * 512 - toks
+        assert 0.0 < r["fill_ratio"] <= 1.0
+
+
+def test_bpe_token_counts_match_segmentation(spark):
+    """Per-doc subword totals must equal summing the trained dictionary
+    segmentation over the doc's word occurrences."""
+    import re
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    seg = {
+        r["word"]: r["n_subwords"]
+        for r in corpus.bpe_segment(spark, sf).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in corpus.bpe_token_counts(spark, sf).collect()
+    }
+    for r in load_table(spark, sf, "documents").collect():
+        words = re.findall("[a-z]+", r["text"].lower())
+        if not words:
+            assert r["doc_id"] not in got
+            continue
+        assert got[r["doc_id"]] == (
+            len(words),
+            sum(seg[w] for w in words),
+        )
