@@ -600,6 +600,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
         syms = syms.withColumn(
             "sym", F.regexp_replace("sym", rf"\b{lft} {rgt}\b", lft + rgt)
         )
+        # Re-materialize every 16 steps: without this, step i re-executes
+        # all i-1 stacked regexp projections (O(n²) regexp work and an
+        # n-deep plan — at 32k production merges that's quadratic
+        # recompute plus Catalyst analysis blowup).  Periodic checkpoints
+        # keep each iteration at the advertised one-vocab-scan cost.
+        if step % 16 == 0:
+            syms = syms.localCheckpoint(eager=True)
     return merges, syms
 
 
@@ -621,7 +628,11 @@ def bpe_segment(
     """The APPLY side: every dictionary word segmented under the learned
     merges (space-joined subword symbols + subword count) — what the
     tokenizer does to new text, evaluated over the training dictionary
-    itself.  Shares the training pass with :func:`bpe_merges`."""
+    itself.  Re-runs :func:`_bpe_train` (each catalog entry is
+    self-contained, the kmeans-retrain convention); a caller needing both
+    artifacts cheaply should call :func:`_bpe_train` once and derive
+    them, or apply a stored merge table via
+    :func:`bpe_tokenize_documents`."""
     _, syms = _bpe_train(spark, sf_dir, n_merges)
     return syms.select(
         "word",
@@ -717,8 +728,9 @@ def bpe_token_counts(
     corpus scan (the unigram-surprisal discipline); the trained dictionary
     segmentation is vocabulary-sized and joins back on ``word`` (AQE
     broadcasts when it fits), and the final per-doc rollup is one
-    map-side-combinable weighted sum.  Training cost is the
-    :func:`bpe_merges` pass, shared.
+    map-side-combinable weighted sum.  Re-runs :func:`_bpe_train` to get
+    the dictionary (self-contained-entry convention); production would
+    read the stored merge table instead.
     """
     _, syms = _bpe_train(spark, sf_dir, n_merges)
     seg = syms.select(

@@ -167,6 +167,15 @@ def lsh_band_buckets(
     sigs = minhash_signatures(
         doc_shingles(docs, n, distinct=False), bands * rows
     )
+    return band_buckets_from_sigs(sigs, bands, rows)
+
+
+def band_buckets_from_sigs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """The banding step alone, over a precomputed signature table —
+    consumers that need signatures AND buckets (the estimator below)
+    compute sigs once and derive both, instead of re-scanning."""
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
@@ -583,15 +592,28 @@ def minhash_estimate_pairs(
     E[est] = J by the minhash property, so persistent |err| skew flags a
     broken hash family.
 
-    Plan shape: candidates and signatures both derive from the one
-    shingle scan; the estimate is a candidate-keyed join of the (1 row per
-    doc) signature table, and the exact verify is candidate-gated exactly
-    like :func:`edit_distance_verify` — no all-pairs stage anywhere.
+    Plan shape: ONE documents scan feeds everything — the raw shingles
+    are checkpointed, the signature table derives from them once (also
+    checkpointed: it feeds both the band buckets and the estimate joins),
+    the candidate pairs come from :func:`band_buckets_from_sigs` over
+    that same signature table, and the exact verify reuses the
+    checkpointed shingles (distinct is duplicate-free already at the
+    multiset level after ``.distinct()``, no re-tokenize).  The exact
+    verify is candidate-gated exactly like :func:`edit_distance_verify`
+    — no all-pairs stage anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
     num_perm = bands * rows
-    cand = minhash_lsh_candidates(spark, sf_dir, n, bands, rows)
-    sigs = minhash_signatures(doc_shingles(docs, n, distinct=False), num_perm)
+    sh_raw = doc_shingles(docs, n, distinct=False).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh_raw, num_perm).localCheckpoint(eager=True)
+    buckets = band_buckets_from_sigs(sigs, bands, rows)
+    ba, bb = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        ba.join(bb, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(num_perm)],
@@ -614,7 +636,7 @@ def minhash_estimate_pairs(
             ),
         )
     )
-    sh = doc_shingles(docs, n, distinct=True).localCheckpoint(eager=True)
+    sh = sh_raw.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

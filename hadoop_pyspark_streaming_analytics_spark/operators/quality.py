@@ -28,13 +28,15 @@ def _tokens_col(text_col: str = "text"):
     return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
 
 
-def predict_language(docs: DataFrame) -> DataFrame:
+def predict_language(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Marker-token language heuristic over ANY (doc_id, text) frame:
     count hits per language's marker set over the token array
     (higher-order ``filter``), predict the argmax (ties broken by language
     code order), 'und' when nothing matches.  Stateless single projection
-    — composable into audits without re-scanning documents."""
-    d = docs.select("doc_id", _tokens_col().alias("toks"))
+    — composable into audits without re-scanning documents; ``keep``
+    carries extra input columns through (same contract as
+    :func:`quality_features`)."""
+    d = docs.select("doc_id", *keep, _tokens_col().alias("toks"))
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(f"'{m}'" for m in markers)
         d = d.withColumn(
@@ -50,6 +52,7 @@ def predict_language(docs: DataFrame) -> DataFrame:
         ).otherwise(pred)
     return d.select(
         "doc_id",
+        *keep,
         pred.alias("pred_lang"),
         *[F.col(f"hits_{lang}").alias(f"hits_{lang}") for lang in langs],
     )
@@ -515,24 +518,12 @@ def language_mislabel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    # The prediction is computed INLINE on a frame that carries lang/source
-    # through the projection (predict_language's loop, re-run here with
-    # passthrough columns) — one scan, no doc_id re-join.
-    d = docs.withColumn("toks", _tokens_col())
-    for lang, markers in LANG_MARKERS.items():
-        arr = ", ".join(f"'{m}'" for m in markers)
-        d = d.withColumn(
-            f"hits_{lang}",
-            F.expr(f"size(filter(toks, t -> array_contains(array({arr}), t)))"),
-        )
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred_col = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties → build backwards
-        pred_col = F.when(
-            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred_col)
-    d = d.select("source", "lang", pred_col.alias("pred_lang"))
+    # keep= carries lang/source through the prediction projection — one
+    # scan, no doc_id re-join, and exactly ONE copy of the argmax/tiebreak
+    # logic (predict_language), which the _lang_id_sql oracle mirrors.
+    d = predict_language(docs, keep=("lang", "source")).select(
+        "source", "lang", "pred_lang"
+    )
     decided = F.col("pred_lang") != "und"
     mismatch = decided & (F.col("pred_lang") != F.col("lang"))
     return (

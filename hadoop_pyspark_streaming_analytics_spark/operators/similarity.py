@@ -62,9 +62,16 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:  # need a live sessio
     (Arrow 0.74s vs JVM 0.98s warm): BLAS offsets the Arrow transfer.  The
     JVM path stays the default because it keeps Python out of the scoring
     loop entirely (no Arrow memory pressure, no worker fan-out); value
-    parity is asserted in tests/test_llm_ops.py."""
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
+    parity is asserted in tests/test_llm_ops.py.
+
+    float64 stacking is REQUIRED, not a nicety: the inputs are
+    array<float>, and a float32 einsum accumulates ~1e-6 relative noise
+    over 64 dims — the same order as semdedup's 6dp rounding half-step,
+    so float32 scoring could flip a boundary pair against the
+    double-precision JVM/DuckDB paths.  Casting first makes the
+    accumulation double everywhere, leaving ~1e-15 disagreement."""
+    A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
     num = np.einsum("ij,ij->i", A, B)
     den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
     return pd.Series(num / den)
@@ -1199,8 +1206,12 @@ def ivf_recall_report(
     ivf_mean = approx.groupBy("query_id").agg(
         F.round(F.avg("cosine") + F.lit(1e-8), 4).alias("ivf_mean_cosine")
     )
+    # LEFT joins from the exact side: a query whose probed cells hold no
+    # candidates returns ZERO ivf rows, and the recall-0 case is exactly
+    # what this harness exists to surface — it must appear as
+    # recall_at_k=0 / ivf_mean_cosine=NULL, never silently drop.
     return (
-        exact_mean.join(ivf_mean, "query_id")
+        exact_mean.join(ivf_mean, "query_id", "left")
         .join(hits, "query_id", "left")
         .select(
             "query_id",

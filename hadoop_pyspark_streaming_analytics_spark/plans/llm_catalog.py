@@ -1837,7 +1837,7 @@ SELECT em.query_id,
        round(COALESCE(h.n_hits, 0) / {float(k)} + 1e-8, 4) AS recall_at_k,
        em.exact_mean_cosine, am.ivf_mean_cosine
 FROM em
-JOIN am ON em.query_id = am.query_id
+LEFT JOIN am ON em.query_id = am.query_id
 LEFT JOIN hits h ON em.query_id = h.query_id
 ORDER BY em.query_id"""
 
@@ -2015,10 +2015,15 @@ b{i} AS (
   FROM c{i} ORDER BY cnt DESC, pr LIMIT 1
 ),
 s{i} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: an empty b{i} (pairs exhausted
+  -- before step {i}) must pass the dictionary through unchanged — the
+  -- Spark trainer breaks out of its loop in that case — not empty it.
   SELECT s.word, s.wcount,
-         regexp_replace(s.sym, '\\b' || b.lft || ' ' || b.rgt || '\\b',
-                        b.lft || b.rgt, 'g') AS sym
-  FROM s{i - 1} s CROSS JOIN b{i} b
+         CASE WHEN b.lft IS NULL THEN s.sym
+              ELSE regexp_replace(s.sym,
+                                  '\\b' || b.lft || ' ' || b.rgt || '\\b',
+                                  b.lft || b.rgt, 'g') END AS sym
+  FROM s{i - 1} s LEFT JOIN b{i} b ON TRUE
 )"""
         )
     return "".join(parts)

@@ -1648,8 +1648,9 @@ def test_ivf_recall_report_consistency(spark):
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_hits"] == hits.get(r["query_id"], 0)
         assert abs(r["recall_at_k"] - r["n_hits"] / 10.0) <= 1e-4
-        # 4dp rounding on both sides can flip a tie by at most 1e-4
-        assert r["exact_mean_cosine"] >= r["ivf_mean_cosine"] - 1e-4
+        # two stacked 4dp roundings (per-item cosines, then the mean)
+        # can shift each mean by up to 1e-4 → worst-case gap 2e-4
+        assert r["exact_mean_cosine"] >= r["ivf_mean_cosine"] - 2.1e-4
 
 
 def test_language_audit_accounting(spark):
@@ -1864,3 +1865,34 @@ def test_bpe_token_counts_match_segmentation(spark):
             len(words),
             sum(seg[w] for w in words),
         )
+
+
+def test_bpe_oracle_survives_pair_exhaustion():
+    """If the vocabulary runs out of mergeable pairs before BPE_MERGES
+    steps, the oracle's later merge CTEs are EMPTY — the LEFT JOIN ON
+    TRUE apply step must pass the dictionary through unchanged (the Spark
+    trainer breaks its loop), not empty it via a cross join."""
+    import duckdb
+
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import (
+        _bpe_ctes,
+    )
+
+    con = duckdb.connect()
+    # two-letter words: exactly one mergeable pair each, exhausted after
+    # at most 2 distinct merges << BPE_MERGES=8
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'ab ab ab'), (1, 'cd cd')) AS t(doc_id, text)"
+    )
+    rows = con.execute(
+        f"WITH {_bpe_ctes(8)} SELECT word, sym FROM s8 ORDER BY word"
+    ).fetchall()
+    assert rows == [("ab", "ab"), ("cd", "cd")]
+    merges = con.execute(
+        f"WITH {_bpe_ctes(8)} "
+        "SELECT 1 AS step, lft, rgt FROM b1 UNION ALL "
+        "SELECT 2, lft, rgt FROM b2 UNION ALL SELECT 3, lft, rgt FROM b3 "
+        "ORDER BY step"
+    ).fetchall()
+    assert merges == [(1, "a", "b"), (2, "c", "d")]
