@@ -48,6 +48,14 @@ def main() -> None:
         # in block-manager memory and skew later measurements.
         gc.collect()
 
+    # Host yardstick BEFORE the query tier (and again after, inside
+    # _bench_calibration): r5 observed core_total swinging 28→40 s across
+    # same-code runs with flat single-point calibration — a pre/post pair
+    # shows whether the host drifted WITHIN the run.
+    calibration_pre = {
+        k + "_pre": v for k, v in _bench_calibration(spark, sf_dir).items()
+    }
+
     # Steady-state timing: best of 2 measured runs per query (single-JVM
     # local mode has ~±0.5 s GC/scheduler noise per query; min-of-N is the
     # standard microbenchmark estimator for the noise-free cost).
@@ -86,6 +94,7 @@ def main() -> None:
                 "sf": sf,
                 **streaming,
                 **calibration,
+                **calibration_pre,
             }
         )
     )
