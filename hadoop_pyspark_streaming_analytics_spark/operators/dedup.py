@@ -717,3 +717,162 @@ def cross_source_matrix(
         )
         .orderBy("source_lo", "source_hi")
     )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    new_mod: int = 10,
+    new_min: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch incremental-ingest gate: treat docs with
+    ``doc_id % new_mod >= new_min`` as TODAY'S CRAWL and the rest as the
+    EXISTING corpus, and decide keep/drop for every new doc — dropped iff
+    it exact-matches (normalized-text fingerprint) or near-dup-matches
+    (LSH candidate verified at Jaccard >= threshold) any EXISTING doc or
+    any earlier NEW doc.  This is the batch spelling — with a DuckDB
+    oracle — of the semantics the streaming LSH dedup
+    (streaming/extensions.py) applies per micro-batch, so the
+    incremental-dedup rule itself gets a hard differential signal.
+
+    Priority is the single bigint ``is_new * 10^12 + doc_id``: existing
+    docs always outrank new ones, earlier new docs outrank later — the
+    deterministic survivor rule (keep_canonical's min-id discipline,
+    extended with the old-before-new tier).  A doc dropped against a
+    partner that is itself dropped stays dropped (the chain's minimum is
+    retained — same fixpoint as min-of-cluster canonical keep on
+    pairwise-verified chains).
+
+    Plan shape at 100 TB: one documents scan (checkpointed shingles →
+    checkpointed signatures, the estimator discipline); candidate
+    generation probes the band index WITH THE NEW DOCS ONLY (newb ⋈
+    all-bands — the batch analogue of the streaming band store: old×old
+    pairs are never formed); exact tier is one fingerprint shuffle;
+    verification is candidate-gated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prio_col = (
+        (F.pmod(F.col("doc_id"), F.lit(new_mod)) >= new_min).cast("bigint")
+        * F.lit(1_000_000_000_000).cast("bigint")
+        + F.col("doc_id")
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        (F.pmod(F.col("doc_id"), F.lit(new_mod)) >= new_min)
+        .cast("int")
+        .alias("is_new"),
+        prio_col.alias("prio"),
+    )
+    # --- exact tier: one shuffle on the fingerprint ---
+    fp = base.select(
+        "doc_id",
+        "is_new",
+        "prio",
+        F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
+    )
+    fmin = fp.groupBy("fingerprint").agg(F.min("prio").alias("min_prio"))
+    exact_dropped = (
+        fp.join(fmin, "fingerprint")
+        .filter((F.col("is_new") == 1) & (F.col("min_prio") < F.col("prio")))
+        .select("doc_id")
+        .distinct()
+    )
+    # --- near-dup tier: new docs probe the band index ---
+    sh_raw = doc_shingles(docs, n, distinct=False).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh_raw, LSH_BANDS * LSH_ROWS).localCheckpoint(
+        eager=True
+    )
+    buckets = band_buckets_from_sigs(sigs)
+    new_ids = base.filter(F.col("is_new") == 1).select("doc_id")
+    newb = buckets.join(new_ids, "doc_id")
+    cand = (
+        newb.alias("x")
+        .join(buckets.alias("y"), on=["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = sh_raw.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    ver = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("intersection"), F.lit(0))
+                / (
+                    F.col("size_a")
+                    + F.col("size_b")
+                    - F.coalesce(F.col("intersection"), F.lit(0))
+                )
+                + F.lit(1e-8),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    prios = base.select("doc_id", "is_new", "prio")
+    near_dropped = (
+        ver.join(
+            prios.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("is_new").alias("new_a"),
+                F.col("prio").alias("prio_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            prios.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("is_new").alias("new_b"),
+                F.col("prio").alias("prio_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("prio_a") < F.col("prio_b"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            F.when(F.col("prio_a") < F.col("prio_b"), F.col("new_b"))
+            .otherwise(F.col("new_a"))
+            .alias("victim_new"),
+        )
+        .filter(F.col("victim_new") == 1)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        base.filter(F.col("is_new") == 1)
+        .join(exact_dropped.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_dropped.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("is_exact").isNull() & F.col("is_near").isNull()).alias("keep"),
+            F.when(F.col("is_exact").isNotNull(), F.lit("exact"))
+            .when(F.col("is_near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )

@@ -85,6 +85,12 @@ _TAIL = [
     "pack_documents",                 # r4 green + headline-benched; its
                                       # oracle is nested verbatim inside
                                       # pack_efficiency_report's
+    # displaced for dedup_incremental_ingest (never gated → in-window)
+    "text_quality_scores",            # r4 green + headline-benched; its
+                                      # _QUALITY_CTES fragment is embedded
+                                      # verbatim in four in-window oracles
+                                      # (classifier, curated_modern,
+                                      # source_report, difficulty_bins)
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -2206,3 +2206,86 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+def _incremental_ingest_sql(
+    new_mod: int = 10, new_min: int = 8, threshold: float = 0.5
+) -> str:
+    """Oracle for dedup.incremental_ingest: fingerprint priority tier +
+    the LSH CTE chain (cand over the full corpus, filtered to pairs with
+    a NEW side — identical membership to the new-probe join) + the
+    candidate-gated Jaccard verify, victims resolved by the bigint
+    priority."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % {new_mod} >= {new_min} THEN 1 ELSE 0 END AS is_new,
+         CAST(CASE WHEN doc_id % {new_mod} >= {new_min} THEN 1 ELSE 0 END
+              AS BIGINT) * 1000000000000 + doc_id AS prio
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, is_new, prio,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM base
+),
+fmin AS (SELECT fingerprint, min(prio) AS min_prio FROM fp GROUP BY 1),
+exact_dropped AS (
+  SELECT DISTINCT f.doc_id
+  FROM fp f JOIN fmin m ON f.fingerprint = m.fingerprint
+  WHERE f.is_new = 1 AND m.min_prio < f.prio
+),
+{_lsh_ctes()},
+newcand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN base pa ON c.doc_a = pa.doc_id
+  JOIN base pb ON c.doc_b = pb.doc_id
+  WHERE pa.is_new = 1 OR pb.is_new = 1
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS intersection
+  FROM newcand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM newcand c
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE round(COALESCE(i.intersection, 0)::DOUBLE
+              / (sa.n_shingles + sb.n_shingles - COALESCE(i.intersection, 0))
+              + 1e-8, 4) >= {threshold}
+),
+near_dropped AS (
+  SELECT DISTINCT CASE WHEN pa.prio < pb.prio THEN v.doc_b ELSE v.doc_a END
+           AS doc_id
+  FROM ver v
+  JOIN base pa ON v.doc_a = pa.doc_id
+  JOIN base pb ON v.doc_b = pb.doc_id
+  WHERE (CASE WHEN pa.prio < pb.prio THEN pb.is_new ELSE pa.is_new END) = 1
+)
+SELECT b.doc_id,
+       (e.doc_id IS NULL AND nd.doc_id IS NULL) AS keep,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS reason
+FROM base b
+LEFT JOIN exact_dropped e ON b.doc_id = e.doc_id
+LEFT JOIN near_dropped nd ON b.doc_id = nd.doc_id
+WHERE b.is_new = 1
+ORDER BY b.doc_id"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "dedup_incremental_ingest",
+        dedup.incremental_ingest,
+        _incremental_ingest_sql(),
+        tags=("llm", "dedup", "ingest"),
+    )
+)

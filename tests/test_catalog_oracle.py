@@ -53,6 +53,8 @@ def test_driver_window_priority():
         # round-5 packing/tokenizer composition entries (never gated)
         "pack_efficiency_report",
         "corpus_bpe_token_counts",
+        # round-5 incremental-ingest gate (never gated)
+        "dedup_incremental_ingest",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -1896,3 +1896,58 @@ def test_bpe_oracle_survives_pair_exhaustion():
         "ORDER BY step"
     ).fetchall()
     assert merges == [(1, "a", "b"), (2, "c", "d")]
+
+
+def test_incremental_ingest_gate_semantics(spark):
+    """The ingest gate must cover exactly the new partition, never keep an
+    exact duplicate of a smaller-priority doc, and agree with a
+    first-principles recomputation of both tiers."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = dedup.incremental_ingest(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    new_ids = {r["doc_id"] for r in docs if r["doc_id"] % 10 >= 8}
+    assert {r["doc_id"] for r in rows} == new_ids
+    # exact tier recomputation
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    by_norm = {}
+    for r in docs:
+        by_norm.setdefault(norm(r["text"]), []).append(r["doc_id"])
+
+    def prio(d):
+        return (1 if d % 10 >= 8 else 0) * 10**12 + d
+
+    exact_dropped = {
+        d
+        for ids in by_norm.values()
+        for d in ids
+        if d % 10 >= 8 and min(prio(x) for x in ids) < prio(d)
+    }
+    got = {r["doc_id"]: (r["keep"], r["reason"]) for r in rows}
+    for d in new_ids:
+        keep, reason = got[d]
+        if d in exact_dropped:
+            assert reason == "exact" and not keep
+        else:
+            assert reason in ("near_dup", "unique")
+            assert keep == (reason == "unique")
+    # near tier: every near_dup victim must have a verified >=0.5 Jaccard
+    # partner of smaller priority among the estimator's verified pairs
+    ver = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_estimate_pairs(spark, SF).collect()
+        if r["jaccard"] >= 0.5
+    ]
+    partners = {}
+    for a, b in ver:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    for d, (keep, reason) in got.items():
+        if reason == "near_dup":
+            assert any(prio(p) < prio(d) for p in partners.get(d, ()))
