@@ -1225,3 +1225,84 @@ def ivf_recall_report(
         )
         .orderBy("query_id")
     )
+
+
+def ivf_recall_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """The nprobe TUNING CURVE: per-query recall@k at several probe widths
+    in ONE query — the plot an index rollout is tuned from (recall rises
+    monotonically with nprobe; the knee picks the production setting).
+
+    Plan shape: the probe ranking and the candidate scoring run ONCE at
+    the WIDEST nprobe (probe rank ``pr`` rides the candidate rows); each
+    curve point is then a window re-rank of the already-scored candidate
+    subset ``pr <= p`` — |queries|-partition windows over a
+    candidate-sized frame, so widening the curve adds no corpus scans.
+    The exact ground truth is one brute-force pass shared by every point.
+    Recall monotonicity in nprobe is pytest-pinned.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_p = max(nprobes)
+    assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(cosine_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        probe_scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= max_p)
+        .select("query_id", "centroid_id", "q_emb", "pr")
+    )
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("q_emb", "embedding"))
+        .select("query_id", "vec_id", "pr", "cosine")
+        .localCheckpoint(eager=True)  # one scoring pass feeds every point
+    )
+    exact_ids = brute_force_topk(spark, sf_dir, query_ids, k).select(
+        "query_id", "neighbor_id"
+    )
+    points = []
+    for p in sorted(nprobes):
+        sel = _topk(cand.filter(F.col("pr") <= p), k).select(
+            F.lit(p).cast("int").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        points.append(sel)
+    curve = points[0]
+    for sel in points[1:]:
+        curve = curve.unionByName(sel)
+    hits = (
+        curve.join(exact_ids, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = curve.select("nprobe", "query_id").distinct()
+    return (
+        grid.join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)) + F.lit(1e-8),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe", "query_id")
+    )

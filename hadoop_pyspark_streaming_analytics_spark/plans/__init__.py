@@ -91,6 +91,10 @@ _TAIL = [
                                       # verbatim in four in-window oracles
                                       # (classifier, curated_modern,
                                       # source_report, difficulty_bins)
+    # displaced for ann_recall_curve (never gated → in-window)
+    "text_pii_redaction",             # r4 green + headline-benched;
+                                      # scrubbing tier keeps
+                                      # text_contamination_check in-window
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

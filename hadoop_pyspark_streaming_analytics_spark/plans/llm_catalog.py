@@ -2289,3 +2289,101 @@ LLM_CATALOG.append(
         tags=("llm", "dedup", "ingest"),
     )
 )
+
+
+def _recall_curve_sql(
+    query_ids: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> str:
+    """Oracle for similarity.ivf_recall_curve: the ivf assignment/probe
+    CTEs widened to max(nprobes) with the probe rank carried onto the
+    candidates, one ranked top-k per curve point, unioned, hit-counted
+    against the nested brute-force oracle."""
+    qids = ", ".join(str(q) for q in query_ids)
+    max_p = max(nprobes)
+    point_sqls = []
+    for p in sorted(nprobes):
+        point_sqls.append(
+            f"""
+  SELECT {p} AS nprobe, query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM cand WHERE pr <= {p}
+  ) WHERE rnk <= {k}"""
+        )
+    points = "\n  UNION ALL\n  ".join(point_sqls)
+    exact_sql = _ANN_SQL_TEMPLATE.format(label_pred="")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id < {n_centroids}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+probe_scored AS (
+  SELECT q.query_id, c.centroid_id, q.q_emb,
+         round(list_cosine_similarity(q.q_emb::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS ccos
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, centroid_id, q_emb, pr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, centroid_id) AS pr
+    FROM probe_scored
+  ) WHERE pr <= {max_p}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, p.pr,
+         list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+           AS cosine
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE e.vec_id != p.query_id
+),
+curve AS (
+  {points}
+),
+exact AS ({exact_sql}),
+hits AS (
+  SELECT c.nprobe, c.query_id, count(*) AS n_hits
+  FROM curve c
+  JOIN exact e ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+  GROUP BY 1, 2
+),
+grid AS (SELECT DISTINCT nprobe, query_id FROM curve)
+SELECT g.nprobe, g.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / {float(k)} + 1e-8, 4) AS recall_at_k
+FROM grid g
+LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.query_id = h.query_id
+ORDER BY g.nprobe, g.query_id"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "ann_recall_curve",
+        similarity.ivf_recall_curve,
+        _recall_curve_sql(),
+        tags=("llm", "similarity", "evaluation"),
+    )
+)

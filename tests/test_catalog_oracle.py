@@ -55,6 +55,8 @@ def test_driver_window_priority():
         "corpus_bpe_token_counts",
         # round-5 incremental-ingest gate (never gated)
         "dedup_incremental_ingest",
+        # round-5 nprobe tuning curve (never gated)
+        "ann_recall_curve",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

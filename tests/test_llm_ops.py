@@ -1951,3 +1951,22 @@ def test_incremental_ingest_gate_semantics(spark):
     for d, (keep, reason) in got.items():
         if reason == "near_dup":
             assert any(prio(p) < prio(d) for p in partners.get(d, ()))
+
+
+def test_recall_curve_monotone_and_consistent(spark):
+    """Recall must be non-decreasing in nprobe per query, and the widest
+    point must match ivf_search at the same nprobe."""
+    rows = similarity.ivf_recall_curve(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall_at_k"]
+    assert by_q and all(set(d) == {1, 2, 4} for d in by_q.values())
+    for q, d in by_q.items():
+        assert d[1] <= d[2] + 1e-9 and d[2] <= d[4] + 1e-9, (q, d)
+    # cross-check the nprobe=2 point against the standalone report
+    rep = {
+        r["query_id"]: r["recall_at_k"]
+        for r in similarity.ivf_recall_report(spark, SF).collect()
+    }
+    for q, d in by_q.items():
+        assert abs(d[2] - rep[q]) <= 1e-9
