@@ -273,3 +273,67 @@ def test_session_attribution_matches_pure_python(spark, offs_a, offs_b):
             expect[eid_] = start
             prev = ts
     assert got == expect
+
+
+bpe_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(bpe_corpora)
+@SETTINGS
+def test_bpe_trainer_matches_reference_on_arbitrary_corpora(spark, texts):
+    """The distributed BPE trainer must reproduce a from-scratch pure-
+    Python BPE on ARBITRARY corpora — including the adversarial shapes
+    hypothesis finds (single-letter words with no pairs, vocabularies
+    that exhaust mergeable pairs before n_merges, back-to-back identical
+    symbols where greedy left-to-right order matters)."""
+    import collections
+    import re
+    import tempfile
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    n_merges = 4
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        wcounts = collections.Counter(
+            w for t in texts for w in re.findall("[a-z]+", t.lower())
+        )
+        syms = {w: " ".join(w) for w in wcounts}
+        want = []
+        for step in range(1, n_merges + 1):
+            pair_counts = collections.Counter()
+            for w, c in wcounts.items():
+                parts = syms[w].split(" ")
+                for a, b in zip(parts, parts[1:]):
+                    pair_counts[f"{a}|{b}"] += c
+            if not pair_counts:
+                break
+            best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            lft, rgt = best[0].split("|", 1)
+            want.append((step, lft, rgt, lft + rgt, best[1]))
+            pat = re.compile(rf"\b{lft} {rgt}\b")
+            for w in syms:
+                syms[w] = pat.sub(lft + rgt, syms[w])
+
+        got = [
+            (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+            for r in corpus.bpe_merges(spark, d, n_merges).orderBy("step").collect()
+        ]
+        assert got == want
+        seg = {
+            r["word"]: r["segmentation"]
+            for r in corpus.bpe_segment(spark, d, n_merges).collect()
+        }
+        assert seg == syms
