@@ -1970,3 +1970,46 @@ def test_recall_curve_monotone_and_consistent(spark):
     }
     for q, d in by_q.items():
         assert abs(d[2] - rep[q]) <= 1e-9
+
+
+def test_difficulty_bins_cross_engine_on_tied_cutpoints(spark, tmp_path):
+    """Adversarial tie shape: when half the corpus shares IDENTICAL text,
+    the quartile cutpoints land exactly ON the tied surprisal/quality
+    value — the boundary where interpolation or rounding drift across
+    engines would flip bins.  Spark and DuckDB must still agree row for
+    row (the same compare the driver runs)."""
+    import duckdb
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import (
+        _difficulty_bins_sql,
+    )
+
+    texts = ["the fast key order sort"] * 10 + [
+        "spark merge window hash scan join",
+        "a a a a a a a a",
+        "vector column batch stream row filter table",
+        "zz yy xx ww vv",
+        "the the the the",
+        "one two three four five six seven",
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["difficulty_bin"], r["quality_bin"])
+        for r in corpus.difficulty_bins(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[3], r[4])
+        for r in con.execute(_difficulty_bins_sql()).fetchall()
+    }
+    assert got == want and len(got) == len(texts)
