@@ -212,14 +212,68 @@ def minhash_lsh_candidates(
     buckets = lsh_band_buckets(
         load_table(spark, sf_dir, "documents"), n, bands, rows
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    return candidates_from_buckets(buckets)
+
+
+def candidates_from_buckets(
+    probe: DataFrame, all_buckets: DataFrame | None = None
+) -> DataFrame:
+    """Bucket-join candidate pairs: docs sharing a (band_id, band_hash)
+    bucket, normalized to ``doc_a < doc_b``.  With one argument it is the
+    symmetric self-join (batch dedup); with two, the left side PROBES the
+    right (the incremental-ingest / streaming-band-store shape — old×old
+    pairs never form).  The ONE copy of the pair-formation rule."""
+    other = all_buckets if all_buckets is not None else probe
+    x, y = probe.alias("x"), other.alias("y")
     return (
-        a.join(b, on=["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        x.join(y, on=["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def candidate_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for CANDIDATE pairs only (gated — never
+    all-pairs): intersection via the candidate-keyed shingle joins
+    (left-joined so zero-overlap band collisions score 0), sizes inner-
+    joined, and the 4dp (+1e-8) round — the ONE copy of the load-bearing
+    float policy for candidate-gated verification.  Returns
+    (doc_a, doc_b, jaccard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("intersection"), F.lit(0))
+                / (
+                    F.col("size_a")
+                    + F.col("size_b")
+                    - F.coalesce(F.col("intersection"), F.lit(0))
+                )
+                + F.lit(1e-8),
+                4,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -606,14 +660,7 @@ def minhash_estimate_pairs(
     num_perm = bands * rows
     sh_raw = doc_shingles(docs, n, distinct=False).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh_raw, num_perm).localCheckpoint(eager=True)
-    buckets = band_buckets_from_sigs(sigs, bands, rows)
-    ba, bb = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        ba.join(bb, on=["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = candidates_from_buckets(band_buckets_from_sigs(sigs, bands, rows))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(num_perm)],
@@ -636,35 +683,7 @@ def minhash_estimate_pairs(
             ),
         )
     )
-    sh = sh_raw.distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    exact = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.coalesce(F.col("intersection"), F.lit(0))
-                / (
-                    F.col("size_a")
-                    + F.col("size_b")
-                    - F.coalesce(F.col("intersection"), F.lit(0))
-                )
-                + F.lit(1e-8),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    exact = candidate_jaccard(cand, sh_raw.distinct())
     return (
         est.join(exact, ["doc_a", "doc_b"])
         .withColumn(
@@ -788,47 +807,9 @@ def incremental_ingest(
     buckets = band_buckets_from_sigs(sigs)
     new_ids = base.filter(F.col("is_new") == 1).select("doc_id")
     newb = buckets.join(new_ids, "doc_id")
-    cand = (
-        newb.alias("x")
-        .join(buckets.alias("y"), on=["band_id", "band_hash"])
-        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
-        .select(
-            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
-            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
-        )
-        .distinct()
-    )
-    sh = sh_raw.distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
+    cand = candidates_from_buckets(newb, buckets)
     ver = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.coalesce(F.col("intersection"), F.lit(0))
-                / (
-                    F.col("size_a")
-                    + F.col("size_b")
-                    - F.coalesce(F.col("intersection"), F.lit(0))
-                )
-                + F.lit(1e-8),
-                4,
-            ),
-        )
+        candidate_jaccard(cand, sh_raw.distinct())
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )

@@ -1292,7 +1292,15 @@ def ivf_recall_curve(
         .groupBy("nprobe", "query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    grid = curve.select("nprobe", "query_id").distinct()
+    # The grid is the LITERAL nprobes x queries cross product, NOT
+    # whatever points the candidate set happened to produce: a point
+    # whose probed cells hold no candidates must appear as recall 0 —
+    # silently dropping the curve's worst points is the same bug the
+    # recall report's LEFT join fixes.
+    nprobe_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(nprobes)], "nprobe int"
+    )
+    grid = queries.select("query_id").crossJoin(nprobe_df)
     return (
         grid.join(hits, ["nprobe", "query_id"], "left")
         .select(

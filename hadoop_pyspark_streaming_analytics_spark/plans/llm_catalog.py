@@ -2370,7 +2370,13 @@ hits AS (
   JOIN exact e ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
   GROUP BY 1, 2
 ),
-grid AS (SELECT DISTINCT nprobe, query_id FROM curve)
+grid AS (
+  -- the LITERAL nprobes x queries cross product (mirrors the engine):
+  -- empty-candidate points must surface as recall 0, never drop
+  SELECT n.nprobe, qq.query_id
+  FROM (VALUES {", ".join(f"({p})" for p in sorted(nprobes))}) AS n(nprobe)
+  CROSS JOIN (SELECT query_id FROM q) qq
+)
 SELECT g.nprobe, g.query_id,
        CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
        round(COALESCE(h.n_hits, 0) / {float(k)} + 1e-8, 4) AS recall_at_k

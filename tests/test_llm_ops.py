@@ -2013,3 +2013,39 @@ def test_difficulty_bins_cross_engine_on_tied_cutpoints(spark, tmp_path):
         for r in con.execute(_difficulty_bins_sql()).fetchall()
     }
     assert got == want and len(got) == len(texts)
+
+
+def test_recall_curve_surfaces_empty_probe_points(spark, tmp_path):
+    """Adversarial fixture: the corpus is ONLY the 8 centroid vectors
+    (one-hot), so at nprobe=1 every query's probed cell contains just the
+    query itself → zero candidates.  Those points must appear as
+    recall 0 — not vanish from the grid — and the DuckDB oracle must
+    agree row for row."""
+    import duckdb
+
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import (
+        _recall_curve_sql,
+    )
+
+    d = str(tmp_path / "sf")
+    vecs = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i] = 1.0
+        vecs.append((i, v, 0))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    rows = similarity.ivf_recall_curve(spark, d).collect()
+    got = {(r["nprobe"], r["query_id"]): (r["n_hits"], r["recall_at_k"]) for r in rows}
+    assert set(got) == {(p, q) for p in (1, 2, 4) for q in range(5)}
+    for q in range(5):
+        assert got[(1, q)] == (0, 0.0)  # empty probed cell surfaces as 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(_recall_curve_sql()).fetchall()}
+    assert got == want
