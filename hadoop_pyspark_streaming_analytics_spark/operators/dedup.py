@@ -857,3 +857,32 @@ def incremental_ingest(
         )
         .orderBy("doc_id")
     )
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report: the distribution of duplicate-cluster sizes —
+    how many clusters of 2, of 3, ... and how many documents each size
+    class ties up.  The first chart a dedup run is judged by (a fat tail
+    of giant clusters usually means boilerplate/template contamination,
+    not true duplicates — cross-check corpus_boilerplate_ngrams).
+
+    Composes :func:`duplicate_components`; the rollup is two tiny
+    aggregations past the components fixpoint (cluster count is bounded
+    by the duplicate count, << corpus).
+    """
+    comp = duplicate_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("int")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -95,6 +95,11 @@ _TAIL = [
     "text_pii_redaction",             # r4 green + headline-benched;
                                       # scrubbing tier keeps
                                       # text_contamination_check in-window
+    # displaced for dedup_cluster_histogram (never gated → in-window;
+    # its oracle nests the recursive components oracle verbatim)
+    "star_segment_contribution",      # r4 green; percent-of-total shape;
+                                      # star/relational tier keeps deciles,
+                                      # decimal-exact, unpivot in-window
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -2393,3 +2393,28 @@ LLM_CATALOG.append(
         tags=("llm", "similarity", "evaluation"),
     )
 )
+
+
+def _cluster_histogram_sql() -> str:
+    """Oracle for dedup.cluster_size_histogram: the recursive components
+    oracle verbatim, rolled up to the size distribution."""
+    return (
+        f"WITH RECURSIVE {_lsh_ctes()},{_COMPONENT_CTES},\n"
+        """sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
+       CAST(count(*) AS INTEGER) AS n_clusters,
+       CAST(cluster_size * count(*) AS INTEGER) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+    )
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "dedup_cluster_histogram",
+        dedup.cluster_size_histogram,
+        _cluster_histogram_sql(),
+        tags=("llm", "dedup", "evaluation"),
+    )
+)

@@ -57,6 +57,8 @@ def test_driver_window_priority():
         "dedup_incremental_ingest",
         # round-5 nprobe tuning curve (never gated)
         "ann_recall_curve",
+        # round-5 dedup impact histogram (never gated)
+        "dedup_cluster_histogram",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -2049,3 +2049,21 @@ def test_recall_curve_surfaces_empty_probe_points(spark, tmp_path):
     )
     want = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(_recall_curve_sql()).fetchall()}
     assert got == want
+
+
+def test_cluster_histogram_reconciles_with_components(spark):
+    """The histogram must reconcile exactly with the components output:
+    per-size cluster counts, doc totals, and no singleton rows (docs with
+    no candidate pair never enter components)."""
+    import collections
+
+    comp = dedup.duplicate_components(spark, SF).collect()
+    sizes = collections.Counter(
+        collections.Counter(r["component"] for r in comp).values()
+    )
+    rows = dedup.cluster_size_histogram(spark, SF).collect()
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == dict(sizes)
+    for r in rows:
+        assert r["cluster_size"] >= 2  # components hold only paired docs
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+    assert sum(r["n_docs"] for r in rows) == len(comp)
