@@ -531,3 +531,43 @@ def values_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("was_clipped"),
         )
     )
+
+
+def key_skew_report(
+    spark: SparkSession, sf_dir: str, top: int = 20
+) -> DataFrame:
+    """Join/agg-key SKEW ADVISOR over events.user_id: the ``top`` heaviest
+    keys with their event counts, corpus share, and a suggested salt
+    factor (ceil(count / median-key-count)) — the number
+    :func:`skew.salted_join`'s ``salt`` parameter is chosen from, and the
+    report that decides between AQE skew-join splitting and explicit
+    salting before a big shuffle.
+
+    Plan shape: one map-side-combined count per key, a 1-row percentile
+    aggregate broadcast back, and a TakeOrderedAndProject top-K — no
+    global sort, no second scan; the report costs one aggregation at any
+    event volume.
+    """
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    stats = counts.agg(
+        F.expr("percentile(n_events, 0.5D)").alias("median_n"),
+        F.sum("n_events").alias("total_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("n_events") / F.col("total_n") + F.lit(1e-8), 6).alias(
+                "share"
+            ),
+            F.ceil(
+                F.col("n_events") / F.greatest(F.col("median_n"), F.lit(1.0))
+            )
+            .cast("int")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(top)
+    )

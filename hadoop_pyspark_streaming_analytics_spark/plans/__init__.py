@@ -100,6 +100,10 @@ _TAIL = [
     "star_segment_contribution",      # r4 green; percent-of-total shape;
                                       # star/relational tier keeps deciles,
                                       # decimal-exact, unpivot in-window
+    # displaced for events_key_skew_report (never gated → in-window;
+    # the skew-advisor companion to the salting tier)
+    "events_value_anomalies_zscore",  # r4 green; timeseries tier keeps
+                                      # funnel/locf/session_attribution
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -2418,3 +2418,30 @@ LLM_CATALOG.append(
         tags=("llm", "dedup", "evaluation"),
     )
 )
+
+
+from ..operators import timeseries as _timeseries  # noqa: E402 (entry below)
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "events_key_skew_report",
+        _timeseries.key_skew_report,
+        """
+WITH counts AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+),
+stats AS (
+  SELECT quantile_cont(n_events, 0.5) AS median_n,
+         CAST(sum(n_events) AS BIGINT) AS total_n
+  FROM counts
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / total_n::DOUBLE + 1e-8, 6) AS share,
+       CAST(ceil(n_events / greatest(median_n, 1.0)) AS INTEGER) AS salt_factor
+FROM counts CROSS JOIN stats
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20""",
+        tags=("llm", "skew", "evaluation"),
+    )
+)

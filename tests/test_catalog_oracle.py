@@ -59,6 +59,8 @@ def test_driver_window_priority():
         "ann_recall_curve",
         # round-5 dedup impact histogram (never gated)
         "dedup_cluster_histogram",
+        # round-5 skew advisor (never gated)
+        "events_key_skew_report",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

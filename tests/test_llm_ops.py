@@ -2067,3 +2067,27 @@ def test_cluster_histogram_reconciles_with_components(spark):
         assert r["cluster_size"] >= 2  # components hold only paired docs
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
     assert sum(r["n_docs"] for r in rows) == len(comp)
+
+
+def test_key_skew_report_accounting(spark):
+    """Top-K ordering, share arithmetic, and the salt suggestion must
+    reconcile with a direct recomputation of the per-key counts."""
+    import collections
+    import math
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import timeseries
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+
+    rows = timeseries.key_skew_report(spark, SF).collect()
+    counts = collections.Counter(
+        r["user_id"] for r in load_events(spark, SF).select("user_id").collect()
+    )
+    total = sum(counts.values())
+    med = sorted(counts.values())[len(counts) // 2] if len(counts) % 2 else None
+    want_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["user_id"], r["n_events"]) for r in rows] == want_top
+    for r in rows:
+        assert abs(r["share"] - round(r["n_events"] / total + 1e-8, 6)) <= 1e-12
+        assert r["salt_factor"] >= 1
+        if med is not None:
+            assert r["salt_factor"] == math.ceil(r["n_events"] / max(med, 1.0))
