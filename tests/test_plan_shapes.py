@@ -502,6 +502,7 @@ def test_broadcast_hint_policy():
         ("operators/star.py", "avg_bal"): "1-row scalar",
         ("operators/relational.py", "total"): "1-row scalar",
         ("operators/windows.py", "cuts"): "decile cutpoints",
+        ("operators/timeseries.py", "stats"): "1-row median/total scalar",
         ("streaming/extensions.py", "dim"): "caller-contracted dimension",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
