@@ -223,8 +223,23 @@ def candidates_from_buckets(
     symmetric self-join (batch dedup); with two, the left side PROBES the
     right (the incremental-ingest / streaming-band-store shape — old×old
     pairs never form).  The ONE copy of the pair-formation rule."""
-    other = all_buckets if all_buckets is not None else probe
-    x, y = probe.alias("x"), other.alias("y")
+    x = probe.alias("x")
+    if all_buckets is None:
+        # symmetric self-join: the < filter emits each colliding pair
+        # ONCE (m*(m-1)/2 rows per m-doc bucket), where != plus
+        # least/greatest would emit both orientations and double the
+        # pre-distinct shuffle on exactly the hot boilerplate buckets
+        y = probe.alias("y")
+        return (
+            x.join(y, on=["band_id", "band_hash"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    y = all_buckets.alias("y")
     return (
         x.join(y, on=["band_id", "band_hash"])
         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
@@ -518,17 +533,6 @@ def split_leakage_check(
     docs = load_table(spark, sf_dir, "documents")
     cand = minhash_lsh_candidates(spark, sf_dir, n)
     sh = doc_shingles(docs, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
 
     def split_of(col: str):
         bucket = F.conv(
@@ -540,18 +544,11 @@ def split_leakage_check(
             .otherwise("test")
         )
 
+    # candidate_jaccard is the ONE copy of the verify/float policy; its
+    # left-joined zero-overlap candidates score 0 < threshold, so the
+    # filter reproduces the old inner-join behavior exactly.
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("intersection")
-                / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
-                + F.lit(1e-8),
-                4,
-            ),
-        )
+        candidate_jaccard(cand, sh)
         .filter(F.col("jaccard") >= threshold)
         .withColumn("split_a", split_of("doc_a"))
         .withColumn("split_b", split_of("doc_b"))
@@ -880,8 +877,11 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cluster_size").cast("int").alias("cluster_size"),
             "n_clusters",
+            # bigint: size*count exceeds int32 on a multi-billion-doc
+            # corpus with a heavy dup rate (Spark's non-ANSI int cast
+            # would wrap silently; DuckDB's would error)
             (F.col("cluster_size") * F.col("n_clusters"))
-            .cast("int")
+            .cast("bigint")
             .alias("n_docs"),
         )
         .orderBy("cluster_size")

@@ -20,6 +20,7 @@ from ..operators import (
     scrubbing,
     similarity,
     sketches,
+    timeseries,
 )
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
@@ -2405,7 +2406,7 @@ def _cluster_histogram_sql() -> str:
 )
 SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
        CAST(count(*) AS INTEGER) AS n_clusters,
-       CAST(cluster_size * count(*) AS INTEGER) AS n_docs
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
     )
 
@@ -2420,12 +2421,10 @@ LLM_CATALOG.append(
 )
 
 
-from ..operators import timeseries as _timeseries  # noqa: E402 (entry below)
-
 LLM_CATALOG.append(
     QuerySpec(
         "events_key_skew_report",
-        _timeseries.key_skew_report,
+        timeseries.key_skew_report,
         """
 WITH counts AS (
   SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
