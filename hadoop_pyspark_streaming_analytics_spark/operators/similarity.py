@@ -1314,3 +1314,41 @@ def ivf_recall_curve(
         )
         .orderBy("nprobe", "query_id")
     )
+
+
+def embedding_norm_audit(
+    spark: SparkSession, sf_dir: str, eps: float = 1e-6
+) -> DataFrame:
+    """Embedding-table VALIDATION report, per label bucket: vector count,
+    dimensionality (+ how many distinct dims appear — anything but 1 is a
+    corrupt ingest), L2-norm stats, and the zero-vector count.  Every
+    assumption the ANN tier builds on — constant dim, unit-ish norms, no
+    degenerate vectors (a zero vector makes cosine undefined) — checked
+    in one scan BEFORE an index build spends cluster-hours; this is the
+    operational twin of the unit-norm pytest pin.
+
+    Plan shape: one corpus scan, norms in a codegen projection, one
+    map-side-combined rollup to |labels| rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    norm = F.expr(_NORM.format(v="embedding"))
+    d = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm.alias("l2"),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.max("dim").cast("int").alias("dim"),
+            F.countDistinct("dim").cast("int").alias("n_dim_variants"),
+            F.round(F.avg("l2") + F.lit(1e-8), 4).alias("mean_norm"),
+            F.round(F.min("l2") + F.lit(1e-8), 4).alias("min_norm"),
+            F.round(F.max("l2") + F.lit(1e-8), 4).alias("max_norm"),
+            F.sum((F.col("l2") < eps).cast("int")).cast("int").alias("n_zero"),
+        )
+        .orderBy("label")
+    )

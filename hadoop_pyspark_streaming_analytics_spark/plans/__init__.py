@@ -104,6 +104,10 @@ _TAIL = [
     # the skew-advisor companion to the salting tier)
     "events_value_anomalies_zscore",  # r4 green; timeseries tier keeps
                                       # funnel/locf/session_attribution
+    # displaced for embedding_norm_audit (never gated → in-window;
+    # the index-prerequisite validation of the ANN tier)
+    "temporal_asof_next_click",       # r4 green; as-of family keeps
+                                      # point-in-time value in-window
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

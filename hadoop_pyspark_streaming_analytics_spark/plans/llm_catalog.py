@@ -2444,3 +2444,28 @@ LIMIT 20""",
         tags=("llm", "skew", "evaluation"),
     )
 )
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "embedding_norm_audit",
+        similarity.embedding_norm_audit,
+        """
+WITH d AS (
+  SELECT label,
+         CAST(len(embedding) AS INTEGER) AS dim,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS l2
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS INTEGER) AS n_vecs,
+       CAST(max(dim) AS INTEGER) AS dim,
+       CAST(count(DISTINCT dim) AS INTEGER) AS n_dim_variants,
+       round(avg(l2) + 1e-8, 4) AS mean_norm,
+       round(min(l2) + 1e-8, 4) AS min_norm,
+       round(max(l2) + 1e-8, 4) AS max_norm,
+       CAST(sum(CASE WHEN l2 < 1e-6 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero
+FROM d GROUP BY label ORDER BY label""",
+        tags=("llm", "similarity", "audit"),
+    )
+)

@@ -61,6 +61,8 @@ def test_driver_window_priority():
         "dedup_cluster_histogram",
         # round-5 skew advisor (never gated)
         "events_key_skew_report",
+        # round-5 embedding validation audit (never gated)
+        "embedding_norm_audit",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -2095,3 +2095,18 @@ def test_key_skew_report_accounting(spark):
     for r in rows:
         assert abs(r["share"] - round(r["n_events"] / total + 1e-8, 6)) <= 1e-12
         assert r["salt_factor"] == math.ceil(r["n_events"] / max(med, 1.0)) >= 1
+
+
+def test_embedding_norm_audit_accounting(spark):
+    """The audit must cover every vector exactly once, report the real
+    64-dim constant dimensionality, unit-ish norms (the property the
+    metric-equivalence pin relies on), and zero degenerate vectors."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = similarity.embedding_norm_audit(spark, SF).collect()
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    for r in rows:
+        assert r["dim"] == 64 and r["n_dim_variants"] == 1
+        assert r["n_zero"] == 0
+        assert 0.9 <= r["min_norm"] <= r["mean_norm"] <= r["max_norm"] <= 1.1
