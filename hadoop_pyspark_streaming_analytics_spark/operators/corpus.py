@@ -762,3 +762,32 @@ def bpe_token_counts(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The trained tokenizer's SUBWORD VOCABULARY: every distinct symbol
+    in the final segmentation, occurrence-weighted by word frequency,
+    with contiguous frequency-ranked ids — tokenizer artifact #2 (a
+    shipped tokenizer is exactly the merge table + this vocab file).
+
+    Ranking follows :func:`vocabulary`'s convention (row_number over
+    freq DESC, subword ASC — deterministic across runs/engines; the
+    global window runs over the vocab-sized aggregate by design).  Ids
+    start at 0, the usual tokenizer convention.
+    """
+    _, syms = _bpe_train(spark, sf_dir, n_merges)
+    freq = (
+        syms.select(
+            F.explode(F.split(F.col("sym"), " ")).alias("subword"), "wcount"
+        )
+        .groupBy("subword")
+        .agg(F.sum("wcount").cast("bigint").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("subword"))
+    return freq.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "subword",
+        "n_occurrences",
+    ).orderBy("token_id")

@@ -108,6 +108,10 @@ _TAIL = [
     # the index-prerequisite validation of the ANN tier)
     "temporal_asof_next_click",       # r4 green; as-of family keeps
                                       # point-in-time value in-window
+    # displaced for corpus_bpe_vocab (never gated → in-window; tokenizer
+    # artifact #2 next to the merge table)
+    "corpus_boilerplate_ngrams",      # r4 green; corpus tier keeps
+                                      # bigram + token_budget + bpe trio
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

@@ -2469,3 +2469,31 @@ FROM d GROUP BY label ORDER BY label""",
         tags=("llm", "similarity", "audit"),
     )
 )
+
+
+def _bpe_vocab_sql(n: int = corpus.BPE_MERGES) -> str:
+    """Oracle for corpus.bpe_vocab: the BPE training CTEs to the final
+    segmentation, exploded to subwords and frequency-ranked."""
+    return f"""
+WITH {_bpe_ctes(n)},
+sub AS (
+  SELECT unnest(str_split(sym, ' ')) AS subword, wcount FROM s{n}
+),
+freq AS (
+  SELECT subword, CAST(sum(wcount) AS BIGINT) AS n_occurrences
+  FROM sub GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, subword) - 1
+            AS INTEGER) AS token_id,
+       subword, n_occurrences
+FROM freq ORDER BY token_id"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "corpus_bpe_vocab",
+        corpus.bpe_vocab,
+        _bpe_vocab_sql(),
+        tags=("llm", "tokenizer"),
+    )
+)

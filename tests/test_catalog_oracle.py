@@ -63,6 +63,8 @@ def test_driver_window_priority():
         "events_key_skew_report",
         # round-5 embedding validation audit (never gated)
         "embedding_norm_audit",
+        # round-5 BPE vocabulary artifact (never gated)
+        "corpus_bpe_vocab",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -2110,3 +2110,23 @@ def test_embedding_norm_audit_accounting(spark):
         assert r["dim"] == 64 and r["n_dim_variants"] == 1
         assert r["n_zero"] == 0
         assert 0.9 <= r["min_norm"] <= r["mean_norm"] <= r["max_norm"] <= 1.1
+
+
+def test_bpe_vocab_reconciles_with_segmentation(spark):
+    """The vocab must be exactly the distinct final-segmentation symbols,
+    occurrence totals must reconcile with the word counts, ids must be
+    contiguous from 0 in (freq DESC, subword ASC) order, and total
+    occurrences must equal the corpus's total BPE token count."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    sf = "/root/testdata/sf0.001"
+    seg = corpus.bpe_segment(spark, sf).collect()
+    want = {}
+    for r in seg:
+        for sub in r["segmentation"].split(" "):
+            want[sub] = want.get(sub, 0) + r["wcount"]
+    rows = corpus.bpe_vocab(spark, sf).collect()
+    assert {r["subword"]: r["n_occurrences"] for r in rows} == want
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["subword"], r["n_occurrences"]) for r in rows] == ordered
