@@ -590,3 +590,41 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality calibration: each document's quality quartile
+    WITHIN its own source — the rank normalization that makes scores
+    comparable across sources before mixture weighting (a heuristic
+    scorer drifts by domain: 0.6 from a clean-prose source and 0.6 from
+    a forum dump are not the same quality; what transfers is the
+    within-source rank).
+
+    The global :func:`~..operators.corpus.difficulty_bins` answers "how
+    hard/clean overall"; this answers "top quarter OF ITS SOURCE".  Same
+    scalable-cutpoint discipline, grouped: per-source quartile arrays
+    from ONE groupBy-percentile aggregate (|sources| rows, broadcastable
+    join back), then the stateless cuts<value count — no per-source
+    window, no global sort.
+    """
+    feats = quality_features(
+        load_table(spark, sf_dir, "documents"), keep=("source",)
+    ).select("doc_id", "source", "quality_score")
+    cuts = feats.groupBy("source").agg(
+        F.expr(
+            "transform(percentile(quality_score, array(0.25D, 0.5D, 0.75D)),"
+            " c -> round(c + 1e-8, 4))"
+        ).alias("qcuts")
+    )
+    return (
+        feats.join(cuts, "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.expr(
+                "CAST(1 + size(filter(qcuts, c -> c < quality_score)) AS INT)"
+            ).alias("source_quartile"),
+        )
+        .orderBy("doc_id")
+    )

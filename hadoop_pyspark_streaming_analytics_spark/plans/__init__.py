@@ -112,6 +112,10 @@ _TAIL = [
     # artifact #2 next to the merge table)
     "corpus_boilerplate_ngrams",      # r4 green; corpus tier keeps
                                       # bigram + token_budget + bpe trio
+    # displaced for quality_score_calibration (never gated → in-window;
+    # the per-source rank normalization ahead of mixture weighting)
+    "events_user_value_scd2",         # r4 green; SCD2 semantics stay
+                                      # in-window via point_in_time_value
     # displaced for pipeline_curated_modern (new composed entry, never
     # gated): its three component gates (classifier / exact dedup /
     # contamination) all keep their own in-window rows this round.

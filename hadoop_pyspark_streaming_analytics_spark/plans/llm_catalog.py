@@ -2497,3 +2497,35 @@ LLM_CATALOG.append(
         tags=("llm", "tokenizer"),
     )
 )
+
+
+def _quality_calibration_sql() -> str:
+    """Oracle for quality.quality_score_calibration: the shared quality
+    CTEs + per-source quantile_cont cutpoints + the stateless bin count."""
+    return f"""
+WITH {_QUALITY_CTES},
+src AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+),
+cuts AS (
+  SELECT source,
+         list_transform(quantile_cont(quality_score, [0.25, 0.5, 0.75]),
+                        c -> round(c + 1e-8, 4)) AS qcuts
+  FROM src GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_score,
+       CAST(1 + len(list_filter(c.qcuts, x -> x < s.quality_score))
+            AS INTEGER) AS source_quartile
+FROM src s JOIN cuts c ON s.source = c.source
+ORDER BY s.doc_id"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "quality_score_calibration",
+        quality.quality_score_calibration,
+        _quality_calibration_sql(),
+        tags=("llm", "quality", "sampling"),
+    )
+)

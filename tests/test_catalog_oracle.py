@@ -65,6 +65,8 @@ def test_driver_window_priority():
         "embedding_norm_audit",
         # round-5 BPE vocabulary artifact (never gated)
         "corpus_bpe_vocab",
+        # round-5 per-source quality calibration (never gated)
+        "quality_score_calibration",
         # last never-gated oracle-backed entry (same-oracle twin of
         # chunk_documents; its tail exception ends this round so every
         # oracle-backed entry becomes ever-gated)

@@ -2130,3 +2130,31 @@ def test_bpe_vocab_reconciles_with_segmentation(spark):
     assert [r["token_id"] for r in rows] == list(range(len(rows)))
     ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [(r["subword"], r["n_occurrences"]) for r in rows] == ordered
+
+
+def test_quality_calibration_within_source_quartiles(spark):
+    """Quartiles must be assigned WITHIN each source (per-source quarter
+    splits, boundary-monotone), covering every document exactly once."""
+    import collections
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = quality.quality_score_calibration(spark, SF).collect()
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["quality_score"], r["source_quartile"]))
+    for src, vals in by_src.items():
+        qs = {q for _, q in vals}
+        assert qs <= {1, 2, 3, 4}, (src, qs)
+        n = len(vals)
+        counts = collections.Counter(q for _, q in vals)
+        for b in (1, 2, 3, 4):
+            if n >= 8:
+                assert counts.get(b, 0) >= n // 8, (src, b, counts)
+        by_bin = collections.defaultdict(list)
+        for s, q in vals:
+            by_bin[q].append(s)
+        for b in range(1, 4):
+            if b in by_bin and b + 1 in by_bin:
+                assert max(by_bin[b]) <= min(by_bin[b + 1]) + 1e-9, (src, b)
