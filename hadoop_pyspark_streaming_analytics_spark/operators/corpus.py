@@ -21,6 +21,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -530,28 +532,96 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 8
 
+#: Merge-selection width per training round: up to this many SYMBOL-DISJOINT
+#: top pairs are selected and applied together (see :func:`_bpe_train` for
+#: the exactness argument).  Amortizes the per-round driver round-trip —
+#: a 32k-rule production tokenizer drops from 32k sequential rounds to
+#: ~32k/M (measured: BPE_MERGES=8 trains in 1 round at the default; the
+#: sequential trainer needed 8).  ``batch_m=1`` is the vanilla Sennrich
+#: loop; every width is property-tested equal to it.
+BPE_BATCH_M = 16
 
-def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
+
+def _select_disjoint_merges(
+    rows: list, m: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint prefix of the (cnt DESC, pair ASC)-sorted
+    candidate rows — the batch whose one-pass application is provably
+    identical to ``len(result)`` sequential vanilla-BPE rounds.
+
+    Scan rows[:m] in sort order, selecting while the pair touches no
+    symbol in the blocked set {lft, rgt, lft+rgt of every selection}:
+    * disjointness of {lft, rgt} means earlier replacements cannot create
+      or destroy occurrences of later selections (a merge only removes
+      the adjacency of its own two symbols, and the token it emits is
+      their concatenation);
+    * blocking the CONCATENATION guards the case where a later candidate
+      contains an earlier round's output symbol — its count grows the
+      moment the earlier merge lands, so its round-start count is stale.
+
+    Stop at the first conflict; ``bound`` = that row's count (or the
+    (m+1)-th row's count when no conflict — every unseen pair sorts at or
+    below it).  The final truncation to counts STRICTLY above ``bound``
+    is what makes the batch exact: a pair newly created by selection i
+    inherits occurrences from a pair that shares a symbol with it, and
+    every such pair sorts at/after the stop position (else scanning would
+    have stopped sooner), so its count — and hence any new pair's — is
+    ≤ bound < every kept selection's count.  Ties WITHIN the kept prefix
+    are safe (disjoint ⇒ counts unchanged ⇒ sequential argmax follows the
+    identical (cnt DESC, pair ASC) order).  If truncation empties the
+    batch (top ties straight into a conflict), fall back to the top-1
+    pair — a single merge is vanilla BPE and always exact.
+    """
+    selected: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    bound = int(rows[m]["cnt"]) if len(rows) > m else -1
+    for r in rows[:m]:
+        lft, rgt = r["pr"].split("|", 1)
+        if lft in blocked or rgt in blocked or (lft + rgt) in blocked:
+            bound = int(r["cnt"])
+            break
+        selected.append((lft, rgt, int(r["cnt"])))
+        blocked.update((lft, rgt, lft + rgt))
+    safe: list[tuple[str, str, int]] = []
+    for lft, rgt, cnt in selected:
+        if cnt <= bound:
+            break
+        safe.append((lft, rgt, cnt))
+    return safe or selected[:1]
+
+
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    batch_m: int = BPE_BATCH_M,
+):
     """Distributed BPE training on the corpus's WORD-FREQUENCY dictionary —
     the standard industrial shape (Sennrich et al. 2016: train on the word
     count dict, not the raw corpus): one corpus scan builds (word, count),
-    and every merge iteration is a scan+agg over that vocabulary-sized
-    table.  At 100 TB the corpus pass is the only big job; the dictionary
-    is ~10^6-10^7 rows, so the per-iteration pair count shuffles kilobytes
-    of (pair, partial-count) after map-side combine.
+    and every merge ROUND is a scan+agg over that vocabulary-sized table.
+    At 100 TB the corpus pass is the only big job; the dictionary is
+    ~10^6-10^7 rows, so the per-round pair count shuffles kilobytes of
+    (pair, partial-count) after map-side combine.
 
-    Per iteration: adjacent symbol pairs via the codegen'd
+    Per round: adjacent symbol pairs via the codegen'd
     slice+arrays_zip+explode pattern (same rationale as dedup.doc_shingles
-    — higher-order lambdas run interpreted), weighted by word count;
-    argmax with the engine-portable tiebreak (count DESC, then the
-    'left|right' pair string ASC); the winning pair merges via
-    ``regexp_replace('\\bl r\\b' -> 'lr')`` — RE2 and Java agree on ASCII
-    \\b and on left-to-right non-overlapping replacement, which matches
-    BPE's greedy within-word merge order (verified on the 'a a a' /
-    'x y x y' adversarial cases in both engines).  The winner is ONE
-    collected row per iteration (the same k-row driver pattern as
-    kmeans_centroids); lineage stays flat because the dictionary is
-    localCheckpoint'ed once after the corpus scan.
+    — higher-order lambdas run interpreted), weighted by word count; the
+    top ``batch_m + 1`` pairs by the engine-portable tiebreak (count DESC,
+    then the 'left|right' pair string ASC) collect as ONE bounded driver
+    action, and :func:`_select_disjoint_merges` keeps the greedy
+    symbol-disjoint prefix that is provably identical to the same number
+    of sequential vanilla rounds — the amortization that takes a 32k-rule
+    production tokenizer from 32k driver round-trips to ~32k/M.  Each
+    selected pair merges via ``regexp_replace('\\bl r\\b' -> 'lr')`` — RE2
+    and Java agree on ASCII \\b and on left-to-right non-overlapping
+    replacement, which matches BPE's greedy within-word merge order
+    (verified on the 'a a a' / 'x y x y' adversarial cases in both
+    engines); the batch applies as one chained projection.  Lineage stays
+    flat because the dictionary is localCheckpoint'ed once after the
+    corpus scan and re-materialized every ~16 applied merges (without
+    this, round i re-executes all prior stacked regexp projections —
+    quadratic recompute plus Catalyst analysis blowup at 32k merges).
 
     Returns (merge list, final symbolized-dictionary DataFrame).
     """
@@ -573,7 +643,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
         ).alias("sym"),
     ).localCheckpoint(eager=True)
     merges: list[tuple] = []
-    for step in range(1, n_merges + 1):
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        m = min(max(batch_m, 1), n_merges - len(merges))
         pairs = syms.select(
             "wcount",
             F.explode(
@@ -591,22 +663,22 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
             .groupBy("pr")
             .agg(F.sum("wcount").alias("cnt"))
         )
-        best = counted.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1).collect()
-        if not best:
-            break
-        pr, cnt = best[0]["pr"], int(best[0]["cnt"])
-        lft, rgt = pr.split("|", 1)
-        merges.append((step, lft, rgt, lft + rgt, cnt))
-        syms = syms.withColumn(
-            "sym", F.regexp_replace("sym", rf"\b{lft} {rgt}\b", lft + rgt)
+        rows = (
+            counted.orderBy(F.col("cnt").desc(), F.col("pr").asc())
+            .limit(m + 1)
+            .collect()
         )
-        # Re-materialize every 16 steps: without this, step i re-executes
-        # all i-1 stacked regexp projections (O(n²) regexp work and an
-        # n-deep plan — at 32k production merges that's quadratic
-        # recompute plus Catalyst analysis blowup).  Periodic checkpoints
-        # keep each iteration at the advertised one-vocab-scan cost.
-        if step % 16 == 0:
+        if not rows:
+            break
+        col = F.col("sym")
+        for lft, rgt, cnt in _select_disjoint_merges(rows, m):
+            merges.append((len(merges) + 1, lft, rgt, lft + rgt, cnt))
+            col = F.regexp_replace(col, rf"\b{lft} {rgt}\b", lft + rgt)
+            since_ckpt += 1
+        syms = syms.withColumn("sym", col)
+        if since_ckpt >= 16:
             syms = syms.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges, syms
 
 
@@ -622,6 +694,16 @@ def bpe_merges(
     )
 
 
+def _segment_of(syms: DataFrame) -> DataFrame:
+    """Segmentation frame from a trained symbolized dictionary."""
+    return syms.select(
+        "word",
+        "wcount",
+        F.col("sym").alias("segmentation"),
+        F.size(F.split(F.col("sym"), " ")).alias("n_subwords"),
+    ).orderBy("word")
+
+
 def bpe_segment(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
@@ -629,17 +711,32 @@ def bpe_segment(
     merges (space-joined subword symbols + subword count) — what the
     tokenizer does to new text, evaluated over the training dictionary
     itself.  Re-runs :func:`_bpe_train` (each catalog entry is
-    self-contained, the kmeans-retrain convention); a caller needing both
-    artifacts cheaply should call :func:`_bpe_train` once and derive
-    them, or apply a stored merge table via
-    :func:`bpe_tokenize_documents`."""
+    self-contained, the kmeans-retrain convention); a caller needing
+    several artifacts should call :func:`bpe_artifacts` once instead."""
     _, syms = _bpe_train(spark, sf_dir, n_merges)
-    return syms.select(
-        "word",
-        "wcount",
-        F.col("sym").alias("segmentation"),
-        F.size(F.split(F.col("sym"), " ")).alias("n_subwords"),
-    ).orderBy("word")
+    return _segment_of(syms)
+
+
+def bpe_artifacts(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> dict[str, DataFrame]:
+    """Train ONCE, return the complete tokenizer artifact set — merges
+    table, dictionary segmentation, subword vocabulary, and per-document
+    true token counts — so a caller materializing a shipped tokenizer
+    pays one training run instead of four (the per-entry catalog
+    spellings below re-train by the self-contained-entry convention;
+    this is the production entry point)."""
+    merges, syms = _bpe_train(spark, sf_dir, n_merges)
+    syms = syms.localCheckpoint(eager=True)  # four consumers, one train
+    return {
+        "merges": spark.createDataFrame(
+            merges,
+            "step int, lft string, rgt string, merged string, pair_count bigint",
+        ),
+        "segment": _segment_of(syms),
+        "vocab": _vocab_of(syms),
+        "token_counts": _token_counts_of(spark, sf_dir, syms),
+    }
 
 
 def difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +786,14 @@ def difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Legal BPE symbol shape.  Training only ever produces [a-z]+ symbols
+#: (the pre-tokenizer is '[a-z]+' and merges concatenate), and the apply
+#: step interpolates symbols into regex PATTERNS and REPLACEMENTS — a
+#: metacharacter ('(', '$', '\\', …) from a foreign merge table would
+#: silently corrupt the pattern chain, so it is rejected up front.
+_BPE_SYMBOL = re.compile(r"[a-z]+\Z")
+
+
 def bpe_tokenize_documents(
     docs: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:
@@ -702,9 +807,14 @@ def bpe_tokenize_documents(
 
     ``merges`` is [(lft, rgt), ...] in step order — collect it once from
     :func:`bpe_merges` output; 8-64k rules are all literal constants, no
-    model artifact to distribute.  Output: one row per word occurrence
+    model artifact to distribute.  Symbols must match ``[a-z]+`` (every
+    trained merge does; a stored table that doesn't would corrupt the
+    regex chain and is rejected).  Output: one row per word occurrence
     (doc_id, pos, word, segmentation).
     """
+    for lft, rgt in merges:
+        if not (_BPE_SYMBOL.match(lft) and _BPE_SYMBOL.match(rgt)):
+            raise ValueError(f"BPE merge symbols must match [a-z]+: {(lft, rgt)!r}")
     words = docs.select(
         "doc_id",
         F.posexplode(
@@ -723,16 +833,25 @@ def bpe_token_counts(
     """Per-document token counts UNDER THE TRAINED TOKENIZER — the counts
     a token budget or packing pass should actually use (whitespace/word
     counts misprice documents whose words fragment into many subwords).
+    Re-runs :func:`_bpe_train` to get the dictionary (self-contained-entry
+    convention); production callers get this via :func:`bpe_artifacts`
+    (one training run) or a stored merge table.
+    """
+    _, syms = _bpe_train(spark, sf_dir, n_merges)
+    return _token_counts_of(spark, sf_dir, syms)
+
+
+def _token_counts_of(
+    spark: SparkSession, sf_dir: str, syms: DataFrame
+) -> DataFrame:
+    """Per-doc true-token rollup from a trained symbolized dictionary.
 
     Plan shape: per-doc word occurrence counts aggregate map-side off the
     corpus scan (the unigram-surprisal discipline); the trained dictionary
     segmentation is vocabulary-sized and joins back on ``word`` (AQE
     broadcasts when it fits), and the final per-doc rollup is one
-    map-side-combinable weighted sum.  Re-runs :func:`_bpe_train` to get
-    the dictionary (self-contained-entry convention); production would
-    read the stored merge table instead.
+    map-side-combinable weighted sum.
     """
-    _, syms = _bpe_train(spark, sf_dir, n_merges)
     seg = syms.select(
         "word", F.size(F.split(F.col("sym"), " ")).alias("n_subwords")
     )
@@ -778,6 +897,11 @@ def bpe_vocab(
     start at 0, the usual tokenizer convention.
     """
     _, syms = _bpe_train(spark, sf_dir, n_merges)
+    return _vocab_of(syms)
+
+
+def _vocab_of(syms: DataFrame) -> DataFrame:
+    """Frequency-ranked subword vocabulary from a trained dictionary."""
     freq = (
         syms.select(
             F.explode(F.split(F.col("sym"), " ")).alias("subword"), "wcount"

@@ -1734,43 +1734,73 @@ def test_bpe_merges_match_reference_implementation(spark):
     """The distributed trainer must reproduce, step for step, a from-
     scratch pure-Python BPE (Sennrich et al.) run on the same word-count
     dictionary with the same tiebreak — pair counts, merge order, and the
-    final segmentation's reconstruction property."""
-    import collections
-    import re
-
+    final segmentation's reconstruction property.  The reference applies
+    merges by explicit pairwise list rewriting (tests/bpe_reference.py),
+    NOT the engine's regex strategy, so the apply step is genuinely
+    independent (ADVICE r5).  Run at the vanilla width AND the default
+    batched width: top-M symbol-disjoint batching must be merge-for-merge
+    identical to the sequential trainer."""
     from hadoop_pyspark_streaming_analytics_spark.operators import corpus
     from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
 
+    from . import bpe_reference
+
     sf = "/root/testdata/sf0.001"
     texts = [r["text"] for r in load_table(spark, sf, "documents").collect()]
-    wcounts = collections.Counter(
-        w for t in texts for w in re.findall("[a-z]+", t.lower())
-    )
-    syms = {w: " ".join(w) for w in wcounts}
-    want = []
-    for step in range(1, corpus.BPE_MERGES + 1):
-        pair_counts = collections.Counter()
-        for w, c in wcounts.items():
-            parts = syms[w].split(" ")
-            for a, b in zip(parts, parts[1:]):
-                pair_counts[f"{a}|{b}"] += c
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        lft, rgt = best[0].split("|", 1)
-        want.append((step, lft, rgt, lft + rgt, best[1]))
-        pat = re.compile(rf"\b{lft} {rgt}\b")
-        for w in syms:
-            syms[w] = pat.sub(lft + rgt, syms[w])
+    wcounts = bpe_reference.word_counts(texts)
+    want, syms = bpe_reference.train(wcounts, corpus.BPE_MERGES)
+    for batch_m in (1, corpus.BPE_BATCH_M):
+        merges, trained = corpus._bpe_train(
+            spark, sf, corpus.BPE_MERGES, batch_m=batch_m
+        )
+        assert merges == want, f"batch_m={batch_m}"
+        seg = corpus._segment_of(trained).collect()
+        assert len(seg) == len(wcounts)
+        for r in seg:
+            assert r["segmentation"].replace(" ", "") == r["word"]
+            assert r["n_subwords"] == len(r["segmentation"].split(" "))
+            assert r["segmentation"] == syms[r["word"]]
+    # The catalog spelling (default width) agrees with both.
     got = [
         (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
         for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
     ]
     assert got == want
-    seg = corpus.bpe_segment(spark, sf).collect()
-    assert len(seg) == len(wcounts)
-    for r in seg:
-        assert r["segmentation"].replace(" ", "") == r["word"]
-        assert r["n_subwords"] == len(r["segmentation"].split(" "))
-        assert r["segmentation"] == syms[r["word"]]
+
+
+def test_bpe_artifacts_single_training_run(spark):
+    """bpe_artifacts must return the same four frames as the per-entry
+    catalog spellings (which each re-train), from ONE training run."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    sf = "/root/testdata/sf0.001"
+    arts = corpus.bpe_artifacts(spark, sf)
+    assert sorted(arts) == ["merges", "segment", "token_counts", "vocab"]
+    assert [tuple(r) for r in arts["merges"].orderBy("step").collect()] == [
+        tuple(r) for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
+    ]
+    assert [tuple(r) for r in arts["vocab"].collect()] == [
+        tuple(r) for r in corpus.bpe_vocab(spark, sf).collect()
+    ]
+    assert [tuple(r) for r in arts["token_counts"].collect()] == [
+        tuple(r) for r in corpus.bpe_token_counts(spark, sf).collect()
+    ]
+
+
+def test_bpe_tokenize_rejects_regex_metacharacter_symbols(spark):
+    """A stored merge table with non-[a-z]+ symbols would silently corrupt
+    the interpolated regex chain — it must be rejected (ADVICE r5)."""
+    import pytest
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    for bad in [("a(", "b"), ("a", "b$"), ("a\\", "b"), ("A", "b"), ("", "b")]:
+        with pytest.raises(ValueError, match="BPE merge symbols"):
+            corpus.bpe_tokenize_documents(docs, [bad])
+    # and the legal shape still tokenizes
+    rows = corpus.bpe_tokenize_documents(docs, [("a", "b")]).collect()
+    assert [r["segmentation"] for r in rows] == ["ab", "ab"]
 
 
 def test_difficulty_bins_quartile_accounting(spark):

@@ -293,12 +293,19 @@ def test_bpe_trainer_matches_reference_on_arbitrary_corpora(spark, texts):
     Python BPE on ARBITRARY corpora — including the adversarial shapes
     hypothesis finds (single-letter words with no pairs, vocabularies
     that exhaust mergeable pairs before n_merges, back-to-back identical
-    symbols where greedy left-to-right order matters)."""
-    import collections
-    import re
+    symbols where greedy left-to-right order matters).  The reference
+    applies merges by explicit pairwise list rewriting, independent of
+    the engine's regex strategy (tests/bpe_reference.py); the trainer
+    runs at EVERY batching width 1..default — top-M symbol-disjoint
+    batching must be merge-for-merge identical to sequential (M=1)
+    training, which these tiny 'abc'-alphabet corpora stress hardest
+    (ties and shared symbols everywhere, so the disjoint-prefix
+    truncation logic actually gates)."""
     import tempfile
 
     from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    from . import bpe_reference
 
     n_merges = 4
     with tempfile.TemporaryDirectory() as d:
@@ -307,33 +314,16 @@ def test_bpe_trainer_matches_reference_on_arbitrary_corpora(spark, texts):
             "doc_id long, text string, lang string, source string, n_chars int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
 
-        wcounts = collections.Counter(
-            w for t in texts for w in re.findall("[a-z]+", t.lower())
-        )
-        syms = {w: " ".join(w) for w in wcounts}
-        want = []
-        for step in range(1, n_merges + 1):
-            pair_counts = collections.Counter()
-            for w, c in wcounts.items():
-                parts = syms[w].split(" ")
-                for a, b in zip(parts, parts[1:]):
-                    pair_counts[f"{a}|{b}"] += c
-            if not pair_counts:
-                break
-            best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            lft, rgt = best[0].split("|", 1)
-            want.append((step, lft, rgt, lft + rgt, best[1]))
-            pat = re.compile(rf"\b{lft} {rgt}\b")
-            for w in syms:
-                syms[w] = pat.sub(lft + rgt, syms[w])
+        wcounts = bpe_reference.word_counts(texts)
+        want, syms = bpe_reference.train(wcounts, n_merges)
 
-        got = [
-            (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
-            for r in corpus.bpe_merges(spark, d, n_merges).orderBy("step").collect()
-        ]
-        assert got == want
-        seg = {
-            r["word"]: r["segmentation"]
-            for r in corpus.bpe_segment(spark, d, n_merges).collect()
-        }
-        assert seg == syms
+        for batch_m in (1, 2, 3, corpus.BPE_BATCH_M):
+            merges, trained = corpus._bpe_train(
+                spark, d, n_merges, batch_m=batch_m
+            )
+            assert merges == want, f"batch_m={batch_m}"
+            seg = {
+                r["word"]: r["segmentation"]
+                for r in corpus._segment_of(trained).collect()
+            }
+            assert seg == syms, f"batch_m={batch_m}"
