@@ -25,6 +25,11 @@ from ..sources.readers import load_table
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish pre-tokenizer (quality.py)
 
+#: Packing defaults, shared with the catalog oracles' literals so engine
+#: default and oracle cannot silently diverge (ADVICE r5).
+PACK_CAPACITY = 512
+PACK_SHARDS = 32
+
 
 def chunk_documents(
     spark: SparkSession,
@@ -81,8 +86,9 @@ def chunk_documents(
 def pack_documents(
     spark: SparkSession,
     sf_dir: str,
-    capacity: int = 512,
-    n_shards: int = 32,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Map each document onto the packed token stream of its shard:
     ``offset`` = tokens before it (doc_id order within the shard),
@@ -92,15 +98,26 @@ def pack_documents(
 
     Shard = ``doc_id % n_shards`` keeps every window partition-local; the
     cumsum window is ordered by doc_id so re-runs are bit-stable.
+
+    ``counts`` (doc_id, n_tokens) overrides the default regex
+    pre-tokenizer pricing — pass the TRAINED tokenizer's true subword
+    counts (:func:`pack_documents_bpe`) so block layout matches what the
+    loader actually emits; the regex default misprices documents whose
+    words fragment into many subwords.
     """
-    counts = load_table(spark, sf_dir, "documents").select(
+    if counts is None:
+        counts = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("n_tokens"),
+        )
+    counts = counts.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
-        F.size(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
-            )
-        ).alias("n_tokens"),
+        "n_tokens",
     )
     w = (
         Window.partitionBy("shard")
@@ -121,6 +138,28 @@ def pack_documents(
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+def pack_documents_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """:func:`pack_documents` priced with TOKENIZER-TRUE counts: the
+    trained BPE's per-document subword totals (corpus.bpe_token_counts)
+    replace the regex pre-tokenizer estimate, so offsets/blocks are the
+    ones the training loader will actually see — regex counts misprice
+    fragmenting documents, and packing mispricing is paid in silently
+    overfull or underfull blocks.  Re-trains the catalog tokenizer by the
+    self-contained-entry convention; production passes stored counts via
+    ``pack_documents(counts=...)``."""
+    from .corpus import bpe_token_counts
+
+    counts = bpe_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").cast("int").alias("n_tokens")
+    )
+    return pack_documents(spark, sf_dir, capacity, n_shards, counts=counts)
 
 
 def chunk_documents_udtf(
@@ -176,8 +215,8 @@ def chunk_documents_udtf(
 def pack_efficiency_report(
     spark: SparkSession,
     sf_dir: str,
-    capacity: int = 512,
-    n_shards: int = 32,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
 ) -> DataFrame:
     """Packing-efficiency report per shard: total tokens, block count,
     padding waste (the tokens the last partial block burns), fill ratio,

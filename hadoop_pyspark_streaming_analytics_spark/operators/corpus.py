@@ -206,12 +206,20 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def select_corpus_token_budget(
-    spark: SparkSession, sf_dir: str, token_budget: int = 2000
+    spark: SparkSession,
+    sf_dir: str,
+    token_budget: int = 2000,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-ranked corpus selection under a token budget: keep the
     highest-quality documents, in (quality DESC, doc_id) order, until the
     cumulative token count would exceed ``token_budget`` — the data-mixing
     step that assembles a training corpus from a scored pool.
+
+    ``counts`` (doc_id, n_tokens) overrides the default regex word-count
+    pricing with TOKENIZER-TRUE counts (:func:`bpe_token_counts` /
+    :func:`bpe_artifacts`) — a budget priced in regex words admits more
+    true tokens than it claims whenever words fragment into subwords.
 
     Semantically this is a GLOBAL ordered cumulative sum (the oracle
     spells it that way), but a global ROWS window serializes 100 TB
@@ -236,11 +244,15 @@ def select_corpus_token_budget(
 
     from .quality import quality_scores
 
-    docs = (
-        quality_scores(spark, sf_dir)
-        .select("doc_id", "word_count", "quality_score")
-        .localCheckpoint(eager=True)  # three consumers below, one scan
+    priced = quality_scores(spark, sf_dir).select(
+        "doc_id", "word_count", "quality_score"
     )
+    if counts is not None:
+        priced = priced.drop("word_count").join(
+            counts.select("doc_id", F.col("n_tokens").alias("word_count")),
+            "doc_id",
+        )
+    docs = priced.localCheckpoint(eager=True)  # three consumers, one scan
     cuts = docs.agg(
         F.expr(
             "transform(percentile(quality_score,"

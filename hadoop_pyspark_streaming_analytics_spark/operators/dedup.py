@@ -735,13 +735,20 @@ def cross_source_matrix(
     )
 
 
+#: Incremental-ingest defaults, shared with the catalog oracle builder so
+#: engine default and oracle cannot silently diverge (ADVICE r5).
+INGEST_NEW_MOD = 10
+INGEST_NEW_MIN = 8
+INGEST_THRESHOLD = 0.5
+
+
 def incremental_ingest(
     spark: SparkSession,
     sf_dir: str,
-    new_mod: int = 10,
-    new_min: int = 8,
+    new_mod: int = INGEST_NEW_MOD,
+    new_min: int = INGEST_NEW_MIN,
     n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = INGEST_THRESHOLD,
 ) -> DataFrame:
     """Batch incremental-ingest gate: treat docs with
     ``doc_id % new_mod >= new_min`` as TODAY'S CRAWL and the rest as the

@@ -1086,17 +1086,54 @@ def ivf_pq_search_indexed(
     )
 
 
+def ivf_pq_search_indexed_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-contained catalog spelling of :func:`ivf_pq_search_indexed`:
+    build the materialized index into a scratch directory, then run the
+    partition-pruned search against it (the kmeans-retrain convention —
+    each catalog entry stands alone; production materializes once and
+    searches forever).  Result-identical to :func:`ivf_pq_search`, so it
+    shares that entry's composed oracle verbatim.  The scratch index must
+    outlive this call (the returned DataFrame scans it lazily), so it is
+    left for the OS tempdir reaper — it is codes-table-sized (64× smaller
+    than the embeddings), trivial at catalog scale."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pq_index_entry_")
+    materialize_pq_index(spark, sf_dir, path)
+    return ivf_pq_search_indexed(spark, sf_dir, path)
+
+
 #: Within-cell cosine at or above which the higher-id member is pruned by
 #: :func:`semdedup`.  Calibrated to the synthetic corpus (pairwise cosine
 #: tops out near 0.48): high enough that survivors dominate, low enough
 #: that the pruning path is actually exercised at test scale.
 SEMDEDUP_THRESHOLD = 0.35
 
+#: Target cell population for :func:`semdedup`'s derived default k — the
+#: SemDeDup paper's operating point (k ≈ N/5000 keeps the within-cell
+#: quadratic term ~constant per cell as the corpus grows).
+SEMDEDUP_DOCS_PER_CELL = 5000
+
+#: Floor for the derived k (test-scale corpora still get enough cells for
+#: the pruning path to be exercised and the oracle's k=8 to hold).
+SEMDEDUP_MIN_K = 8
+
+
+def semdedup_default_k(n_vectors: int) -> int:
+    """The paper's k ≈ N/5000 rule with the test-scale floor: the default
+    that keeps SemDeDup's O(Σ|cell|²) term bounded WITHOUT the caller
+    remembering to scale k — 10M docs derive k=2000, not 8."""
+    import math
+
+    return max(SEMDEDUP_MIN_K, math.ceil(n_vectors / SEMDEDUP_DOCS_PER_CELL))
+
 
 def semdedup(
     spark: SparkSession,
     sf_dir: str,
-    k: int = 8,
+    k: int | None = None,
     rounds: int = 2,
     threshold: float = SEMDEDUP_THRESHOLD,
     use_arrow: bool = True,
@@ -1121,8 +1158,11 @@ def semdedup(
     cell id, so the self-join is per-cell-local; the drop set aggregates
     to DISTINCT ids (bounded by the duplicate count, << corpus) and joins
     back as a small side.  Cell skew bounds the quadratic term — which is
-    why :func:`ivf_cell_stats` (skew report) is the operational companion;
-    the paper's answer is raising k so cells stay ~constant-sized.
+    why :func:`ivf_cell_stats` (skew report) is the operational companion.
+    ``k=None`` (default) derives k from the corpus size with the paper's
+    rule (:func:`semdedup_default_k`: one cheap count, k ≈ N/5000,
+    floor 8), so cells stay ~constant-sized at ANY corpus scale without a
+    caller-tuned knob; pass an explicit k to override.
 
     Scoring: the within-cell stage is the one place this engine's O(n)
     JVM-default scorer policy flips — pair volume is Σ|cell|² (~2M pairs
@@ -1132,6 +1172,8 @@ def semdedup(
     stage; value-identical under the 6dp round — parity pytest-pinned).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if k is None:
+        k = semdedup_default_k(emb.count())
     cents = kmeans_centroids(spark, sf_dir, k, rounds)
     assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
     members = assign.join(emb, "vec_id").repartition("centroid_id")

@@ -533,8 +533,14 @@ def values_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Default row count of :func:`key_skew_report` — one definition shared
+#: with the catalog oracle's LIMIT so engine default and oracle cannot
+#: silently diverge (ADVICE r5).
+SKEW_REPORT_TOP = 20
+
+
 def key_skew_report(
-    spark: SparkSession, sf_dir: str, top: int = 20
+    spark: SparkSession, sf_dir: str, top: int = SKEW_REPORT_TOP
 ) -> DataFrame:
     """Join/agg-key SKEW ADVISOR over events.user_id: the ``top`` heaviest
     keys with their event counts, corpus share, and a suggested salt

@@ -920,9 +920,9 @@ FROM starts""",
     QuerySpec(
         "pack_documents",
         chunking.pack_documents,
-        r"""
+        f"""
 WITH c AS (
-  SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS shard,
+  SELECT doc_id, CAST(doc_id % {chunking.PACK_SHARDS} AS INTEGER) AS shard,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
               AS INTEGER) AS n_tokens
   FROM documents
@@ -935,8 +935,10 @@ w AS (
 )
 SELECT doc_id, shard, n_tokens,
        CAST(cum - n_tokens AS BIGINT) AS offset,
-       CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS start_block,
-       CAST(floor((cum - 1) / 512.0) AS INTEGER) AS end_block
+       CAST(floor((cum - n_tokens) / {float(chunking.PACK_CAPACITY)})
+            AS INTEGER) AS start_block,
+       CAST(floor((cum - 1) / {float(chunking.PACK_CAPACITY)})
+            AS INTEGER) AS end_block
 FROM w WHERE n_tokens > 0""",
         headline=True,
         tags=("llm", "chunking"),
@@ -2144,9 +2146,10 @@ LLM_CATALOG.extend(
 _PACK_SQL = next(s.oracle for s in LLM_CATALOG if s.name == "pack_documents")
 
 
-def _pack_efficiency_sql(capacity: int = 512) -> str:
+def _pack_efficiency_sql(capacity: int = chunking.PACK_CAPACITY) -> str:
     """Oracle for chunking.pack_efficiency_report: the proven packing
-    oracle nested verbatim, rolled up per shard."""
+    oracle nested verbatim, rolled up per shard.  ``capacity`` defaults
+    to the SAME module constant as the engine side (ADVICE r5)."""
     return f"""
 WITH pk AS ({_PACK_SQL}),
 agg AS (
@@ -2210,13 +2213,16 @@ LLM_CATALOG.extend(
 
 
 def _incremental_ingest_sql(
-    new_mod: int = 10, new_min: int = 8, threshold: float = 0.5
+    new_mod: int = dedup.INGEST_NEW_MOD,
+    new_min: int = dedup.INGEST_NEW_MIN,
+    threshold: float = dedup.INGEST_THRESHOLD,
 ) -> str:
     """Oracle for dedup.incremental_ingest: fingerprint priority tier +
     the LSH CTE chain (cand over the full corpus, filtered to pairs with
     a NEW side — identical membership to the new-probe join) + the
     candidate-gated Jaccard verify, victims resolved by the bigint
-    priority."""
+    priority.  Defaults are the SAME module constants as the engine side
+    (ADVICE r5)."""
     return f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -2425,7 +2431,8 @@ LLM_CATALOG.append(
     QuerySpec(
         "events_key_skew_report",
         timeseries.key_skew_report,
-        """
+        # LIMIT is the engine default's own constant (ADVICE r5).
+        f"""
 WITH counts AS (
   SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
 ),
@@ -2440,7 +2447,7 @@ SELECT user_id,
        CAST(ceil(n_events / greatest(median_n, 1.0)) AS INTEGER) AS salt_factor
 FROM counts CROSS JOIN stats
 ORDER BY n_events DESC, user_id ASC
-LIMIT 20""",
+LIMIT {timeseries.SKEW_REPORT_TOP}""",
         tags=("llm", "skew", "evaluation"),
     )
 )
@@ -2527,5 +2534,76 @@ LLM_CATALOG.append(
         quality.quality_score_calibration,
         _quality_calibration_sql(),
         tags=("llm", "quality", "sampling"),
+    )
+)
+
+
+# --- round-6: the materialized/partition-pruned IVFADC spelling ------------
+# Result-identical to ann_ivf_pq_search by construction (same index
+# semantics, same metric and tiebreaks; the physical difference is that
+# the probe prunes centroid_id= partitions of the persisted codes table
+# instead of gating an in-scan re-assignment), so it shares that entry's
+# composed oracle VERBATIM — a divergence between the two physical paths
+# is a hash mismatch against the same SQL.  Partition pruning + parity are
+# additionally plan-asserted in tests/test_llm_ops.py.
+LLM_CATALOG.append(
+    QuerySpec(
+        "ann_ivf_pq_search_indexed",
+        similarity.ivf_pq_search_indexed_entry,
+        next(s.oracle for s in LLM_CATALOG if s.name == "ann_ivf_pq_search"),
+        headline=True,
+        tags=("llm", "similarity", "quantization", "ann", "indexed"),
+    )
+)
+
+
+def _pack_bpe_sql(
+    n: int = corpus.BPE_MERGES,
+    capacity: int = chunking.PACK_CAPACITY,
+    n_shards: int = chunking.PACK_SHARDS,
+) -> str:
+    """Oracle for chunking.pack_documents_bpe: the BPE segmentation CTEs
+    (the proven _bpe_token_counts_sql pricing) feeding the proven packing
+    window — tokenizer-true counts in place of the regex estimate.
+    Capacity/shards default to the SAME module constants as the engine."""
+    return f"""
+WITH {_bpe_ctes(n)},
+seg AS (
+  SELECT word, CAST(len(str_split(sym, ' ')) AS INTEGER) AS n_subwords
+  FROM s{n}
+),
+occ AS (
+  SELECT doc_id, t AS word, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+),
+bc AS (
+  SELECT o.doc_id,
+         CAST(o.doc_id % {n_shards} AS INTEGER) AS shard,
+         CAST(sum(o.c * s.n_subwords) AS INTEGER) AS n_tokens
+  FROM occ o JOIN seg s ON o.word = s.word
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bc
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS offset,
+       CAST(floor((cum - n_tokens) / {float(capacity)}) AS INTEGER)
+         AS start_block,
+       CAST(floor((cum - 1) / {float(capacity)}) AS INTEGER) AS end_block
+FROM w WHERE n_tokens > 0"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "pack_documents_bpe",
+        chunking.pack_documents_bpe,
+        _pack_bpe_sql(),
+        tags=("llm", "chunking", "tokenizer"),
     )
 )

@@ -165,75 +165,160 @@ def foreach_batch_lsh_dedup(
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.dedup import lsh_band_buckets
-
-        spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
-        buckets = lsh_band_buckets(docs, n, bands, rows).localCheckpoint(
-            eager=True
+        buckets, victims = _lsh_batch_victims(
+            docs, batch_id, store_path, n, bands, rows
         )
-        try:
-            prior = (
-                spark.read.option("basePath", store_path)
-                .parquet(store_path)
-                .filter(F.col("batch_id") < batch_id)
-                .select("band_id", "band_hash")
-            )
-        except AnalysisException as e:
-            # ONLY the genuinely-missing-store first-batch case may degrade
-            # to no-prior-state.  Any other AnalysisException — an empty but
-            # existing directory ([UNABLE_TO_INFER_SCHEMA]), a schema-broken
-            # store, etc. — means the store exists but is unreadable, and
-            # MUST propagate rather than silently admit near-dups against
-            # an effectively-unreadable authority.
-            if e.getCondition() != "PATH_NOT_FOUND":
-                raise
-            prior = None
-        victims = None
-        if prior is not None:
-            vs_store = (
-                buckets.join(prior, ["band_id", "band_hash"], "left_semi")
-                .select("doc_id")
-                .distinct()
-            )
-            victims = vs_store
-        # Intra-batch victims with BATCH-PARITY semantics: connected
-        # components over the batch's collision pairs, keeping each
-        # component's smallest doc_id — exactly what the batch-mode
-        # duplicate_components → keep_canonical pipeline admits.  The
-        # earlier larger-side-of-any-collision rule diverged on chains
-        # (bucket {A,B} + bucket {B,C}: it dropped per-pair, so a doc
-        # could be dropped for colliding only with an unadmitted victim,
-        # or survive mid-chain — ADVICE r3).  A micro-batch's collision
-        # graph is tiny, so the iterative component propagation is cheap.
-        from ..operators.dedup import connected_components
-
-        a, b = buckets.alias("a"), buckets.alias("b")
-        pairs = (
-            a.join(b, ["band_id", "band_hash"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        comp = connected_components(pairs)
-        intra = (
-            comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias("doc_id"))
-            .distinct()
-        )
-        # Checkpoint the (tiny) victim id set: it gates BOTH writes below,
-        # and without this each write re-reads the whole band store and
-        # re-runs both victim joins.
-        victims = (
-            intra if victims is None else victims.unionByName(intra).distinct()
-        ).localCheckpoint(eager=True)
         survivors = docs.join(victims, "doc_id", "left_anti")
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
+        buckets.join(victims, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch_id={batch_id}")
+
+    return apply
+
+
+def _lsh_batch_victims(
+    docs: DataFrame,
+    batch_id: int,
+    store_path: str,
+    n: int,
+    bands: int,
+    rows: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The per-micro-batch LSH dedup core shared by
+    :func:`foreach_batch_lsh_dedup` and :func:`foreach_batch_curation`:
+    returns (band buckets for this batch, victim doc_ids).
+
+    Victims = docs bucket-colliding with PRIOR batches' store
+    (batch_id < N — the dedup authority is only prior batches, so a
+    replayed batch never collides with its own half-written bands) ∪
+    intra-batch collisions resolved with BATCH-PARITY semantics:
+    connected components over the batch's collision pairs, keeping each
+    component's smallest doc_id — exactly what the batch-mode
+    duplicate_components → keep_canonical pipeline admits (the per-pair
+    larger-side rule diverged on chains — ADVICE r3; a micro-batch's
+    collision graph is tiny, so the iterative component propagation is
+    cheap).  The returned victim set is localCheckpoint'ed: it gates both
+    downstream writes, and without that each write re-reads the whole
+    band store and re-runs both victim joins.
+    """
+    from ..operators.dedup import connected_components, lsh_band_buckets
+
+    spark = docs.sparkSession
+    buckets = lsh_band_buckets(docs, n, bands, rows).localCheckpoint(eager=True)
+    try:
+        prior = (
+            spark.read.option("basePath", store_path)
+            .parquet(store_path)
+            .filter(F.col("batch_id") < batch_id)
+            .select("band_id", "band_hash")
+        )
+    except AnalysisException as e:
+        # ONLY the genuinely-missing-store first-batch case may degrade
+        # to no-prior-state.  Any other AnalysisException — an empty but
+        # existing directory ([UNABLE_TO_INFER_SCHEMA]), a schema-broken
+        # store, etc. — means the store exists but is unreadable, and
+        # MUST propagate rather than silently admit near-dups against
+        # an effectively-unreadable authority.
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
+        prior = None
+    victims = None
+    if prior is not None:
+        victims = (
+            buckets.join(prior, ["band_id", "band_hash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    intra = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .distinct()
+    )
+    victims = (
+        intra if victims is None else victims.unionByName(intra).distinct()
+    ).localCheckpoint(eager=True)
+    return buckets, victims
+
+
+def foreach_batch_curation(
+    store_path: str,
+    out_path: str,
+    merges: list[tuple[str, str]],
+    n: int = 3,
+    bands: int = 4,
+    rows: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """The STREAMING curation pipeline — the streaming twin of
+    pipelines.curate_documents_modern's shape, composed entirely from the
+    stream-applicable stages the batch tier already proved:
+
+        ingest micro-batch → MODEL quality gate (stateless classifier
+        projection, quality.classify_documents) → LSH near-dup dedup vs
+        the corpus-lifetime band store (:func:`_lsh_batch_victims`, the
+        exact foreach_batch_lsh_dedup semantics) → BPE tokenize
+        (corpus.bpe_tokenize_documents, merge rules embedded as literal
+        regexp chains) → parquet.
+
+    Per admitted doc the sink row is (doc_id, text, model_score,
+    n_bpe_tokens) — the gated, deduped, true-token-priced record a
+    training-data ingest actually lands; the survivors' band digests are
+    admitted to the store so later batches dedup against them.
+    Exactly-once under replay: both writes use the batch_id=N overwrite
+    discipline and the dedup authority is prior batches only, like every
+    foreachBatch sink here.
+
+    Stage order is the batch pipeline's cost order (gate first: the
+    classifier is a scan-speed projection, so the shuffle-bearing dedup
+    and the tokenizer only touch docs that passed).  Each stage's
+    batch-parity is separately test-pinned; the composition has its own
+    parity test (tests/test_streaming_extensions.py).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.corpus import bpe_tokenize_documents
+        from ..operators.quality import classify_documents, quality_features
+
+        docs = batch_df.select("doc_id", "text")
+        scored = classify_documents(quality_features(docs)).filter(
+            F.col("keep")
+        )
+        gated = docs.join(
+            scored.select("doc_id", "model_score"), "doc_id"
+        ).localCheckpoint(eager=True)
+        buckets, victims = _lsh_batch_victims(
+            gated.select("doc_id", "text"), batch_id, store_path, n, bands, rows
+        )
+        survivors = gated.join(victims, "doc_id", "left_anti")
+        toks = bpe_tokenize_documents(
+            survivors.select("doc_id", "text"), merges
+        )
+        per_doc = toks.groupBy("doc_id").agg(
+            F.sum(F.size(F.split("segmentation", " ")))
+            .cast("bigint")
+            .alias("n_bpe_tokens")
+        )
+        out = survivors.join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            "model_score",
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
         buckets.join(victims, "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")

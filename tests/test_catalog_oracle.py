@@ -26,61 +26,59 @@ def test_driver_window_priority():
 
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
     must_be_gated = {
-        # round-5 new operators (never gated)
-        "embedding_semdedup",
-        "pipeline_curated_modern",
-        "dedup_exact_substring",
-        "text_quality_classifier",
-        "corpus_bigram_surprisal",
-        "ann_ivf_pq_search",
-        "corpus_language_mixture",
-        "dedup_split_leakage",
-        "ann_ivf_cell_stats",
-        "embedding_cluster_balanced_sample",
-        # round-5 evaluation/audit tier (never gated; composed oracles
-        # re-confirm the brute-force/ivf/lang-id/quality/LSH fragments of
-        # the four r4-green entries they displaced)
-        "ann_ivf_recall_report",
-        "text_language_audit",
-        "corpus_source_report",
-        "dedup_minhash_estimate",
-        # round-5 BPE tokenizer-training pair (never gated)
+        # round-6 new operators (never gated)
+        "ann_ivf_pq_search_indexed",
+        "pack_documents_bpe",
+        # round-6 changed-code re-gates (BPE batching / derived-k semdedup /
+        # counts= packing path)
         "corpus_bpe_merges",
         "corpus_bpe_segment",
-        # round-5 curriculum/cross-source additions (never gated)
-        "corpus_difficulty_bins",
-        "dedup_cross_source_matrix",
-        # round-5 packing/tokenizer composition entries (never gated)
-        "pack_efficiency_report",
-        "corpus_bpe_token_counts",
-        # round-5 incremental-ingest gate (never gated)
-        "dedup_incremental_ingest",
-        # round-5 nprobe tuning curve (never gated)
-        "ann_recall_curve",
-        # round-5 dedup impact histogram (never gated)
-        "dedup_cluster_histogram",
-        # round-5 skew advisor (never gated)
-        "events_key_skew_report",
-        # round-5 embedding validation audit (never gated)
-        "embedding_norm_audit",
-        # round-5 BPE vocabulary artifact (never gated)
         "corpus_bpe_vocab",
-        # round-5 per-source quality calibration (never gated)
-        "quality_score_calibration",
-        # last never-gated oracle-backed entry (same-oracle twin of
-        # chunk_documents; its tail exception ends this round so every
-        # oracle-backed entry becomes ever-gated)
-        "chunk_documents_udtf",
-        # entries whose operator code changed this round — the hard signal
-        # must re-confirm (adc_topk_for_queries was restructured: cand
-        # gate, materialized-codes path, compact int codes)
-        "ann_pq_adc_topk",
-        # round-5 oldest-green refresh (r1-green rows age because the
-        # driver regenerates testdata each round; see plans/__init__.py)
-        # (the set-ops refresh moved to r6: the new never-gated trio
-        # outranks oldest-green refresh for window slots)
-        "q2b_avg_days_between_orders",
-        "bonus_inner_join",
+        "corpus_bpe_token_counts",
+        "embedding_semdedup",
+        "pack_documents",
+        "pack_efficiency_report",
+        # the r1/r2 refresh debt — VERDICT r5 item 1: after round 6 every
+        # oracle-backed entry's last green driver row must be >= r3.
+        # last green r1:
+        "set_union_active_users",
+        "set_intersect_buyers_with_events",
+        "set_except_buyers_without_events",
+        "bonus_categorize_python_udf",
+        "bonus_categorize_pandas_udf",
+        "events_type_hour_cube",
+        "q1_word_length_histogram",
+        "q1_corpus_stats",
+        "events_running_stats",
+        "events_scalar_features",
+        "events_top_users_per_type",
+        "skew_salted_count",
+        "q2_spend_distribution",
+        "star_semi_join_big_spenders",
+        "star_anti_join_dormant_customers",
+        "agg_order_baskets",
+        "events_sliding_10min_5min",
+        "temporal_click_error_pairs",
+        # last green r2:
+        "dedup_simhash",
+        "ann_partitioned_topk",
+        "ann_ivf_assign",
+        "embedding_near_duplicates",
+        "multimodal_decoded_metadata",
+        "text_document_fingerprints",
+        "temporal_clicks_trailing_5min",
+        "q2_order_count_thresholds",
+        "q2_top_customers_by_spend",
+        "events_props_avg_k",
+        "events_hourly_rollup",
+        "events_ewma_per_user",
+        "events_type_percentiles",
+        "events_tumbling_5min",
+        "multimodal_frame_sample",
+        "dedup_exact",
+        "text_token_counts",
+        "multimodal_png_decode",
+        "pipeline_surviving_docs",
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"

@@ -612,6 +612,47 @@ def test_token_budget_selection_is_greedy_prefix(spark):
     assert {r["doc_id"] for r in sel} == set(greedy)
 
 
+def test_token_budget_with_tokenizer_true_counts(spark):
+    """The counts= override must price the SAME greedy prefix rule with
+    the provided per-doc token counts (here: the trained BPE totals) —
+    the budget then bounds true tokens, not regex words."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        bpe_token_counts,
+        select_corpus_token_budget,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        quality_scores,
+    )
+
+    budget = 2000
+    counts_df = bpe_token_counts(spark, SF).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    sel = select_corpus_token_budget(
+        spark, SF, token_budget=budget, counts=counts_df
+    ).collect()
+    assert sel and max(r["cum_tokens"] for r in sel) <= budget
+    true_counts = {r["doc_id"]: r["n_tokens"] for r in counts_df.collect()}
+    pool = sorted(
+        quality_scores(spark, SF).select("doc_id", "quality_score").collect(),
+        key=lambda r: (-r["quality_score"], r["doc_id"]),
+    )
+    greedy, cum = [], 0
+    for r in pool:
+        c = true_counts.get(r["doc_id"])
+        if c is None:
+            continue  # wordless docs have no BPE price and cannot be selected
+        if cum + c > budget:
+            break
+        cum += c
+        greedy.append(r["doc_id"])
+    assert {r["doc_id"] for r in sel} == set(greedy)
+    for r in sel:
+        assert r["word_count"] == true_counts[r["doc_id"]]
+
+
 def test_png_pixel_decode_and_resize_exact():
     """decode_png_pixels must invert make_png exactly; resize_nearest must
     sample the expected source pixels."""
@@ -1714,6 +1755,53 @@ def test_minhash_estimate_matches_exact_on_verified_pairs(spark):
         assert abs(exact_map[pair] - truth[pair]) <= 1e-9
 
 
+def test_semdedup_derived_default_k(spark, tmp_path, monkeypatch):
+    """semdedup's default k must be DERIVED from the corpus size with the
+    paper's k ~ N/5000 rule (floor 8) — the safe behavior is the default,
+    not a knob (VERDICT r5 item 5): the rule function is pinned, an
+    enlarged corpus must actually reach the kmeans trainer with the
+    derived k, and the real corpus's cells stay within a bounded share
+    (ivf_cell_stats skew ~1 means the within-cell quadratic term is the
+    advertised Σ|cell|² ≈ N²/k, not a hidden hot cell)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    assert similarity.semdedup_default_k(1) == 8
+    assert similarity.semdedup_default_k(40_000) == 8
+    assert similarity.semdedup_default_k(40_001) == 9
+    assert similarity.semdedup_default_k(10_000_000) == 2000
+    # wiring: a 45k-vector corpus must train kmeans with k=9 (spy aborts
+    # before the quadratic pair stage; the derivation is what's under test)
+    spark.range(45_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 4), i -> cast(pmod(id * i, 7) AS FLOAT))"
+        ).alias("embedding"),
+        F.lit("x").alias("label"),
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    class _Stop(Exception):
+        pass
+
+    seen = {}
+
+    def spy(spark_, sf_dir_, k, rounds):
+        seen["k"] = k
+        raise _Stop
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", spy)
+    with pytest.raises(_Stop):
+        similarity.semdedup(spark, str(tmp_path))
+    assert seen["k"] == 9
+    monkeypatch.undo()
+    # bounded share on the real corpus at the derived k (=8 here): no cell
+    # holds more than 2x its fair share
+    stats = similarity.ivf_cell_stats(
+        spark, SF, k=similarity.semdedup_default_k(500)
+    ).collect()
+    assert max(r["skew"] for r in stats) <= 2.0
+
+
 def test_semdedup_arrow_scorer_parity_with_jvm(spark):
     """The Arrow/BLAS pair scorer (default — 2.4x faster on the quadratic
     within-cell stage) must produce the exact same keep set as the JVM
@@ -1867,6 +1955,31 @@ def test_pack_efficiency_report_accounting(spark):
         assert r["n_blocks"] == -(-toks // 512)
         assert r["waste_tokens"] == r["n_blocks"] * 512 - toks
         assert 0.0 < r["fill_ratio"] <= 1.0
+
+
+def test_pack_documents_bpe_prices_with_true_counts(spark):
+    """pack_documents_bpe must price every document with the trained
+    tokenizer's subword total (not the regex estimate) and lay the
+    shard-local prefix sums out over those counts."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in corpus.bpe_token_counts(spark, SF).collect()
+    }
+    packed = chunking.pack_documents_bpe(spark, SF).collect()
+    assert {r["doc_id"] for r in packed} == set(counts)
+    cum: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["n_tokens"] == counts[r["doc_id"]]
+        assert r["shard"] == r["doc_id"] % chunking.PACK_SHARDS
+        assert r["offset"] == cum.get(r["shard"], 0)
+        cum[r["shard"]] = r["offset"] + r["n_tokens"]
+        assert r["start_block"] == r["offset"] // chunking.PACK_CAPACITY
+        assert (
+            r["end_block"]
+            == (r["offset"] + r["n_tokens"] - 1) // chunking.PACK_CAPACITY
+        )
 
 
 def test_bpe_token_counts_match_segmentation(spark):

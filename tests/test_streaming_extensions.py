@@ -600,3 +600,112 @@ def test_streaming_bpe_tokenize_matches_batch_and_dictionary(spark, tmp_path):
     for word, seg in got.values():
         assert seg == dict_seg[word]
         assert seg.replace(" ", "") == word
+
+
+def test_foreach_batch_curation_matches_batch_composition(spark, tmp_path):
+    """The streaming curation pipeline (ingest → model gate → LSH dedup →
+    BPE tokenize) must equal composing the separately-parity-proven batch
+    stages over the same batch structure: the admitted set is exactly what
+    the LSH dedup stage admits from the batch-gated docs, and every sink
+    row carries the batch classifier's score and the batch tokenizer's
+    true token count.  Driven once through a REAL writeStream.foreachBatch
+    so the composition is exercised under Structured Streaming, not just
+    by direct function calls."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        classify_documents,
+        quality_features,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_curation,
+        foreach_batch_lsh_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
+    ]
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    # inject a high-quality near-dup pair across the batch boundary so the
+    # dedup stage provably fires post-gate
+    twin_src = docs.orderBy(F.col("doc_id").desc()).limit(40)
+    twins = twin_src.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter(F.col("doc_id") >= 60).unionByName(twins)
+
+    watch = tmp_path / "ingest"
+    watch.mkdir()
+    import json as _json
+
+    with open(watch / "b0.json", "w") as f:
+        for r in b0.collect():
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    store, out = str(tmp_path / "bands"), str(tmp_path / "curated")
+    apply_fn = foreach_batch_curation(store, out, merges)
+
+    # batch 0 through a REAL streaming query
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(watch))
+        .writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # batch 1 via direct apply (same code path foreachBatch invokes)
+    apply_fn(b1, 1)
+
+    got = {
+        r["doc_id"]: (r["model_score"], r["n_bpe_tokens"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+
+    # expected: batch gate → the proven LSH dedup stage over gated batches
+    def gate(frame):
+        scored = classify_documents(quality_features(frame)).filter("keep")
+        return frame.join(scored.select("doc_id", "model_score"), "doc_id")
+
+    g0, g1 = gate(b0).localCheckpoint(), gate(b1).localCheckpoint()
+    store2, out2 = str(tmp_path / "bands2"), str(tmp_path / "clean2")
+    lsh_fn = foreach_batch_lsh_dedup(store2, out2)
+    lsh_fn(g0.select("doc_id", "text"), 0)
+    lsh_fn(g1.select("doc_id", "text"), 1)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", out2).parquet(out2).collect()
+    }
+    assert set(got) == admitted and got
+    # the injected twins collide with their gated originals: at least one
+    # gated twin must have been dropped by the dedup stage
+    gated_twins = {r["doc_id"] for r in g1.collect() if r["doc_id"] >= 100_000}
+    assert gated_twins - admitted, "dedup stage never fired post-gate"
+
+    scores = {
+        r["doc_id"]: r["model_score"]
+        for r in gate(b0.unionByName(b1)).collect()
+    }
+    survivors = b0.unionByName(b1).filter(
+        F.col("doc_id").isin([int(i) for i in got])
+    )
+    toks = corpus.bpe_tokenize_documents(survivors, merges)
+    true_counts = {
+        r["doc_id"]: r["n"]
+        for r in toks.groupBy("doc_id")
+        .agg(F.sum(F.size(F.split("segmentation", " "))).alias("n"))
+        .collect()
+    }
+    for doc_id, (score, n_tokens) in got.items():
+        assert score == scores[doc_id]
+        assert n_tokens == true_counts.get(doc_id, 0)
