@@ -162,6 +162,58 @@ def pack_documents_bpe(
     return pack_documents(spark, sf_dir, capacity, n_shards, counts=counts)
 
 
+#: Default training context length for :func:`truncation_report`, shared
+#: with the catalog oracle's literal (ADVICE r5 constants discipline).
+TRUNCATION_CONTEXT = 512
+
+
+def truncation_report(
+    spark: SparkSession,
+    sf_dir: str,
+    context_len: int = TRUNCATION_CONTEXT,
+) -> DataFrame:
+    """Context-length fit report per source, priced with TOKENIZER-TRUE
+    counts: how many documents exceed ``context_len`` subwords and how
+    many tokens a truncate-at-context loader would DROP — the number that
+    decides context length (or chunking policy) before a training run,
+    the truncation-side twin of :func:`pack_efficiency_report`'s
+    padding-side numbers.  Regex word counts would understate the loss
+    exactly where it bites (long docs fragment hardest), so the pricing
+    is the trained BPE's per-doc totals.
+
+    Plan: the per-doc token rollup (see corpus.bpe_token_counts) joins the
+    doc-grain source column and aggregates to |sources| rows map-side —
+    nothing beyond the token-count pass itself at any corpus size.
+    Re-trains the catalog tokenizer by the self-contained-entry
+    convention; production passes :func:`~..operators.corpus.bpe_artifacts`
+    counts through the same rollup.
+    """
+    from .corpus import bpe_token_counts
+
+    counts = bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lost = F.greatest(F.col("n_bpe_tokens") - context_len, F.lit(0))
+    return (
+        docs.join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("n_bpe_tokens") > context_len).cast("int"))
+            .cast("int")
+            .alias("n_docs_truncated"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+        )
+        .withColumn(
+            "lost_frac",
+            F.round(
+                F.col("tokens_lost") / F.col("total_tokens") + F.lit(1e-8), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def chunk_documents_udtf(
     spark: SparkSession,
     sf_dir: str,

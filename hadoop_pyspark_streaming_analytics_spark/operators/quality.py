@@ -357,6 +357,107 @@ def training_shard_assignment(
     )
 
 
+#: Target EPOCHS per source for :func:`epoch_mixture_repeats` — the
+#: LLaMA-style sampling-proportions table (sources worth upsampling train
+#: for >1 epoch, bulk crawl for <1).  Thousandths-precision fractions so
+#: the fractional-epoch keep decision stays all-integer.  Sources absent
+#: from the recipe train for EPOCH_DEFAULT (exactly once) — an explicit
+#: 0.0 entry is how a recipe excludes a source.
+EPOCH_RECIPE = {
+    "src0": 1.0,
+    "src1": 2.5,
+    "src2": 0.5,
+    "src3": 1.5,
+    "src4": 3.0,
+}
+EPOCH_DEFAULT = 1.0
+
+
+def epoch_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-table materialization: per document, how many times it
+    appears in the training mix when its source trains for
+    ``EPOCH_RECIPE[source]`` epochs — floor(epochs) unconditional repeats
+    plus one more for the deterministic hash slice of size frac(epochs)
+    (the LLaMA/Gopher sampling-proportions recipe made concrete: the
+    repeat COUNT is the artifact a data loader consumes).
+
+    All-integer decision: md5(doc_id) mod 1000 < round(frac·1000) — the
+    mixture_sample hash discipline, so re-runs, engines, and
+    partitionings agree bit-for-bit; one scan, zero shuffle.  Docs with
+    n_repeats=0 stay in the output (auditable: the mix explicitly
+    excludes them, rather than silently).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dflt = EPOCH_DEFAULT
+    base = F.lit(int(dflt))
+    thresh = F.lit(round((dflt - int(dflt)) * 1000))
+    epochs = F.lit(float(dflt))
+    for src, ep in EPOCH_RECIPE.items():
+        whole, frac_k = int(ep), round((ep - int(ep)) * 1000)
+        base = F.when(F.col("source") == src, whole).otherwise(base)
+        thresh = F.when(F.col("source") == src, frac_k).otherwise(thresh)
+        epochs = F.when(F.col("source") == src, ep).otherwise(epochs)
+    hash1000 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 1000
+    return docs.select(
+        "doc_id",
+        "source",
+        epochs.alias("epochs"),
+        (
+            base + (hash1000 < thresh).cast("int")
+        ).cast("int").alias("n_repeats"),
+    )
+
+
+def training_shard_manifest(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Shard MANIFEST for the deterministic pre-training shuffle: per
+    shard, the doc count, token volume, and a content fingerprint —
+    md5 over the shard's doc_ids in ``pos_in_shard`` order — the artifact
+    a training job validates its ingest against (a reader that saw a
+    different doc set, order, or count hashes differently).  Ships next
+    to :func:`training_shard_assignment` the way a tokenizer ships its
+    vocab next to the merge table.
+
+    Plan: the assignment's per-shard window feeds an ordered
+    ``collect_list`` per shard — each list is corpus/n_shards ids (the
+    manifest is per-SHARD, so the aggregation state is the shard's id
+    list, the same order of memory a shard file's footer index costs);
+    token counts ride the same doc-grain join.
+    """
+    from .chunking import TOKEN_PATTERN
+
+    assign = training_shard_assignment(spark, sf_dir, n_shards)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("n_tokens"),
+    )
+    return (
+        assign.join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(pos_in_shard, doc_id))), x -> x.doc_id)"
+                    ),
+                )
+            ).alias("content_fingerprint"),
+        )
+        .orderBy("shard")
+    )
+
+
 def stratified_fixed_n_sample(
     spark: SparkSession, sf_dir: str, n_per_stratum: int = 40
 ) -> DataFrame:

@@ -30,6 +30,9 @@ _WINDOW = [
     # ---- round-6 NEW entries (never gated) --------------------------------
     "ann_ivf_pq_search_indexed",  # the materialized/partition-pruned IVFADC
     "pack_documents_bpe",         # packing priced with tokenizer-true counts
+    "corpus_truncation_report",   # context-length loss under true counts
+    "corpus_epoch_mixture",       # LLaMA-style epoch-repeat materialization
+    "training_shard_manifest",    # shard content fingerprints + volumes
     # ---- changed-code re-gates (round-6 edits) ----------------------------
     "corpus_bpe_merges",          # top-M symbol-disjoint merge batching
     "corpus_bpe_segment",         # (same trainer)
@@ -79,12 +82,11 @@ _WINDOW = [
     "text_token_counts",
     "multimodal_png_decode",
     "pipeline_surviving_docs",
-    # ---- remaining slots: the oldest r3-green entries start the next
-    # ---- refresh generation (flagship first) ------------------------------
+    # ---- remaining slot: the flagship starts the r3 refresh generation
+    # (three r3-refresh slots were re-funded to the round-6 breadth trio
+    # above — new never-gated entries outrank oldest-green refresh, and
+    # r3 rows already satisfy the min-last-green >= r3 bar)
     "q2a_customer_summary",
-    "q2b_customer_orders_window",
-    "bonus_left_join",
-    "q1_word_count_top20",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

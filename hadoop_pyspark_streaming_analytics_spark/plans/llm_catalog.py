@@ -2607,3 +2607,121 @@ LLM_CATALOG.append(
         tags=("llm", "chunking", "tokenizer"),
     )
 )
+
+
+def _truncation_sql(
+    n: int = corpus.BPE_MERGES, context: int = chunking.TRUNCATION_CONTEXT
+) -> str:
+    """Oracle for chunking.truncation_report: the BPE true-count CTEs
+    rolled up per source with the truncate-at-context loss arithmetic.
+    ``context`` defaults to the SAME module constant as the engine."""
+    return f"""
+WITH {_bpe_ctes(n)},
+seg AS (
+  SELECT word, CAST(len(str_split(sym, ' ')) AS INTEGER) AS n_subwords
+  FROM s{n}
+),
+occ AS (
+  SELECT doc_id, t AS word, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+),
+bc AS (
+  SELECT o.doc_id, CAST(sum(o.c * s.n_subwords) AS BIGINT) AS n_bpe_tokens
+  FROM occ o JOIN seg s ON o.word = s.word GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(bc.n_bpe_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN bc.n_bpe_tokens > {context} THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_docs_truncated,
+       CAST(sum(greatest(bc.n_bpe_tokens - {context}, 0)) AS BIGINT)
+         AS tokens_lost,
+       round(sum(greatest(bc.n_bpe_tokens - {context}, 0))::DOUBLE
+             / sum(bc.n_bpe_tokens) + 1e-8, 6) AS lost_frac
+FROM documents d JOIN bc ON d.doc_id = bc.doc_id
+GROUP BY 1 ORDER BY 1"""
+
+
+def _epoch_mixture_sql() -> str:
+    """Oracle for quality.epoch_mixture_repeats — the CASE arms (and the
+    unlisted-source ELSE default) are GENERATED from the same
+    EPOCH_RECIPE/EPOCH_DEFAULT constants the engine reads, so recipe
+    edits cannot diverge the two sides."""
+    ep_arms = " ".join(
+        f"WHEN '{s}' THEN {float(ep)}" for s, ep in quality.EPOCH_RECIPE.items()
+    )
+    base_arms = " ".join(
+        f"WHEN '{s}' THEN {int(ep)}" for s, ep in quality.EPOCH_RECIPE.items()
+    )
+    thresh_arms = " ".join(
+        f"WHEN '{s}' THEN {round((ep - int(ep)) * 1000)}"
+        for s, ep in quality.EPOCH_RECIPE.items()
+    )
+    dflt = quality.EPOCH_DEFAULT
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000
+           AS h1000
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(CASE source {ep_arms} ELSE {float(dflt)} END AS DOUBLE) AS epochs,
+       CAST(CASE source {base_arms} ELSE {int(dflt)} END
+            + CASE WHEN h1000 < (CASE source {thresh_arms}
+                                 ELSE {round((dflt - int(dflt)) * 1000)} END)
+                   THEN 1 ELSE 0 END AS INTEGER) AS n_repeats
+FROM h"""
+
+
+_SHARD_MANIFEST_SQL = """
+WITH d AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % 16 AS INTEGER) AS shard
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+  FROM d
+),
+t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+           AS n_tokens
+  FROM documents
+)
+SELECT p.shard,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.pos))
+         AS content_fingerprint
+FROM p JOIN t ON p.doc_id = t.doc_id
+GROUP BY 1 ORDER BY 1"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "corpus_truncation_report",
+            chunking.truncation_report,
+            _truncation_sql(),
+            tags=("llm", "chunking", "tokenizer", "evaluation"),
+        ),
+        QuerySpec(
+            "corpus_epoch_mixture",
+            quality.epoch_mixture_repeats,
+            _epoch_mixture_sql(),
+            tags=("llm", "sampling", "mixture"),
+        ),
+        QuerySpec(
+            "training_shard_manifest",
+            quality.training_shard_manifest,
+            _SHARD_MANIFEST_SQL,
+            tags=("llm", "sharding", "evaluation"),
+        ),
+    ]
+)

@@ -29,6 +29,9 @@ def test_driver_window_priority():
         # round-6 new operators (never gated)
         "ann_ivf_pq_search_indexed",
         "pack_documents_bpe",
+        "corpus_truncation_report",
+        "corpus_epoch_mixture",
+        "training_shard_manifest",
         # round-6 changed-code re-gates (BPE batching / derived-k semdedup /
         # counts= packing path)
         "corpus_bpe_merges",

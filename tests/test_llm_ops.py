@@ -2301,3 +2301,102 @@ def test_quality_calibration_within_source_quartiles(spark):
         for b in range(1, 4):
             if b in by_bin and b + 1 in by_bin:
                 assert max(by_bin[b]) <= min(by_bin[b + 1]) + 1e-9, (src, b)
+
+
+def test_truncation_report_reconciles_with_true_counts(spark):
+    """Per-source truncation arithmetic must reconcile with the per-doc
+    BPE totals: token sums, truncated-doc counts, and the exact lost-token
+    sum at the shared TRUNCATION_CONTEXT."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    ctx = chunking.TRUNCATION_CONTEXT
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+    per_doc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in corpus.bpe_token_counts(spark, SF).collect()
+    }
+    want: dict = {}
+    for doc_id, n in per_doc.items():
+        w = want.setdefault(src[doc_id], [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += n
+        w[2] += int(n > ctx)
+        w[3] += max(n - ctx, 0)
+    rows = chunking.truncation_report(spark, SF).collect()
+    assert {r["source"] for r in rows} == set(want)
+    for r in rows:
+        n_docs, total, trunc, lost = want[r["source"]]
+        assert (r["n_docs"], r["total_tokens"]) == (n_docs, total)
+        assert (r["n_docs_truncated"], r["tokens_lost"]) == (trunc, lost)
+        assert 0.0 <= r["lost_frac"] <= 1.0
+
+
+def test_epoch_mixture_repeat_semantics(spark):
+    """n_repeats must be floor(epochs) or floor(epochs)+1, the +1 slice
+    must be the deterministic md5 thousandths slice, and every document
+    appears exactly once (a materialization, not a sample)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import quality
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = quality.epoch_mixture_repeats(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs
+    import hashlib
+
+    listed = fractional = 0
+    for r in rows:
+        ep = quality.EPOCH_RECIPE.get(r["source"], quality.EPOCH_DEFAULT)
+        listed += r["source"] in quality.EPOCH_RECIPE
+        assert r["epochs"] == ep
+        h1000 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:6], 16) % 1000
+        plus = 1 if h1000 < round((ep - int(ep)) * 1000) else 0
+        fractional += plus
+        assert r["n_repeats"] == int(ep) + plus
+        # whole-epoch sources never get the fractional repeat
+        if float(ep).is_integer():
+            assert r["n_repeats"] == int(ep)
+    assert listed and fractional, "recipe sources and fractional repeats must both occur"
+
+
+def test_shard_manifest_fingerprints_detect_content_change(spark, tmp_path):
+    """The manifest must reconcile with the assignment (counts, and the
+    fingerprint equals md5 of the pos-ordered id list) and must CHANGE
+    when a shard's content changes — the property a loader validates."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import quality
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = {r["shard"]: r for r in quality.training_shard_manifest(spark, SF).collect()}
+    assign = quality.training_shard_assignment(spark, SF).collect()
+    by_shard: dict = {}
+    for r in sorted(assign, key=lambda r: (r["shard"], r["pos_in_shard"])):
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    assert set(rows) == set(by_shard)
+    for shard, ids in by_shard.items():
+        want = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        assert rows[shard]["content_fingerprint"] == want
+        assert rows[shard]["n_docs"] == len(ids)
+    # drop one document -> its shard's fingerprint (and only content) changes
+    docs = load_table(spark, SF, "documents")
+    victim = docs.select(F.min("doc_id")).first()[0]
+    docs.filter(F.col("doc_id") != victim).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    changed = {
+        r["shard"]: r["content_fingerprint"]
+        for r in quality.training_shard_manifest(spark, str(tmp_path)).collect()
+    }
+    victim_shard = int(
+        int(hashlib.md5(str(victim).encode()).hexdigest()[:6], 16) % 16
+    )
+    assert changed[victim_shard] != rows[victim_shard]["content_fingerprint"]
+    for shard, fp in changed.items():
+        if shard != victim_shard:
+            assert fp == rows[shard]["content_fingerprint"]
