@@ -103,7 +103,11 @@ def pack_documents(
     pre-tokenizer pricing — pass the TRAINED tokenizer's true subword
     counts (:func:`pack_documents_bpe`) so block layout matches what the
     loader actually emits; the regex default misprices documents whose
-    words fragment into many subwords.
+    words fragment into many subwords.  ``counts`` also defines the
+    PACKED SET: a document absent from it is not packed (correct for
+    wordless docs, which the n_tokens>0 filter drops anyway; a stale
+    counts table silently omits docs, so regenerate counts with the
+    corpus).
     """
     if counts is None:
         counts = load_table(spark, sf_dir, "documents").select(

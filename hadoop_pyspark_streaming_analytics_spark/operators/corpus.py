@@ -220,6 +220,11 @@ def select_corpus_token_budget(
     pricing with TOKENIZER-TRUE counts (:func:`bpe_token_counts` /
     :func:`bpe_artifacts`) — a budget priced in regex words admits more
     true tokens than it claims whenever words fragment into subwords.
+    ``counts`` also defines the ELIGIBLE POOL: a document absent from it
+    has no price and cannot be selected (wordless docs are the intended
+    case — they carry zero trainable tokens; a caller passing a STALE
+    counts table silently shrinks the pool, so regenerate counts with
+    the corpus).
 
     Semantically this is a GLOBAL ordered cumulative sum (the oracle
     spells it that way), but a global ROWS window serializes 100 TB
@@ -575,25 +580,44 @@ def _select_disjoint_merges(
     (m+1)-th row's count when no conflict — every unseen pair sorts at or
     below it).  The final truncation to counts STRICTLY above ``bound``
     is what makes the batch exact: a pair newly created by selection i
-    inherits occurrences from a pair that shares a symbol with it, and
-    every such pair sorts at/after the stop position (else scanning would
-    have stopped sooner), so its count — and hence any new pair's — is
-    ≤ bound < every kept selection's count.  Ties WITHIN the kept prefix
-    are safe (disjoint ⇒ counts unchanged ⇒ sequential argmax follows the
-    identical (cnt DESC, pair ASC) order).  If truncation empties the
-    batch (top ties straight into a conflict), fall back to the top-1
-    pair — a single merge is vanilla BPE and always exact.
+    arises from a context "x lᵢ rᵢ" / "lᵢ rᵢ y" / "lᵢ rᵢ lᵢ rᵢ", i.e.
+    inherits occurrences from a BRIDGING pair — (x,lᵢ), (rᵢ,y), or
+    (rᵢ,lᵢ) — that shares a symbol with selection i yet is distinct from
+    it (distinct precisely because lᵢ ≠ rᵢ; see the self-pair case
+    below), and every such pair sorts at/after the stop position (else
+    scanning would have stopped sooner), so its count — and hence any
+    new pair's — is ≤ bound < every kept selection's count.  Ties WITHIN
+    the kept prefix are safe (disjoint ⇒ counts unchanged ⇒ sequential
+    argmax follows the identical (cnt DESC, pair ASC) order).
+
+    SELF-PAIRS (lft == rgt) end the batch: for (a,a) the bridging pair
+    of "a a a a" → "aa aa" is (a,a) ITSELF — the new (aa,aa) inherits up
+    to half the SELECTION's own count, which sorts before any stop
+    position, so the bound argument cannot protect later selections
+    (counterexample: counts a|a=25, b|b=8 — merging (a,a) can create
+    (aa,aa)=10 > 8, which sequential BPE merges before (b,b)).  A
+    self-pair is therefore selected as the batch's LAST member (nothing
+    after it can be overtaken), with ``bound`` = the next row's count so
+    the truncation still guards the self-pair's own turn against
+    equal-count new pairs created by EARLIER selections.
+
+    If truncation empties the batch (top ties straight into a conflict),
+    fall back to the top-1 pair — a single merge is vanilla BPE and
+    always exact.
     """
     selected: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
     bound = int(rows[m]["cnt"]) if len(rows) > m else -1
-    for r in rows[:m]:
+    for idx, r in enumerate(rows[:m]):
         lft, rgt = r["pr"].split("|", 1)
         if lft in blocked or rgt in blocked or (lft + rgt) in blocked:
             bound = int(r["cnt"])
             break
         selected.append((lft, rgt, int(r["cnt"])))
         blocked.update((lft, rgt, lft + rgt))
+        if lft == rgt:
+            bound = int(rows[idx + 1]["cnt"]) if idx + 1 < len(rows) else -1
+            break
     safe: list[tuple[str, str, int]] = []
     for lft, rgt, cnt in selected:
         if cnt <= bound:

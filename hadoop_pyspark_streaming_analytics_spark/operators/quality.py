@@ -330,8 +330,14 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Default shard count for the training shuffle/manifest pair — one
+#: definition shared with BOTH catalog oracles' modulus literals (the
+#: ADVICE-r5 constants discipline).
+TRAINING_SHARDS = 16
+
+
 def training_shard_assignment(
-    spark: SparkSession, sf_dir: str, n_shards: int = 16
+    spark: SparkSession, sf_dir: str, n_shards: int = TRAINING_SHARDS
 ) -> DataFrame:
     """Deterministic pre-training shuffle + sharding: order documents by
     md5(doc_id) (a fixed pseudo-random permutation — no seed plumbing,
@@ -411,7 +417,7 @@ def epoch_mixture_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def training_shard_manifest(
-    spark: SparkSession, sf_dir: str, n_shards: int = 16
+    spark: SparkSession, sf_dir: str, n_shards: int = TRAINING_SHARDS
 ) -> DataFrame:
     """Shard MANIFEST for the deterministic pre-training shuffle: per
     shard, the doc count, token volume, and a content fingerprint —

@@ -1090,19 +1090,27 @@ def ivf_pq_search_indexed_entry(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Self-contained catalog spelling of :func:`ivf_pq_search_indexed`:
-    build the materialized index into a scratch directory, then run the
+    build the materialized index into a scratch directory, run the
     partition-pruned search against it (the kmeans-retrain convention —
     each catalog entry stands alone; production materializes once and
-    searches forever).  Result-identical to :func:`ivf_pq_search`, so it
-    shares that entry's composed oracle verbatim.  The scratch index must
-    outlive this call (the returned DataFrame scans it lazily), so it is
-    left for the OS tempdir reaper — it is codes-table-sized (64× smaller
-    than the embeddings), trivial at catalog scale."""
+    searches forever), then localCheckpoint the |queries|·k-row result so
+    the scratch index can be DELETED before returning — no tempdir
+    accumulation across driver/bench runs.  Result-identical to
+    :func:`ivf_pq_search`, so it shares that entry's composed oracle
+    verbatim; the physical-plan assertions (PartitionFilters, codes-only
+    ReadSchema) live on :func:`ivf_pq_search_indexed` itself, which the
+    checkpoint here does not touch."""
+    import shutil
     import tempfile
 
     path = tempfile.mkdtemp(prefix="pq_index_entry_")
-    materialize_pq_index(spark, sf_dir, path)
-    return ivf_pq_search_indexed(spark, sf_dir, path)
+    try:
+        materialize_pq_index(spark, sf_dir, path)
+        return ivf_pq_search_indexed(spark, sf_dir, path).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 #: Within-cell cosine at or above which the higher-id member is pruned by

@@ -1184,11 +1184,12 @@ FROM h WHERE keep_hash < keep_rate""",
     QuerySpec(
         "training_shard_assignment",
         quality.training_shard_assignment,
-        """
+        # modulus is the engine default's own constant (ADVICE r5)
+        f"""
 WITH d AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-              % 16 AS INTEGER) AS shard
+              % {quality.TRAINING_SHARDS} AS INTEGER) AS shard
   FROM documents
 )
 SELECT doc_id, shard,
@@ -2676,11 +2677,12 @@ SELECT doc_id, source,
 FROM h"""
 
 
-_SHARD_MANIFEST_SQL = """
+# modulus is the engine default's own constant (ADVICE r5)
+_SHARD_MANIFEST_SQL = f"""
 WITH d AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-              % 16 AS INTEGER) AS shard
+              % {quality.TRAINING_SHARDS} AS INTEGER) AS shard
   FROM documents
 ),
 p AS (

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -287,6 +287,13 @@ bpe_corpora = st.lists(
 
 
 @given(bpe_corpora)
+# Pinned SELF-PAIR counterexamples (round-6 review): merging (a,a) on a
+# symbol run creates (aa,aa) pairs that inherit from the selection ITSELF,
+# which the disjoint-batch bound cannot cover — (aa,aa) can outrank the
+# batch's later members ((b,b) here), so a self-pair must END the batch.
+# Both corpora diverged under the pre-fix batching at every width > 1.
+@example(["aaaaaa aba"] * 5 + ["bbb"] * 4 + ["b"] * 2)
+@example(["aaaa"] * 3 + ["bb"] * 2)
 @SETTINGS
 def test_bpe_trainer_matches_reference_on_arbitrary_corpora(spark, texts):
     """The distributed BPE trainer must reproduce a from-scratch pure-
