@@ -276,11 +276,20 @@ def test_session_attribution_matches_pure_python(spark, offs_a, offs_b):
 
 
 bpe_corpora = st.lists(
-    st.lists(
-        st.text(alphabet="abc", min_size=1, max_size=4),
-        min_size=1,
-        max_size=6,
-    ).map(" ".join),
+    st.one_of(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        # run-heavy words: self-pairs ((a,a)-style merges) dominate these,
+        # stressing the batch-ending rule the round-6 counterexamples pinned
+        st.lists(
+            st.sampled_from(["a", "aa", "aaaa", "aaaaaa", "b", "bb", "abab"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+    ),
     min_size=1,
     max_size=6,
 )
