@@ -636,3 +636,43 @@ def test_language_audit_single_scan_no_join(spark, sf_dir):
     plan = plan_of(language_mislabel_audit(spark, sf_dir), "simple")
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pack_bpe_seg_join_broadcasts_not_sortmerge(spark, sf_dir):
+    """pack_documents_bpe's dictionary-segmentation join is vocab-sized on
+    the build side — it must plan as a broadcast hash join (AQE or
+    static), never a corpus-wide sort-merge, and the per-shard cumsum must
+    be the only Sort in the plan's window path."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.chunking import (
+        pack_documents_bpe,
+    )
+
+    plan = plan_of(pack_documents_bpe(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_truncation_report_partial_aggregates(spark, sf_dir):
+    """truncation_report's rollup must partial-aggregate map-side (shuffle
+    carries |sources| groups, not doc rows) and never cross-join."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.chunking import (
+        truncation_report,
+    )
+
+    plan = plan_of(truncation_report(spark, sf_dir))
+    assert "partial_sum" in plan or "Partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_mixture_is_shuffle_free_single_scan(spark, sf_dir):
+    """The epoch-repeat decision is a stateless md5 projection — one
+    documents scan, zero exchanges."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        epoch_mixture_repeats,
+    )
+
+    plan = plan_of(epoch_mixture_repeats(spark, sf_dir))
+    assert "Exchange" not in plan
+    # one source: the formatted plan prints each scan twice (tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1
