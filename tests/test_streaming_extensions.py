@@ -667,10 +667,18 @@ def test_foreach_batch_curation_matches_batch_composition(spark, tmp_path):
     # batch 1 via direct apply (same code path foreachBatch invokes)
     apply_fn(b1, 1)
 
-    got = {
-        r["doc_id"]: (r["model_score"], r["n_bpe_tokens"])
-        for r in spark.read.option("basePath", out).parquet(out).collect()
-    }
+    def read_out():
+        return {
+            r["doc_id"]: (r["model_score"], r["n_bpe_tokens"])
+            for r in spark.read.option("basePath", out).parquet(out).collect()
+        }
+
+    got = read_out()
+    # replay batch 1 (failure recovery): the batch_id=N overwrite + the
+    # prior-batches-only dedup authority must make it a no-op — no
+    # duplicate rows, no self-collision against its own written bands
+    apply_fn(b1, 1)
+    assert read_out() == got
 
     # expected: batch gate → the proven LSH dedup stage over gated batches
     def gate(frame):
