@@ -168,3 +168,109 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Bloom sketch geometry for :func:`contamination_check_bloom`.  m bits /
+#: k hashes sized for ~1% fpp at ~2.4k benchmark grams per 16 Ki bits; on a
+#: real eval suite scale m with the gram count (bits ~ 10x grams) — the
+#: bitmap stays KBs-to-MBs while the gram STRINGS it replaces are unbounded.
+BLOOM_BITS = 1 << 14
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(gram: F.Column) -> list[F.Column]:
+    """The k deterministic bit positions of a gram: xxhash64 under k fixed
+    salt columns, pmod m.  Executors compute these in codegen — the same
+    double-hash family Spark's runtime bloom-filter join uses."""
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(BLOOM_BITS)).cast("int")
+        for seed in range(BLOOM_HASHES)
+    ]
+
+
+def _bloom_build_words(keys: DataFrame, col: str) -> list[int]:
+    """Fold a key column into the m-bit bitmap as ``BLOOM_BITS/64`` SIGNED
+    64-bit words (Java longs; bit-pattern identical to the unsigned words).
+    The collected DISTINCT position list is bounded by m — a constant —
+    never by the key count."""
+    pos_rows = (
+        keys.select(F.explode(F.array(*_bloom_positions(F.col(col)))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_might_contain(gram: F.Column, words: list[int]) -> F.Column:
+    """Pure-codegen membership test: for each of the k positions, the
+    bitmap word (literal array embedded in the plan, classifier-weights
+    style) ANDed with the position's bit must be non-zero."""
+    bitmap = F.array(*[F.lit(w) for w in words])
+    out = None
+    for p in _bloom_positions(gram):
+        check = (
+            F.element_at(bitmap, (p / F.lit(64)).cast("int") + F.lit(1)).bitwiseAND(
+                # shiftleft with a COLUMN bit count (the python wrapper
+                # only takes ints) — SQL ShiftLeft accepts expressions.
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64))
+                )
+            )
+            != 0
+        )
+        out = check if out is None else out & check
+    return out
+
+
+def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`contamination_check` behind a broadcast Bloom pre-filter —
+    the 100 TB spelling of benchmark decontamination.
+
+    The exact twin joins every training gram against the benchmark gram
+    set.  Here the benchmark grams are first folded into an m-bit Bloom
+    bitmap (k=``BLOOM_HASHES`` xxhash64 positions each; the position list
+    is query-count-bounded at <= m, collected like kmeans centroids and
+    embedded in the plan as ``BLOOM_BITS/64`` long words), and the
+    corpus-sized training gram stream is gated by a pure-codegen
+    ``might_contain`` — bitmap word >> bit — BEFORE the exact join.  Bloom
+    filters have no false negatives, so gated-out grams are PROVABLY
+    uncontaminated and only the surviving candidates (true hits + ~1% fpp)
+    reach the LEFT SEMI verify; the result is bit-identical to the exact
+    twin and shares its oracle verbatim.
+
+    Scale shape: at 100 TB the exact twin must broadcast every distinct
+    benchmark gram STRING; this spelling broadcasts a fixed-size bitmap
+    inside the plan and the string join only ever sees the candidate
+    sliver.  Same sketch-then-verify contract as the MinHash tier
+    (estimate cheap, verify exact).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_ngrams(docs).localCheckpoint(eager=True)
+    bench = grams.filter(F.col("doc_id") % BENCHMARK_MOD == 0).select("gram").distinct()
+    words = _bloom_build_words(bench, "gram")
+
+    train = grams.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    hits = (
+        train.filter(_bloom_might_contain(F.col("gram"), words))
+        .join(bench, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
+    )
+    return (
+        train.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("int").alias(
+                "n_contaminated"
+            ),
+            round4(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams")
+            ).alias("contamination_frac"),
+        )
+    )

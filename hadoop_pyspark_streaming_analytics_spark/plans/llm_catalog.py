@@ -618,6 +618,32 @@ rk AS (
 )"""
 
 
+# Benchmark-decontamination oracle — shared VERBATIM by the exact join
+# spelling (text_contamination_check) and the Bloom-gated spelling
+# (text_contamination_bloom): Bloom filters have no false negatives and the
+# survivors are exact-verified, so both engines' results are bit-identical.
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(count(*) AS INTEGER) AS n_grams,
+       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+         AS n_contaminated,
+       round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / count(*) + 1e-8, 4) AS contamination_frac
+FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1"""
+
+
 LLM_CATALOG: list[QuerySpec] = [
     # --- dedup ---
     QuerySpec(
@@ -1354,27 +1380,18 @@ FROM red3""",
     QuerySpec(
         "text_contamination_check",
         scrubbing.contamination_check,
-        """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(t) - 1),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
-  FROM toks WHERE len(t) >= 3
-),
-bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
-SELECT g.doc_id,
-       CAST(count(*) AS INTEGER) AS n_grams,
-       CAST(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS INTEGER)
-         AS n_contaminated,
-       round(sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END)::DOUBLE
-             / count(*) + 1e-8, 4) AS contamination_frac
-FROM grams g LEFT JOIN bench b ON g.gram = b.gram
-WHERE g.doc_id % 97 <> 0
-GROUP BY 1""",
+        _CONTAMINATION_SQL,
         tags=("llm", "scrubbing", "contamination"),
+    ),
+    QuerySpec(
+        # Bloom-gated twin: a broadcast m-bit sketch prunes the training
+        # gram stream before the exact verify join — no false negatives,
+        # so the result is bit-identical and the oracle is SHARED VERBATIM
+        # (the sketch is a physical optimization, not a semantics change).
+        "text_contamination_bloom",
+        scrubbing.contamination_check_bloom,
+        _CONTAMINATION_SQL,
+        tags=("llm", "scrubbing", "contamination", "sketch"),
     ),
     QuerySpec(
         "corpus_unigram_surprisal",

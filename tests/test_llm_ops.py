@@ -863,6 +863,39 @@ def test_contamination_excludes_benchmark_and_bounds(spark):
     assert any(r["n_contaminated"] > 0 for r in rows)
 
 
+def test_contamination_bloom_matches_exact_twin(spark):
+    """The Bloom-gated spelling must be BIT-IDENTICAL to the exact join:
+    Bloom filters have no false negatives and survivors are exact-verified,
+    so the sketch is a physical optimization only.  Also pins the
+    no-false-negative property directly: every gram of the benchmark set
+    passes its own bitmap."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in scrubbing.contamination_check(spark, SF).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contamination_frac"])
+        for r in scrubbing.contamination_check_bloom(spark, SF).collect()
+    }
+    assert bloom == exact
+
+    # adversarial no-false-negative check on synthetic keys numerous enough
+    # (5000 over 16Ki bits) to exercise every word including bit-63 sign
+    # handling: every inserted key must test positive under the production
+    # build + membership expressions.
+    from pyspark.sql import functions as F
+
+    grams = spark.createDataFrame(
+        [(f"w{i} x{i} y{i}",) for i in range(5000)], "gram string"
+    )
+    words = scrubbing._bloom_build_words(grams, "gram")
+    assert any(w < 0 for w in words), "test corpus never set a sign bit"
+    contained = scrubbing._bloom_might_contain(F.col("gram"), words)
+    assert grams.filter(~contained).count() == 0
+
+
 def test_unigram_surprisal_orders_rare_token_docs_higher(spark):
     """A doc made of the corpus's rarest tokens must out-surprise a doc of
     its commonest tokens — checked by reconstructing the unigram model."""
