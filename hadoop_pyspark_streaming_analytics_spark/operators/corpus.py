@@ -951,3 +951,129 @@ def _vocab_of(syms: DataFrame) -> DataFrame:
         "subword",
         "n_occurrences",
     ).orderBy("token_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Hashed feature space for the DSIR importance model.  The paper buckets
+#: unigram+bigram features into a fixed hash space so the model is
+#: CONSTANT-SIZE regardless of corpus scale; 4096 here (10k in the paper)
+#: keeps both engines' tables tiny while leaving the synthetic 31-word
+#: vocabulary collision-free enough to be non-degenerate.
+DSIR_BUCKETS = 4096
+#: The "target domain" stand-in: docs from these sources play the
+#: high-quality corpus (the paper's Wikipedia+books target).
+DSIR_TARGET_SOURCES = ("src0", "src1")
+#: Keep raw docs whose importance weight clears this quantile cutpoint.
+DSIR_CUT_Q = 0.75
+
+
+def dsir_importance_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    targets: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    buckets: int = DSIR_BUCKETS,
+    cut_q: float = DSIR_CUT_Q,
+) -> DataFrame:
+    """Importance-resample the raw corpus toward a target domain — DSIR
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"), the domain-matching step between heuristic gates and
+    model-based filters in a modern curation stack.
+
+    Per the paper: featurize every doc as hashed unigram+bigram counts
+    (md5 bucket, cross-engine bit-identical — the count-min convention),
+    fit bag-of-buckets models for the TARGET (docs from ``targets``
+    sources) and the RAW remainder (add-1 smoothing over the bucket
+    space), and score every raw doc by its mean per-feature log importance
+    ratio ln(p_target/p_raw).  Docs at or above the ``cut_q`` weight
+    quantile are kept (the paper resamples ~top weights; the quantile
+    spelling is the deterministic equivalent, matching the
+    difficulty_bins cutpoint pattern).  Tokenless docs carry no features
+    and are not scored (the _doc_ngrams convention).
+
+    Scale shape (100 TB): the feature explode aggregates straight back to
+    (doc, bucket) grain with map-side combine; BOTH model tables are
+    bounded at ``buckets`` rows — constants — so the log-ratio table
+    broadcasts into the scoring join no matter how big the corpus is, and
+    the per-doc weight is one more map-side-combinable aggregate.  The
+    keep decision is a broadcast 1-row cutpoint + stateless compare: no
+    global sort, no window.  One documents scan, checkpointed, feeds
+    featurization; one weights checkpoint feeds cutpoint + flag.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    # unigrams ++ space-joined bigrams, then the md5 bucket of each gram
+    # (first 8 hex chars = 32 bits, identical '0x'-cast in DuckDB).
+    grams = F.expr(
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', slice(toks, i, 2)))"
+        " ELSE cast(array() AS array<string>) END)"
+    )
+    feat = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("source").isin(*targets).alias("is_target"),
+            toks.alias("toks"),
+        )
+        .select("doc_id", "source", "is_target", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "is_target",
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % buckets
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    model = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(0)).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
+    )
+    lam = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("t_total") + F.lit(buckets)))
+            - F.log((F.col("cr") + 1) / (F.col("r_total") + F.lit(buckets)))
+        ).alias("logratio"),
+    )
+    weights = (
+        feat.filter(~F.col("is_target"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("int").alias("n_feats"),
+            F.round(
+                F.sum(F.col("c") * F.col("logratio")) / F.sum("c") + 1e-8, 4
+            ).alias("dsir_weight"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cuts = weights.agg(
+        F.round(
+            F.expr(f"percentile(dsir_weight, {cut_q!r}D)") + 1e-8, 4
+        ).alias("cut")
+    )
+    return (
+        weights.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            "dsir_weight",
+            (F.col("dsir_weight") >= F.col("cut")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -467,3 +467,112 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+#: Q4/Q13/Q17 adaptation constants (the testdata lacks TPC-H's
+#: commitdate/receiptdate/container columns — the PLAN SHAPES are the
+#: point; predicates are adapted to the columns that exist, TESTDATA.md).
+PRIORITY_YEAR_START = "1997-01-01"
+PRIORITY_YEAR_END = "1998-01-01"
+DIST_EXCLUDED_PRIORITY = "1-URGENT"
+SMALL_QTY_BRAND = "Brand#3"
+
+
+def order_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count orders in a date
+    year having AT LEAST ONE qualifying lineitem (adapted: a returned
+    line, l_returnflag = 'R'; reference Q4 uses commitdate < receiptdate,
+    a column the testdata lacks).
+
+    Plan shape: date-filtered orders LEFT SEMI JOIN the filtered lineitem
+    on orderkey — the EXISTS decorrelation.  Both sides are
+    fact-proportional so the semi join shuffles on orderkey (no broadcast
+    hint; the semi join's build side carries only the join key), then a
+    5-group partial/final agg.  At 100 TB this is the canonical
+    "existence check without fanout" — a semi join can't duplicate
+    orders no matter how many lines match."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(PRIORITY_YEAR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(PRIORITY_YEAR_END).cast("timestamp"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution INCLUDING
+    zero-order customers — the query shape an inner join silently gets
+    wrong.  customer LEFT OUTER JOIN orders (with the order-side predicate
+    in the JOIN CONDITION, not a post-filter — Q13's defining subtlety:
+    a WHERE would turn the outer join back into an inner one), then
+    count(o_orderkey) per customer (NULLs from the outer join count 0),
+    then the histogram over counts.
+
+    Plan shape: one outer shuffle join on custkey, two partial/final
+    aggs; the second agg's input is customer-grain — tiny.  No windows,
+    no collect."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                        "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != DIST_EXCLUDED_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand's
+    parts — the correlated scalar subquery (l_quantity < 0.2 * the part's
+    own avg quantity) DECORRELATED into a per-part aggregate joined back.
+
+    Plan shape: filter part to the brand FIRST (bounded: one brand is
+    1/25 of a dimension), semi-reduce lineitem to those parts via the
+    part join, compute per-part avg over that reduced subset (identical
+    result: the threshold only ever reads lines of the brand's own
+    parts), join the per-part thresholds back, filter, one scalar agg.
+    The threshold is 4dp-rounded (+1e-8) on BOTH engines so a boundary
+    l_quantity cannot flip across summation orders.  At 100 TB the brand
+    filter prunes the probe to ~4% before any shuffle; nothing here is
+    corpus-quadratic."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).localCheckpoint(eager=True)
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        round4(F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        brand_lines.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            round2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )

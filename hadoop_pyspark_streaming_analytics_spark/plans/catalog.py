@@ -1356,6 +1356,56 @@ WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
 GROUP BY 1 ORDER BY 1""",
         tags=("star", "anti-join", "scalar-subquery"),
     ),
+    # --- round-6 TPC-H-shape breadth: Q4/Q13/Q17 ---
+    QuerySpec(
+        "star_order_priority_returns",
+        star.order_priority_returns,
+        f"""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{star.PRIORITY_YEAR_START}'
+  AND o.o_orderdate < TIMESTAMP '{star.PRIORITY_YEAR_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1""",
+        tags=("star", "semi-join"),
+    ),
+    QuerySpec(
+        "star_customer_order_distribution",
+        star.customer_order_distribution,
+        f"""
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS INTEGER) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{star.DIST_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY 1
+ORDER BY custdist DESC, c_count DESC""",
+        tags=("star", "outer-join"),
+    ),
+    QuerySpec(
+        "star_small_quantity_revenue",
+        star.small_quantity_revenue,
+        f"""
+WITH brand_lines AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{star.SMALL_QTY_BRAND}'
+),
+thresholds AS (
+  SELECT l_partkey, round(0.2 * avg(l_quantity) + 1e-8, 4) AS qty_thresh
+  FROM brand_lines GROUP BY 1
+)
+SELECT round(sum(b.l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM brand_lines b JOIN thresholds t USING (l_partkey)
+WHERE b.l_quantity < t.qty_thresh""",
+        tags=("star", "scalar-subquery", "decorrelation"),
+    ),
 ]
 
 

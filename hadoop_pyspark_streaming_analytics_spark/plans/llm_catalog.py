@@ -2744,3 +2744,62 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+def _dsir_sql() -> str:
+    """DSIR importance-resampling oracle — bucket space, target sources,
+    and keep quantile all come from the SHARED corpus.py constants
+    (engine defaults and oracle literals from one definition)."""
+    nb = corpus.DSIR_BUCKETS
+    targets = ", ".join(f"'{s}'" for s in corpus.DSIR_TARGET_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, source IN ({targets}) AS is_target,
+         unnest(t || CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE []::VARCHAR[] END) AS gram
+  FROM toks
+),
+feat AS (
+  SELECT doc_id, source, is_target,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % {nb} AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3, 4
+),
+model AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN c ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS cr
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS t_total, sum(cr) AS r_total FROM model),
+lam AS (
+  SELECT bucket, ln((ct + 1)::DOUBLE / (t_total + {nb}))
+                 - ln((cr + 1)::DOUBLE / (r_total + {nb})) AS logratio
+  FROM model CROSS JOIN tot
+),
+weights AS (
+  SELECT f.doc_id, f.source, CAST(sum(f.c) AS INTEGER) AS n_feats,
+         round(sum(f.c * l.logratio) / sum(f.c) + 1e-8, 4) AS dsir_weight
+  FROM feat f JOIN lam l USING (bucket)
+  WHERE NOT f.is_target
+  GROUP BY 1, 2
+),
+cut AS (SELECT round(quantile_cont(dsir_weight, {corpus.DSIR_CUT_Q!r}) + 1e-8, 4)
+          AS cut FROM weights)
+SELECT doc_id, source, n_feats, dsir_weight, dsir_weight >= cut AS kept
+FROM weights CROSS JOIN cut"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "corpus_dsir_sample",
+        corpus.dsir_importance_sample,
+        _dsir_sql(),
+        tags=("llm", "sampling", "quality", "mixture"),
+    )
+)

@@ -2191,6 +2191,39 @@ def test_difficulty_bins_cross_engine_on_tied_cutpoints(spark, tmp_path):
     assert got == want and len(got) == len(texts)
 
 
+def test_dsir_ranks_target_like_docs_above_off_domain(spark, tmp_path):
+    """First-principles semantic pin for DSIR: with a target domain made
+    entirely of one vocabulary and an off-domain vocabulary disjoint from
+    it, raw docs written in the target's vocabulary must out-weigh raw
+    docs written off-domain, and the keep flag must follow the weight
+    quantile.  (The catalog oracle re-derives the exact arithmetic; this
+    pins the DIRECTION of the importance ratio.)"""
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+
+    target = [(i, "alpha beta gamma delta", "en", "src0", 22) for i in range(8)]
+    raw_like = [
+        (100 + i, "alpha beta gamma delta", "en", "src9", 22) for i in range(4)
+    ]
+    raw_off = [
+        (200 + i, "zulu yankee xray whiskey", "en", "src9", 24) for i in range(12)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        target + raw_like + raw_off,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in corpus.dsir_importance_sample(spark, d).collect()}
+    # only raw (non-target) docs are scored
+    assert set(rows) == {r[0] for r in raw_like + raw_off}
+    like_w = {rows[r[0]]["dsir_weight"] for r in raw_like}
+    off_w = {rows[r[0]]["dsir_weight"] for r in raw_off}
+    assert len(like_w) == 1 and len(off_w) == 1
+    assert like_w.pop() > off_w.pop()
+    # the 4 target-like docs are exactly the top quartile of 16 raw docs
+    assert {i for i, r in rows.items() if r["kept"]} == {r[0] for r in raw_like}
+
+
 def test_recall_curve_surfaces_empty_probe_points(spark, tmp_path):
     """Adversarial fixture: the corpus is ONLY the 8 centroid vectors
     (one-hot), so at nprobe=1 every query's probed cell contains just the

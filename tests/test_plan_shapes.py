@@ -186,6 +186,43 @@ def test_semi_and_anti_joins_are_broadcast_existence_probes(spark, sf_dir):
     assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
 
 
+def test_q4_q13_q17_star_shapes(spark, sf_dir):
+    """The round-6 TPC-H trio's defining plan properties:
+    Q4 — the EXISTS decorrelates to a LEFT SEMI join with the returnflag
+    filter pushed to the lineitem scan (an inner join would fan out);
+    Q13 — the order-side predicate stays IN the outer join condition
+    (LeftOuter in the plan; a post-join filter would re-inner it and lose
+    the zero-order customers);
+    Q17 — the brand filter reaches the part scan, and the final plan
+    reads NO parquet at all (both the threshold agg and the probe consume
+    the one checkpointed brand_lines scan)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        customer_order_distribution,
+        order_priority_returns,
+        small_quantity_revenue,
+    )
+
+    q4 = plan_of(order_priority_returns(spark, sf_dir))
+    assert "LeftSemi" in q4
+    assert "EqualTo(l_returnflag,R)" in q4
+
+    q13 = plan_of(customer_order_distribution(spark, sf_dir))
+    assert "LeftOuter" in q13
+
+    q17 = plan_of(small_quantity_revenue(spark, sf_dir))
+    assert "Scan parquet" not in q17  # checkpointed single scan
+    # ...and the checkpoint's own build pushed the brand filter to part
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import SMALL_QTY_BRAND
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    pre = plan_of(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == SMALL_QTY_BRAND)
+    )
+    assert f"EqualTo(p_brand,{SMALL_QTY_BRAND})" in pre
+
+
 def test_embedding_lsh_has_no_cross_join(spark, sf_dir):
     """The random-hyperplane LSH near-dup path must generate candidates via
     a bucketed EQUI-join on (band_id, sig) — never a cartesian product or a
@@ -495,6 +532,8 @@ def test_broadcast_hint_policy():
         ("operators/corpus.py", "cuts"): "decile cutpoints",
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
         ("operators/corpus.py", "corpus_total"): "1-row scalar",
+        ("operators/corpus.py", "totals"): "1-row scalar (DSIR model totals)",
+        ("operators/corpus.py", "lam"): "bounded at DSIR_BUCKETS rows (hashed feature space, a constant)",
         ("operators/star.py", "nation"): "25 rows by TPC-H schema",
         ("operators/star.py", "region"): "5 rows by TPC-H schema",
         ("operators/star.py", "local_nations"): "subset of nation",
