@@ -558,3 +558,123 @@ def video_frame_features(
         schema="doc_id bigint, frame_idx int, n_frames int, width int,"
         " height int, mean_pixel double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: average-hash over REAL decoded pixels + hamming LSH
+# ---------------------------------------------------------------------------
+
+#: aHash geometry: 8x8 grid = 64 bits, split into 4 16-bit bands for the
+#: hamming-LSH candidate join (two hashes within hamming<=6 of each other
+#: are guaranteed to agree on >=1 whole band only for d<=3 in the worst
+#: case, but for aHash near-dups differing bits cluster spatially, so band
+#: agreement recalls essentially all real near-pairs — the standard
+#: pigeonhole banding trade-off, same contract as MinHash banding).
+AHASH_GRID = 8
+AHASH_BANDS = 4
+AHASH_MAX_HAMMING = 6
+
+
+def ahash64(pixels: bytes, w: int, h: int) -> int:
+    """64-bit average hash of a decoded RGB image: nearest-resize to 8x8
+    (:func:`resize_nearest` — the tested resize), read the first channel,
+    set bit (ty*8+tx) where the sample exceeds the 64-sample mean.
+    Returned as a SIGNED 64-bit int (Java long / DuckDB BIGINT bit
+    pattern)."""
+    small = resize_nearest(pixels, w, h, AHASH_GRID, AHASH_GRID)
+    samples = small[::3]  # first channel of each RGB triplet
+    mean = sum(samples) / float(len(samples))
+    bits = 0
+    for i, p in enumerate(samples):
+        if p > mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_near_duplicates(
+    spark: SparkSession, sf_dir: str, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual image dedup — the multimodal twin of the MinHash tier:
+    synthesize a valid PNG per doc (the real-decode fixture), REALLY
+    decode + resize + aHash it (Arrow-batched Python: zlib inflate,
+    unfilter, numpy nearest resize, mean threshold), then find near-dup
+    pairs via hamming LSH — each 64-bit hash splits into 4 16-bit bands,
+    candidates share a band (equi-join, never all-pairs), and survivors
+    verify with a JVM-side ``bit_count(xor)`` hamming distance <=
+    ``max_hamming``.
+
+    The oracle recomputes the hash ARITHMETICALLY from the fixture pixel
+    formula — a match proves byte-exact decode + resize + threshold AND
+    the banding/hamming algebra.  On real corpora the decode stage swaps
+    to PIL/libvips inside the same mapInPandas; everything after the
+    (doc_id, ahash) frame is pure JVM.
+
+    Scale shape: hashing rides the payload scan (one Arrow pass, 8 bytes
+    out per image); the band join shuffles 4 rows per image on
+    (band_idx, band_val); verification touches candidates only.  The
+    synthetic gradient fixture makes some band buckets hot (many no-wrap
+    images share one hash) — real-image buckets are hash-spread, and a
+    production run would cap bucket width exactly like exact-substring's
+    ``max_df`` boilerplate cap (operators/dedup.py).
+    """
+    doc_ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = doc_ids.mapInPandas(
+        synthesize_png_batch,
+        schema="doc_id bigint, content binary, n_bytes int, content_md5 string",
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"].astype("int64"), pdf["content"]):
+                w, h, px = decode_png_pixels(bytes(buf))
+                rows.append((int(doc_id), ahash64(px, w, h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    hashes = payloads.mapInPandas(
+        hash_batch, schema="doc_id bigint, ahash bigint"
+    ).localCheckpoint(eager=True)
+
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("ahash"), 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("band_val"),
+                    )
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash", "band.band_idx", "band.band_val")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select(
+            "doc_id_a", "doc_id_b", hamming.cast("int").alias("hamming")
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )

@@ -2803,3 +2803,59 @@ LLM_CATALOG.append(
         tags=("llm", "sampling", "quality", "mixture"),
     )
 )
+
+
+def _image_ahash_sql() -> str:
+    """Perceptual image-dedup oracle: recomputes the 8x8 aHash
+    ARITHMETICALLY from the PNG fixture's pixel formula
+    pixel(x,y) = (doc_id + x + y) % 256 with nearest-neighbor sampling
+    sx = tx*w//8 — so a hash match proves the engine's zlib decode,
+    resize index math, mean threshold, band split, and hamming algebra
+    all at once.  Bit 63 is added as the signed MIN constant (DuckDB
+    errors on 1<<63); grid/bands/threshold come from the shared
+    multimodal.py constants."""
+    g = multimodal.AHASH_GRID
+    nb = multimodal.AHASH_BANDS
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, ty.r * {g} + tx.r AS i,
+         (d.doc_id + (tx.r * (d.doc_id % 64 + 16)) // {g}
+                   + (ty.r * (d.doc_id * 7 % 64 + 16)) // {g}) % 256 AS p
+  FROM documents d, range({g}) tx(r), range({g}) ty(r)
+),
+m AS (SELECT doc_id, avg(p::DOUBLE) AS mp FROM px GROUP BY 1),
+hash AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN p::DOUBLE > mp THEN
+                CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                     ELSE 1::BIGINT << i END
+              ELSE 0 END) AS BIGINT) AS ahash
+  FROM px JOIN m USING (doc_id) GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, ahash, b.r AS band_idx,
+         (ahash >> (16 * b.r)) & 65535 AS band_val
+  FROM hash, range({nb}) b(r)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {multimodal.AHASH_MAX_HAMMING}
+ORDER BY 1, 2"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "multimodal_image_ahash_dedup",
+        multimodal.image_near_duplicates,
+        _image_ahash_sql(),
+        tags=("llm", "multimodal", "dedup", "pixels"),
+    )
+)

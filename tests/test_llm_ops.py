@@ -653,6 +653,43 @@ def test_token_budget_with_tokenizer_true_counts(spark):
         assert r["word_count"] == true_counts[r["doc_id"]]
 
 
+def test_image_ahash_dedup_finds_identical_images(spark):
+    """Fixture PNGs repeat exactly every 256 doc_ids (dims are mod-64
+    functions of doc_id; pixels are mod-256) — so every (i, i+256) pair
+    must surface with hamming 0, and hamming must be symmetric-consistent:
+    a pair's reported distance equals bit_count(ahash_a XOR ahash_b)
+    recomputed from the pure-python ahash64 on independently decoded
+    fixtures."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import multimodal
+
+    rows = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in multimodal.image_near_duplicates(spark, SF).collect()
+    }
+    n_docs = 500  # sf0.01 documents count
+    for i in range(n_docs - 256):
+        assert rows.get((i, i + 256)) == 0, f"identical pair ({i},{i+256}) missed"
+    # spot-recompute five reported distances from first principles
+    import itertools
+
+    for (a, b), d in itertools.islice(rows.items(), 5):
+        ha = multimodal.ahash64(
+            *_decoded(multimodal, a)
+        )
+        hb = multimodal.ahash64(
+            *_decoded(multimodal, b)
+        )
+        assert bin((ha ^ hb) & ((1 << 64) - 1)).count("1") == d
+
+
+def _decoded(multimodal, doc_id):
+    w = doc_id % 64 + 16
+    h = doc_id * 7 % 64 + 16
+    dw, dh, px = multimodal.decode_png_pixels(multimodal.make_png(w, h, doc_id))
+    assert (dw, dh) == (w, h)
+    return px, dw, dh
+
+
 def test_png_pixel_decode_and_resize_exact():
     """decode_png_pixels must invert make_png exactly; resize_nearest must
     sample the expected source pixels."""
