@@ -274,3 +274,50 @@ def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_frac"),
         )
     )
+
+
+def contamination_bloom_gate(
+    docs: DataFrame, words: list[int], max_frac: float = 0.05
+) -> DataFrame:
+    """STREAM-APPLICABLE decontamination gate: score each incoming doc's
+    trigram overlap against the benchmark Bloom bitmap ENTIRELY in-row —
+    the gram array, the k-hash membership tests, and the ratio are one
+    codegen projection with zero joins and zero state, so the identical
+    operator compiles under Structured Streaming and scores micro-batches
+    exactly like the batch path (parity test-pinned).
+
+    Bloom semantics make this a conservative gate: no false negatives
+    means ``bloom_frac`` >= the true contamination fraction, so everything
+    it keeps is provably under ``max_frac`` true overlap (the ~fpp
+    overshoot only ever drops extra docs — the safe direction for eval
+    integrity).  ``words`` comes from :func:`_bloom_build_words` over the
+    static benchmark corpus — rebuild it when the eval suite changes, not
+    per batch.
+
+    Scale shape: the bitmap is a plan literal (KBs); per-row cost is
+    64 md5-free xxhash64 calls per gram; no shuffle, no stream-static
+    join, works in any output mode.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {NGRAM_N} THEN"
+        f" array_distinct(transform(sequence(1, size(__toks) - {NGRAM_N - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {NGRAM_N}))))"
+        f" ELSE cast(array() AS array<string>) END"
+    )
+    with_grams = docs.withColumn("__toks", toks).withColumn("__grams", grams)
+    cand = F.filter(
+        F.col("__grams"), lambda g: _bloom_might_contain(g, words)
+    )
+    return (
+        with_grams.select(
+            *[c for c in docs.columns],
+            F.size("__grams").alias("n_grams"),
+            F.size(cand).alias("n_candidates"),
+            round4(
+                F.when(F.size("__grams") > 0,
+                       F.size(cand) / F.size("__grams")).otherwise(0.0)
+            ).alias("bloom_frac"),
+        )
+        .withColumn("keep", F.col("bloom_frac") <= F.lit(max_frac))
+    )

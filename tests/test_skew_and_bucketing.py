@@ -95,6 +95,58 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
         assert "EqualTo(event_type" not in plan.split("PushedFilters")[1].split("\n")[0]
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the RUNTIME half of the partition-layout
+    story: when the pruning value is only known by filtering a dim table
+    (here: weekend dates), Catalyst must inject a dynamicpruning subquery
+    into the fact scan's PartitionFilters so non-matching date directories
+    are skipped at execution, not scanned-and-joined-away.  This is the
+    plan shape that turns a date-dim star join over a 100 TB
+    date-partitioned fact into a scan of just the matching days.
+
+    Two pins: (1) the dim-side predicate must be a real comparison —
+    Spark's PartitionPruning rule ignores bare-boolean filters as not
+    "likely selective" (discovered empirically; a `WHERE is_weekend`
+    spelling silently loses DPP); (2) the DPP join's result must equal
+    the same join against the unpartitioned frame."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import write_parquet
+
+    ev = load_events(spark, sf_dir).withColumn("event_date", F.to_date("ts"))
+    write_parquet(ev, str(tmp_path / "ev"), partition_by=["event_date"])
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+
+    dim = ev.select("event_date").distinct().withColumn(
+        "dow", F.dayofweek("event_date")
+    )
+    write_parquet(dim, str(tmp_path / "dim"))
+    weekend = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("dow") == 7)
+
+    j = (
+        fact.join(weekend.select("event_date"), "event_date")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_of(j)
+    pf_line = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "dynamicpruningexpression" in pf_line, plan[:2000]
+
+    got = {(r["event_type"], r["n"]) for r in j.collect()}
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.join(
+            ev.select("event_date")
+            .distinct()
+            .filter(F.dayofweek("event_date") == 7),
+            "event_date",
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """AQE's skew-join handling — the runtime half of the salting story —
     must actually fire: with one key carrying ~90% of the rows and the

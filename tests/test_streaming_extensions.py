@@ -552,6 +552,77 @@ def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
     assert got == expected and got
 
 
+def test_streaming_bloom_decontamination_gate_matches_batch(spark, tmp_path):
+    """The Bloom decontamination gate is one codegen projection (gram
+    array + k-hash membership + ratio, bitmap as a plan literal), so the
+    SAME operator must compile under Structured Streaming and score
+    micro-batches identically to the batch path.  Also pins the safety
+    direction: bloom_frac can only OVERSHOOT the true contamination
+    fraction (no false negatives), so every doc the gate keeps is under
+    the threshold by the exact check too."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    bench = (
+        scrubbing._doc_ngrams(docs)
+        .filter(F.col("doc_id") % scrubbing.BENCHMARK_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    words = scrubbing._bloom_build_words(bench, "gram")
+
+    watch = tmp_path / "docs"
+    watch.mkdir()
+    docs.select("doc_id", "text").limit(200).coalesce(1).write.json(
+        str(watch / "b0"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(watch / "b0"))
+    )
+    run = MemorySinkRun(
+        spark,
+        scrubbing.contamination_bloom_gate(stream, words, max_frac=0.3),
+        output_mode="append",
+    )
+    try:
+        run.process_all()
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_candidates"], r["bloom_frac"], r["keep"])
+            for r in run.table().collect()
+        }
+    finally:
+        run.stop()
+
+    batch_src = spark.read.schema("doc_id long, text string").json(str(watch / "b0"))
+    expected = {
+        r["doc_id"]: (r["n_grams"], r["n_candidates"], r["bloom_frac"], r["keep"])
+        for r in scrubbing.contamination_bloom_gate(
+            batch_src, words, max_frac=0.3
+        ).collect()
+    }
+    assert got == expected and got
+
+    # safety direction vs the exact check (same corpus, same threshold):
+    exact = {
+        r["doc_id"]: r["contamination_frac"]
+        for r in scrubbing.contamination_check(spark, sf).collect()
+    }
+    checked = 0
+    for doc_id, (_, _, bloom_frac, keep) in got.items():
+        if doc_id in exact:  # exact check covers train docs only
+            assert bloom_frac >= exact[doc_id] - 1e-4  # never undershoots
+            if keep:
+                assert exact[doc_id] <= 0.3
+                checked += 1
+    assert checked > 0
+
+
 def test_streaming_bpe_tokenize_matches_batch_and_dictionary(spark, tmp_path):
     """The BPE apply path is a stateless projection (merge rules embedded
     as literal regexp chains), so the SAME operator must compile under
