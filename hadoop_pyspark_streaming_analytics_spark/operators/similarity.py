@@ -694,7 +694,17 @@ def materialize_pq_index(
     query/micro-batch scans the 64×-smaller codes table, and an IVF probe
     becomes literal partition PRUNING of the codes scan (the directory
     layout is the index).  Consumed by :func:`load_pq_index` and the
-    streaming retrieval handler (streaming/extensions.py)."""
+    streaming retrieval handler (streaming/extensions.py).
+
+    The codes table nests one directory level per ingest batch
+    (``codes/batch_id=-1`` for the base build, ``batch_id=N`` per
+    :func:`append_pq_index_batch`), so incremental appends are
+    REPLAY-IDEMPOTENT per-batch overwrites and a reader still partition-
+    prunes on ``centroid_id`` one level down.  The IVF centroid VECTORS
+    persist alongside (``{path}/centroids``) — appends must assign
+    against the index's own frozen centroids, not whatever corpus happens
+    to be at hand.
+    """
     from ..sources.sinks import write_parquet
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -703,8 +713,48 @@ def materialize_pq_index(
         "vec_id", "centroid_id"
     )
     codes = build_pq_codes_compact(emb, cents).join(assign, "vec_id")
-    write_parquet(codes, f"{path}/codes", partition_by=["centroid_id"])
+    write_parquet(codes, f"{path}/codes/batch_id=-1", partition_by=["centroid_id"])
     write_parquet(cents, f"{path}/codebook")
+    write_parquet(
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        f"{path}/centroids",
+    )
+
+
+def append_pq_index_batch(
+    spark: SparkSession, path: str, new_emb: DataFrame, batch_id: int
+) -> None:
+    """Incremental index maintenance — the ingest half of the IVF-PQ
+    lifecycle: assign a batch of NEW vectors to the index's FROZEN
+    centroids (:func:`_assign_to_centroids` — same 6dp argmax as the
+    build), encode them against the FROZEN codebook (one codegen
+    projection), and overwrite ``codes/batch_id={batch_id}`` partitioned
+    by cell.  Freezing both artifacts makes the append bit-identical to
+    having built the index with the new vectors present (pytest-pinned),
+    and the per-batch overwrite makes micro-batch replay a no-op — the
+    foreachBatch contract (streaming/extensions.py wires this as
+    :func:`foreach_batch_index_append`).
+
+    Scale shape: one scan of the batch x broadcast(centroids + 1-row
+    codebook), one shuffle of (vec_id, codes, cell) rows into the
+    partitioned write.  Nothing touches the existing codes.  Centroid
+    drift (cells going stale/hot as the corpus grows) is the re-train
+    trigger — monitored by ``ivf_cell_stats``, not silently absorbed
+    here."""
+    from ..sources.sinks import write_parquet
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    emb = new_emb.select("vec_id", "embedding")
+    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+    codes = build_pq_codes_compact(emb, cb).join(assign, "vec_id")
+    write_parquet(
+        codes, f"{path}/codes/batch_id={int(batch_id)}",
+        partition_by=["centroid_id"],
+    )
 
 
 def load_pq_index(

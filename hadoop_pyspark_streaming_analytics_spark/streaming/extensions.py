@@ -326,6 +326,32 @@ def foreach_batch_curation(
     return apply
 
 
+def foreach_batch_index_append(
+    index_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """STREAMING index maintenance: every micro-batch of new vectors is
+    assigned to the index's frozen IVF centroids, PQ-encoded against its
+    frozen codebook, and written as the replay-idempotent
+    ``codes/batch_id=N`` prefix — operators/similarity.py:
+    append_pq_index_batch as a foreachBatch stage.  Together with
+    :func:`foreach_batch_adc_topk` this closes the loop: one stream can
+    GROW the index while another retrieves from it, and a replayed batch
+    overwrites only its own prefix (same exactly-once contract as every
+    sink here).  The batch is assigned against centroids/codebook read
+    from the index itself, so the stream needs no access to the original
+    training corpus."""
+    from ..operators.similarity import append_pq_index_batch
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_pq_index_batch(
+            batch_df.sparkSession, index_path, batch_df, int(batch_id)
+        )
+
+    return apply_fn
+
+
 def foreach_batch_adc_topk(
     sf_dir: str, out_path: str, k: int = 10, codes_path: str | None = None
 ) -> Callable[[DataFrame, int], None]:

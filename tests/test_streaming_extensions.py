@@ -788,3 +788,85 @@ def test_foreach_batch_curation_matches_batch_composition(spark, tmp_path):
     for doc_id, (score, n_tokens) in got.items():
         assert score == scores[doc_id]
         assert n_tokens == true_counts.get(doc_id, 0)
+
+
+def test_incremental_index_append_equals_full_build(spark, tmp_path):
+    """Index-lifecycle exactness: building the PQ index on half the corpus
+    and APPENDING the other half (frozen centroids + frozen codebook) must
+    produce the same codes rows as a one-shot full build — because the
+    centroid/codebook artifacts are the low-id vectors both builds share,
+    assignment and encoding are deterministic functions of them.  Also
+    pins (a) per-batch replay idempotence (re-appending batch 7 is a
+    no-op), (b) identical indexed-search results through both layouts,
+    and (c) the STREAMING spelling: new vectors arriving as real
+    micro-batches through foreach_batch_index_append converge to the same
+    index."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        append_pq_index_batch,
+        ivf_pq_search_indexed,
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    half = 250
+    sub = str(tmp_path / "sub")
+    emb.filter(F.col("vec_id") < half).write.parquet(f"{sub}/embeddings.parquet")
+
+    idx_inc = str(tmp_path / "idx_inc")
+    idx_full = str(tmp_path / "idx_full")
+    materialize_pq_index(spark, sub, idx_inc)
+    materialize_pq_index(spark, sf, idx_full)
+
+    def codes_of(p):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["centroid_id"])
+            for r in spark.read.parquet(f"{p}/codes").collect()
+        )
+
+    new_vecs = emb.filter(F.col("vec_id") >= half)
+    append_pq_index_batch(spark, idx_inc, new_vecs, batch_id=7)
+    full = codes_of(idx_full)
+    assert codes_of(idx_inc) == full and len(full) == 500
+
+    # replay: re-appending the same batch overwrites its own prefix only
+    append_pq_index_batch(spark, idx_inc, new_vecs, batch_id=7)
+    assert codes_of(idx_inc) == full
+
+    # search parity through the partition-pruned path
+    def search(p):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["dist"], r["rk"])
+            for r in ivf_pq_search_indexed(spark, sf, p).collect()
+        )
+
+    assert search(idx_inc) == search(idx_full)
+
+    # streaming spelling: two real micro-batches through foreachBatch
+    idx_stream = str(tmp_path / "idx_stream")
+    materialize_pq_index(spark, sub, idx_stream)
+    watch = tmp_path / "vecs"
+    watch.mkdir()
+    emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < 375)).coalesce(
+        1
+    ).write.parquet(str(watch / "f0"))
+    emb.filter(F.col("vec_id") >= 375).coalesce(1).write.parquet(str(watch / "f1"))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_index_append(idx_stream))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert codes_of(idx_stream) == full
