@@ -655,7 +655,8 @@ def image_near_duplicates(
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -668,11 +669,12 @@ def image_near_duplicates(
             F.col("a.ahash").alias("ha"),
             F.col("b.ahash").alias("hb"),
         )
+        # hamming is a per-row function of (ha, hb), so filtering BEFORE
+        # the dedup is result-identical and shrinks the distinct()
+        # shuffle from every band collision to the surviving sliver —
+        # exactly the hot-bucket case the docstring warns about.
+        .filter(hamming <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(hamming <= max_hamming)
         .select(
             "doc_id_a", "doc_id_b", hamming.cast("int").alias("hamming")
         )

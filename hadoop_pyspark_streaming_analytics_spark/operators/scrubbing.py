@@ -106,6 +106,24 @@ BENCHMARK_MOD = 97
 NGRAM_N = 3
 
 
+def _gram_array_expr(tok_col: str) -> F.Column:
+    """The DISTINCT space-joined trigram array of a token-array column —
+    the ONE load-bearing gram construction, shared by the exact check,
+    the Bloom twin (via _doc_ngrams), and the streaming gate so the three
+    can never drift from each other or the oracle's gram CTE.
+
+    Short docs must short-circuit to an empty array: sequence(1, 0) is
+    DESCENDING in Spark ([1, 0]), and slice(toks, 0, n) then throws
+    ("SQL array indices start at 1") — the repetition_scores guard
+    pattern, mirrored by the oracle's WHERE len(t) >= NGRAM_N."""
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {NGRAM_N} THEN"
+        f" array_distinct(transform(sequence(1, size({tok_col}) - {NGRAM_N - 1}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {NGRAM_N}))))"
+        f" ELSE cast(array() AS array<string>) END"
+    )
+
+
 def _doc_ngrams(docs: DataFrame) -> DataFrame:
     """(doc_id, gram) — DISTINCT space-joined token n-grams per doc.
 
@@ -114,19 +132,9 @@ def _doc_ngrams(docs: DataFrame) -> DataFrame:
     explode emits each gram once per doc.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
-    # Short docs must short-circuit to an empty array: sequence(1, 0) is
-    # DESCENDING in Spark ([1, 0]), and slice(toks, 0, n) then throws
-    # ("SQL array indices start at 1") — the repetition_scores guard
-    # pattern, mirrored by the oracle's WHERE len(t) >= NGRAM_N.
-    grams = F.expr(
-        f"CASE WHEN size(toks) >= {NGRAM_N} THEN"
-        f" array_distinct(transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
-        f" i -> concat_ws(' ', slice(toks, i, {NGRAM_N}))))"
-        f" ELSE cast(array() AS array<string>) END"
-    )
     return (
         docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.explode(_gram_array_expr("toks")).alias("gram"))
     )
 
 
@@ -207,8 +215,14 @@ def _bloom_build_words(keys: DataFrame, col: str) -> list[int]:
 def _bloom_might_contain(gram: F.Column, words: list[int]) -> F.Column:
     """Pure-codegen membership test: for each of the k positions, the
     bitmap word (literal array embedded in the plan, classifier-weights
-    style) ANDed with the position's bit must be non-zero."""
-    bitmap = F.array(*[F.lit(w) for w in words])
+    style) ANDed with the position's bit must be non-zero.
+
+    The bitmap is ONE ArrayType literal (``F.lit(words)``), not an
+    unrolled CreateArray of m/64 expression nodes — at the ~10 bits/gram
+    sizing the scale notes prescribe, a real eval suite's bitmap is ~10^5
+    words and per-word literals would blow up Catalyst analysis time and
+    driver memory (k replicas of the array per call, again per lambda)."""
+    bitmap = F.lit(words)
     out = None
     for p in _bloom_positions(gram):
         check = (
@@ -299,13 +313,9 @@ def contamination_bloom_gate(
     join, works in any output mode.
     """
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
-    grams = F.expr(
-        f"CASE WHEN size(__toks) >= {NGRAM_N} THEN"
-        f" array_distinct(transform(sequence(1, size(__toks) - {NGRAM_N - 1}),"
-        f" i -> concat_ws(' ', slice(__toks, i, {NGRAM_N}))))"
-        f" ELSE cast(array() AS array<string>) END"
+    with_grams = docs.withColumn("__toks", toks).withColumn(
+        "__grams", _gram_array_expr("__toks")
     )
-    with_grams = docs.withColumn("__toks", toks).withColumn("__grams", grams)
     cand = F.filter(
         F.col("__grams"), lambda g: _bloom_might_contain(g, words)
     )

@@ -160,6 +160,18 @@ def partitioned_topk(
     return _topk(_scored_pairs(emb, queries, same_label_only=True), k)
 
 
+def lowid_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """The deterministic IVF centroid choice — the ``k`` lowest-id vectors
+    as (centroid_id, c_emb).  ONE definition shared by the assignment
+    build, the index materialization (which persists it as
+    ``{path}/centroids``), and every probe-side spelling, so the centroid
+    init can never silently diverge between the codes layout and the
+    probes that prune against it."""
+    return emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+
 def ivf_assign(
     spark: SparkSession, sf_dir: str, k: int = 8
 ) -> DataFrame:
@@ -175,9 +187,7 @@ def ivf_assign(
     ``centroid_id`` and ``partitioned_topk`` probes only the query's
     cluster."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = lowid_centroids(emb, k)
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
         # 6dp pre-round so float summation noise cannot flip the argmax
         # tiebreak across engines; negative id → highest cosine wins, then
@@ -333,9 +343,7 @@ def ivf_search(
         assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
     else:
         assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-        cents = emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-        )
+        cents = lowid_centroids(emb, n_centroids)
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -715,13 +723,7 @@ def materialize_pq_index(
     codes = build_pq_codes_compact(emb, cents).join(assign, "vec_id")
     write_parquet(codes, f"{path}/codes/batch_id=-1", partition_by=["centroid_id"])
     write_parquet(cents, f"{path}/codebook")
-    write_parquet(
-        emb.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("c_emb"),
-        ),
-        f"{path}/centroids",
-    )
+    write_parquet(lowid_centroids(emb, n_centroids), f"{path}/centroids")
 
 
 def append_pq_index_batch(
@@ -749,8 +751,23 @@ def append_pq_index_batch(
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     emb = new_emb.select("vec_id", "embedding")
-    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
-    codes = build_pq_codes_compact(emb, cb).join(assign, "vec_id")
+    # Exactly-once is per batch_id; re-DELIVERY of a vector in a DIFFERENT
+    # batch (at-least-once sources, updates spelled as appends) would
+    # otherwise plant a duplicate codes row that consumes a top-k slot
+    # twice downstream.  Anti-join the batch against the ids already in
+    # the index — PRIOR batches only (the curation sink's authority rule:
+    # excluding this batch_id keeps replay a no-op instead of an
+    # everything-is-a-dup self-erase).  A vec_id-only scan of the compact
+    # codes; at 100 TB, front it with a vec_id Bloom of the index (the
+    # scrubbing-tier pattern) and pay the exact anti-join on bloom hits.
+    existing = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("batch_id") != int(batch_id))
+        .select("vec_id")
+    )
+    fresh = emb.join(existing, "vec_id", "left_anti")
+    assign = _assign_to_centroids(fresh, cents).select("vec_id", "centroid_id")
+    codes = build_pq_codes_compact(fresh, cb).join(assign, "vec_id")
     write_parquet(
         codes, f"{path}/codes/batch_id={int(batch_id)}",
         partition_by=["centroid_id"],
@@ -909,9 +926,7 @@ def ivf_pq_search(
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = lowid_centroids(emb, n_centroids)
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1076,9 +1091,11 @@ def ivf_pq_search_indexed(
     """
     codes_full, cents_pq = load_pq_index(spark, index_path)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    # Probe against the index's OWN persisted centroids — the ones the
+    # codes layout was actually partitioned by.  Re-deriving them from
+    # the caller's corpus would silently prune the wrong cells whenever
+    # the corpus has evolved since the build (the append-path contract).
+    cents = spark.read.parquet(f"{index_path}/centroids")
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1350,9 +1367,7 @@ def ivf_recall_curve(
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     max_p = max(nprobes)
     assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = lowid_centroids(emb, n_centroids)
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

@@ -839,6 +839,15 @@ def test_incremental_index_append_equals_full_build(spark, tmp_path):
     append_pq_index_batch(spark, idx_inc, new_vecs, batch_id=7)
     assert codes_of(idx_inc) == full
 
+    # re-DELIVERY in a DIFFERENT batch (at-least-once source): vectors
+    # already indexed — by the base build or batch 7 — must be dropped by
+    # the prior-batches anti-join, not planted as duplicate codes rows
+    redelivered = emb.filter(
+        (F.col("vec_id") < 10) | (F.col("vec_id") >= 490)
+    )
+    append_pq_index_batch(spark, idx_inc, redelivered, batch_id=8)
+    assert codes_of(idx_inc) == full
+
     # search parity through the partition-pruned path
     def search(p):
         return sorted(
