@@ -1467,3 +1467,45 @@ def embedding_norm_audit(
         )
         .orderBy("label")
     )
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> int:
+    """Index-lifecycle step 3: fold every ``codes/batch_id=N`` append
+    prefix back into a single base generation, returning the number of
+    batch prefixes folded.  Per-micro-batch appends accumulate one
+    directory (and >= 1 file) per trigger; at ingest rates of thousands
+    of batches the codes scan pays footer-read + task-schedule overhead
+    per file and partition discovery walks an ever-growing tree —
+    compaction is the standard antidote (sinks.compact_parquet's
+    rationale, applied to the index layout).
+
+    Mechanics: read the full codes table (all generations), rewrite it
+    partitioned by ``centroid_id`` into a fresh ``codes`` directory under
+    batch_id=-1, then atomically swap directories (os.replace — readers
+    see either the old tree or the new one).  Content is proven
+    unchanged by the companion test (codes rows AND search results
+    identical, prefix count collapses to 1).  Centroids and codebook are
+    untouched — compaction is a physical re-layout, never a re-train;
+    cell re-training on drift stays ivf_cell_stats' trigger."""
+    import os
+    import shutil
+
+    from ..sources.sinks import write_parquet
+
+    codes_dir = f"{path}/codes"
+    batches = [
+        d for d in os.listdir(codes_dir) if d.startswith("batch_id=")
+    ]
+    codes = spark.read.parquet(codes_dir).select(
+        "vec_id", "codes", "centroid_id"
+    )
+    tmp_new = f"{path}/.codes.compact"
+    old = f"{path}/.codes.old"
+    for leftover in (tmp_new, old):  # debris from an interrupted compact
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    write_parquet(codes, f"{tmp_new}/batch_id=-1", partition_by=["centroid_id"])
+    os.replace(codes_dir, old)
+    os.replace(tmp_new, codes_dir)
+    shutil.rmtree(old)
+    return len(batches)

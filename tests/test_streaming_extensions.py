@@ -857,6 +857,21 @@ def test_incremental_index_append_equals_full_build(spark, tmp_path):
 
     assert search(idx_inc) == search(idx_full)
 
+    # compaction: fold the batch prefixes back into one base generation —
+    # codes rows, search results, and the on-disk prefix count all pinned
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        compact_pq_index,
+    )
+    import os
+
+    n_folded = compact_pq_index(spark, idx_inc)
+    assert n_folded >= 2  # base + batch 7 (+ empty batch 8)
+    assert codes_of(idx_inc) == full
+    assert search(idx_inc) == search(idx_full)
+    assert os.listdir(f"{idx_inc}/codes") == ["batch_id=-1"] or sorted(
+        d for d in os.listdir(f"{idx_inc}/codes") if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+
     # streaming spelling: two real micro-batches through foreachBatch
     idx_stream = str(tmp_path / "idx_stream")
     materialize_pq_index(spark, sub, idx_stream)
