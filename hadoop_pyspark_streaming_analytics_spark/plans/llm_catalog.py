@@ -1391,6 +1391,7 @@ FROM red3""",
         "text_contamination_bloom",
         scrubbing.contamination_check_bloom,
         _CONTAMINATION_SQL,
+        headline=True,  # sketch-then-verify vs the exact twin, same oracle
         tags=("llm", "scrubbing", "contamination", "sketch"),
     ),
     QuerySpec(
@@ -2800,6 +2801,7 @@ LLM_CATALOG.append(
         "corpus_dsir_sample",
         corpus.dsir_importance_sample,
         _dsir_sql(),
+        headline=True,  # the round's constant-size-model representative
         tags=("llm", "sampling", "quality", "mixture"),
     )
 )
