@@ -592,7 +592,10 @@ def ahash64(pixels: bytes, w: int, h: int) -> int:
 
 
 def image_near_duplicates(
-    spark: SparkSession, sf_dir: str, max_hamming: int = AHASH_MAX_HAMMING
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = AHASH_MAX_HAMMING,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual image dedup — the multimodal twin of the MinHash tier:
     synthesize a valid PNG per doc (the real-decode fixture), REALLY
@@ -652,6 +655,22 @@ def image_near_duplicates(
             )
         ).alias("band"),
     ).select("doc_id", "ahash", "band.band_idx", "band.band_val")
+
+    if max_bucket is not None:
+        # The exact-substring max_df precedent, in hamming space: a band
+        # bucket wider than ``max_bucket`` is boilerplate (monochrome /
+        # letterbox frames, or this fixture's no-wrap gradient), and its
+        # quadratic pair fan-out buys no dedup signal — cap it BEFORE the
+        # self-join so the join input, not just the output, is bounded.
+        # Changes semantics (capped buckets emit no pairs), so the
+        # default None keeps the oracle-gated spelling exact.
+        wide = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(wide, ["band_idx", "band_val"], "left_anti")
 
     a = bands.alias("a")
     b = bands.alias("b")

@@ -1542,3 +1542,45 @@ def ivf_pq_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the composed IVFADC oracle with the same label join inside the
     cand CTE."""
     return ivf_pq_search(spark, sf_dir, label=ANN_FILTER_LABEL)
+
+
+def embedding_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness audit — the consistency check between the vector
+    index and the curated corpus it is supposed to represent: after a
+    quality-gate re-run (thresholds move, models retrain), every vector
+    whose document no longer SURVIVES the gate is stale index mass —
+    retrieval can surface content curation already rejected.  Per label:
+    vector count, stale count (doc gate-dropped or vanished), stale rate.
+    The per-label grain localizes which index cells/partitions a cleanup
+    rewrite must touch; pairs with ``ivf_cell_stats`` (physical health)
+    and ``embedding_norm_audit`` (numeric health) as the third
+    index-audit leg.
+
+    Plan: the gate is the classifier's single codegen projection over the
+    documents scan; one LEFT join vec→doc keep-flag (doc-grain, AQE
+    broadcasts the smaller side at test SF), one map-side-combinable
+    per-label rollup.  Nothing quadratic, nothing corpus-collected."""
+    from .quality import classify_documents, quality_features
+
+    keeps = classify_documents(
+        quality_features(load_table(spark, sf_dir, "documents"))
+    ).select("doc_id", "keep")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    stale = F.when(F.col("keep").isNull() | ~F.col("keep"), 1).otherwise(0)
+    return (
+        emb.join(keeps, emb.vec_id == keeps.doc_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.sum(stale).cast("int").alias("n_stale"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_stale",
+            F.round(F.col("n_stale") / F.col("n_vecs") + F.lit(1e-8), 4).alias(
+                "stale_rate"
+            ),
+        )
+        .orderBy("label")
+    )

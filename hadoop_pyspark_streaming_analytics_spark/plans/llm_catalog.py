@@ -450,19 +450,26 @@ SELECT doc_id, word_count, avg_word_len, stopword_ratio, alpha_ratio,
 FROM qual"""
 
 
-def _classifier_sql() -> str:
-    """Oracle for quality.quality_classifier: the SAME quality-feature
-    CTEs, then the logistic score from the module's weight constants
-    (embedded as repr literals so both engines evaluate the identical
-    doubles; the keep gate compares the 4dp-rounded probability)."""
+def _classifier_logit() -> str:
+    """The logistic-gate logit over the quality features, from the module's
+    weight constants (repr literals → identical doubles both engines);
+    shared by the classifier, curation, and staleness oracles."""
     w = quality.CLASSIFIER_WEIGHTS
-    logit = (
+    return (
         f"{quality.CLASSIFIER_BIAS!r}"
         f" + least(word_count / 100.0, 1.0) * {w['len_norm']!r}"
         f" + avg_word_len * {w['avg_word_len']!r}"
         f" + stopword_ratio * {w['stopword_ratio']!r}"
         f" + alpha_ratio * {w['alpha_ratio']!r}"
     )
+
+
+def _classifier_sql() -> str:
+    """Oracle for quality.quality_classifier: the SAME quality-feature
+    CTEs, then the logistic score from the module's weight constants
+    (embedded as repr literals so both engines evaluate the identical
+    doubles; the keep gate compares the 4dp-rounded probability)."""
+    logit = _classifier_logit()
     return f"""
 WITH {_QUALITY_CTES},
 scored AS (
@@ -484,14 +491,7 @@ def _curation_v2_sql() -> str:
     stage/pipeline divergence is a hash mismatch in both places."""
     from ..pipelines import CONTAMINATION_MAX
 
-    w = quality.CLASSIFIER_WEIGHTS
-    logit = (
-        f"{quality.CLASSIFIER_BIAS!r}"
-        f" + least(word_count / 100.0, 1.0) * {w['len_norm']!r}"
-        f" + avg_word_len * {w['avg_word_len']!r}"
-        f" + stopword_ratio * {w['stopword_ratio']!r}"
-        f" + alpha_ratio * {w['alpha_ratio']!r}"
-    )
+    logit = _classifier_logit()
     return rf"""
 WITH {_QUALITY_CTES},
 scored AS (
@@ -2893,5 +2893,41 @@ LLM_CATALOG.append(
         similarity.ivf_pq_search_filtered,
         _FILTERED_SEARCH_SQL,
         tags=("llm", "similarity", "ann", "filtered"),
+    )
+)
+
+
+def _staleness_sql() -> str:
+    """Index-staleness oracle: the classifier CTEs (shared logit) left-
+    joined under the embeddings table, rolled up per label."""
+    return f"""
+WITH {_QUALITY_CTES},
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_classifier_logit()}))) + 1e-8, 4)
+           AS model_score
+  FROM qual
+),
+keeps AS (
+  SELECT doc_id,
+         (model_score >= {quality.CLASSIFIER_KEEP_THRESHOLD!r}) AS keep
+  FROM scored
+)
+SELECT e.label,
+       CAST(count(*) AS INTEGER) AS n_vecs,
+       CAST(sum(CASE WHEN k.doc_id IS NULL OR NOT k.keep THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_stale,
+       round(sum(CASE WHEN k.doc_id IS NULL OR NOT k.keep THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*) + 1e-8, 4) AS stale_rate
+FROM embeddings e LEFT JOIN keeps k ON e.vec_id = k.doc_id
+GROUP BY 1 ORDER BY 1"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "embedding_staleness_audit",
+        similarity.embedding_staleness_audit,
+        _staleness_sql(),
+        tags=("llm", "similarity", "evaluation", "audit"),
     )
 )

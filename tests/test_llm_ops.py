@@ -653,6 +653,50 @@ def test_token_budget_with_tokenizer_true_counts(spark):
         assert r["word_count"] == true_counts[r["doc_id"]]
 
 
+def test_staleness_audit_matches_classifier_and_bucket_cap_bounds_pairs(spark):
+    """(a) The staleness audit's per-label stale counts must equal a
+    first-principles recount from the classifier's keep flags joined to
+    the embedding labels.  (b) image_near_duplicates' max_bucket cap must
+    only ever REMOVE pairs (capped band buckets emit none), and a
+    clearly-sub-bucket cap must kill the fixture's degenerate hot-bucket
+    mass."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import multimodal, similarity
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        classify_documents,
+        quality_features,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    keeps = {
+        r["doc_id"]: r["keep"]
+        for r in classify_documents(
+            quality_features(load_table(spark, SF, "documents"))
+        ).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    want = {}
+    for vec_id, label in labels.items():
+        n, s = want.get(label, (0, 0))
+        want[label] = (n + 1, s + (0 if keeps.get(vec_id) else 1))
+    got = {
+        r["label"]: (r["n_vecs"], r["n_stale"])
+        for r in similarity.embedding_staleness_audit(spark, SF).collect()
+    }
+    assert got == want
+
+    uncapped = multimodal.image_near_duplicates(spark, SF)
+    capped = multimodal.image_near_duplicates(spark, SF, max_bucket=4)
+    up = {(r["doc_id_a"], r["doc_id_b"]) for r in uncapped.collect()}
+    cp = {(r["doc_id_a"], r["doc_id_b"]) for r in capped.collect()}
+    assert cp <= up
+    assert len(cp) < len(up)  # the gradient fixture's hot buckets are capped
+
+
 def test_filtered_search_returns_only_matching_labels(spark):
     """Filtered vector search (pre-filter strategy): every returned
     neighbor must carry the filter label, ranks must be contiguous from 1
