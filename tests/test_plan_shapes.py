@@ -223,6 +223,39 @@ def test_q4_q13_q17_star_shapes(spark, sf_dir):
     assert f"EqualTo(p_brand,{SMALL_QTY_BRAND})" in pre
 
 
+def test_round6_tail_entry_plan_shapes(spark, sf_dir):
+    """The second-session entries' scale-defining plan properties:
+    DSIR — cutpoints/models ride broadcasts, NO Window anywhere, and the
+    final plan reads zero parquet (both checkpoints absorb the scans);
+    staleness audit — Window-free, exactly two scans (documents for the
+    gate, embeddings for the rollup);
+    filtered search — the label predicate reaches the embeddings scan as
+    a pushed filter (EqualTo on the shared constant)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        dsir_importance_sample,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        ANN_FILTER_LABEL,
+        embedding_staleness_audit,
+        ivf_pq_search_filtered,
+    )
+
+    dsir = plan_of(dsir_importance_sample(spark, sf_dir))
+    assert "Window" not in dsir
+    assert "Scan parquet" not in dsir  # checkpointed feat + weights
+
+    stale = plan_of(embedding_staleness_audit(spark, sf_dir))
+    assert "Window" not in stale
+    scans = [
+        b for b in stale.split("\n\n")
+        if b.splitlines() and "Scan parquet" in b.splitlines()[0]
+    ]
+    assert len(scans) <= 2, stale[:1500]
+
+    filt = plan_of(ivf_pq_search_filtered(spark, sf_dir))
+    assert f"EqualTo(label,{ANN_FILTER_LABEL})" in filt
+
+
 def test_embedding_lsh_has_no_cross_join(spark, sf_dir):
     """The random-hyperplane LSH near-dup path must generate candidates via
     a bucketed EQUI-join on (band_id, sig) — never a cartesian product or a
