@@ -137,3 +137,84 @@ def compact_parquet(
         out = df.coalesce(n) if n <= current else df.repartition(n)
         out.write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
+    """The Z-order (Morton) value of ``cols`` as a codegen Column: each
+    column is min/max-scaled into ``bits``-bit integer space (one tiny
+    scalar aggregate, literal-embedded), then the bits interleave —
+    ``bit i of col j`` lands at position ``i * n_cols + j``.  Pure
+    column arithmetic, whole-stage-codegen'd; no UDF.
+
+    Returns (zval_column, stats) where stats maps col -> (min, max) for
+    reuse/debugging."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[c]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(top)
+                ).cast("bigint"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z, stats
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 16,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering — the Z-ORDER layout single-column
+    clustering (:func:`write_clustered_parquet`) cannot give: rows sort
+    by the interleaved-bit Morton value of ``zorder_by``, so EVERY listed
+    column exhibits per-file/per-row-group locality and a predicate on
+    ANY of them skips most files via parquet min/max statistics.  A
+    single-column sort gives perfect locality on that column and NONE on
+    the others (their per-file ranges stay ~global); Z-order trades a
+    little per-column tightness for locality on all dimensions — the
+    standard lakehouse layout for multi-predicate fact tables (Delta
+    OPTIMIZE ZORDER BY / Iceberg sort orders).
+
+    Physical shape: ``repartitionByRange(zval)`` gives each output file a
+    CONTIGUOUS z-range (range exchange over the z value only), then
+    ``sortWithinPartitions(zval)`` orders row groups inside the file; the
+    helper column is dropped before the write.  At 100 TB, pair with
+    directory partitioning on a coarse time column exactly like
+    write_clustered_parquet, and recompute the min/max scaling from the
+    partition being rewritten (stale global stats skew the interleave,
+    they never break correctness)."""
+    z, _ = zorder_value(df, zorder_by, bits)
+    staged = df.withColumn("__zval", z)
+    staged = (
+        staged.repartitionByRange(target_files, "__zval")
+        if target_files
+        else staged.repartitionByRange("__zval")
+    )
+    (
+        staged.sortWithinPartitions("__zval")
+        .drop("__zval")
+        .write.mode(mode)
+        .parquet(path)
+    )

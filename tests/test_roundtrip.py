@@ -127,3 +127,82 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
+
+
+def test_zorder_layout_gives_locality_on_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column clustering, measured from the actual
+    parquet file footers: after write_zordered_parquet on
+    (user_id, value), BOTH columns' per-file min/max ranges must cover a
+    small fraction of their global range, while a user_id-only sorted
+    layout leaves value's per-file ranges ~global.  Plus losslessness and
+    pushdown on both z-ordered columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_events
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import (
+        write_zordered_parquet,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "value"
+    )
+    zout = str(tmp_path / "zorder")
+    write_zordered_parquet(ev, zout, zorder_by=["user_id", "value"], target_files=8)
+
+    sout = str(tmp_path / "single")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(sout)
+    )
+
+    def frac_ranges(path, col, lo, hi):
+        span = hi - lo
+        fr = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            cmins, cmaxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        cmins.append(cc.statistics.min)
+                        cmaxs.append(cc.statistics.max)
+            assert cmins, f"no {col} stats in {f}"
+            fr.append((max(cmaxs) - min(cmins)) / span)
+        return fr
+
+    import pyspark.sql.functions as F
+
+    row = ev.agg(
+        F.min("user_id").alias("umn"), F.max("user_id").alias("umx"),
+        F.min("value").alias("vmn"), F.max("value").alias("vmx"),
+    ).collect()[0]
+
+    z_user = frac_ranges(zout, "user_id", row["umn"], row["umx"])
+    z_val = frac_ranges(zout, "value", row["vmn"], row["vmx"])
+    s_val = frac_ranges(sout, "value", row["vmn"], row["vmx"])
+
+    # both z-ordered dims show real locality...
+    assert sum(z_user) / len(z_user) < 0.6, z_user
+    assert sum(z_val) / len(z_val) < 0.6, z_val
+    # ...and value's locality clearly beats the user_id-only layout's
+    # (the synthetic columns are partially correlated, so the control is
+    # not fully global — the comparative claim is the honest one)
+    assert sum(z_val) / len(z_val) < 0.8 * (sum(s_val) / len(s_val)), (
+        z_val,
+        s_val,
+    )
+
+    back = spark.read.parquet(zout)
+    assert back.count() == ev.count()
+    probe = back.filter((back.user_id == 7) & (back.value > 50))
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "user_id" in plan and "value" in plan
+    assert probe.count() == ev.filter((ev.user_id == 7) & (ev.value > 50)).count()
