@@ -343,3 +343,69 @@ def test_bpe_trainer_matches_reference_on_arbitrary_corpora(spark, texts):
                 for r in corpus._segment_of(trained).collect()
             }
             assert seg == syms, f"batch_m={batch_m}"
+
+
+# Arbitrary unicode-ish gram strings — the bloom filter must NEVER report
+# a false negative, whatever the key material.
+bloom_keys = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@given(bloom_keys)
+@SETTINGS
+def test_bloom_never_false_negative_on_arbitrary_keys(spark, keys):
+    """For ANY key set: every inserted key tests positive under the
+    production build + membership expressions (Bloom's defining
+    guarantee; the contamination twin's exactness and the streaming
+    gate's conservatism both rest on it)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import scrubbing
+
+    df = spark.createDataFrame([(k,) for k in keys], "gram string")
+    words = scrubbing._bloom_build_words(df, "gram")
+    contained = scrubbing._bloom_might_contain(F.col("gram"), words)
+    assert df.filter(~contained).count() == 0
+
+
+# Coordinates across the scaled domain incl. boundary values.
+zorder_coords = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1000),
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=3,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(zorder_coords)
+@SETTINGS
+def test_zorder_value_is_monotone_per_dimension(spark, coords):
+    """With the other coordinate FIXED, increasing one coordinate never
+    decreases the Morton value — each dimension's bits occupy fixed
+    interleave positions, so per-dimension order is preserved (the
+    property that makes z-range file pruning sound)."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(
+        [(i, a, float(b)) for i, (a, b) in enumerate(coords)],
+        "id long, x long, y double",
+    )
+    z, _ = zorder_value(df, ["x", "y"], bits=8)
+    rows = df.withColumn("z", z).collect()
+    by_id = {r["id"]: (r["x"], r["y"], r["z"]) for r in rows}
+    vals = list(by_id.values())
+    for x1, y1, z1 in vals:
+        for x2, y2, z2 in vals:
+            if y1 == y2 and x1 < x2:
+                assert z1 <= z2, ((x1, y1, z1), (x2, y2, z2))
+            if x1 == x2 and y1 < y2:
+                assert z1 <= z2, ((x1, y1, z1), (x2, y2, z2))
