@@ -1,0 +1,241 @@
+"""Dataset profiling and distribution-drift monitoring: the operational
+tier a 100 TB ingest runs BEFORE trusting a new snapshot — per-column
+profiles (nulls / cardinality / bounds) and population-stability-index
+(PSI) drift between two time halves of the stream, numeric and
+categorical.
+
+PSI is the standard model-monitoring drift score (Siddiqi, "Credit Risk
+Scorecards"): PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref), with the
+conventional reading <0.1 stable / 0.1–0.25 shifting / >0.25 drifted.
+Counts are Laplace-smoothed (+0.5 per bin) so empty bins stay finite.
+
+Scale notes (100 TB):
+* ``column_profile`` is ONE scan: every metric for every column is a
+  single ``agg(...)`` row (map-side partial aggregation; the only shuffle
+  carries per-partition partials), exploded to per-column rows afterwards
+  — never a scan per column.  Exact ``count_distinct`` is the one
+  corpus-proportional term (its partials carry per-column distinct sets);
+  ``approx=True`` swaps in HLL ``approx_count_distinct`` for the
+  monitoring path where ±2% is fine — the oracle gates the exact
+  spelling.
+* The drift reports make three passes over events (ts bounds → reference
+  value bounds → binned counts), each a full-scan aggregate with 1-row
+  broadcast results attached to the next pass — no corpus-sized join or
+  window anywhere; the fused/report tables are bins- or category-grain.
+* The time split is the epoch midpoint (min+max)/2 — a pure column
+  expression both engines evaluate identically (no quantile, no
+  per-partition state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round2, round4
+from ..sources.readers import load_events, load_table
+
+#: PSI histogram width (shared with the DuckDB oracles — ADVICE r5
+#: constants discipline).
+PSI_BINS = 10
+
+#: Profiled table and its type-aware min/max renderings: every engine
+#: formatter has an oracle twin in plans/llm_catalog.py keyed off this
+#: list, so adding a column here without an oracle arm is a test failure,
+#: not a silent gap.
+PROFILE_TABLE = "orders"
+PROFILE_COLUMNS = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _render(col: Column, kind: str) -> Column:
+    """Cross-engine-stable string rendering for min/max values.  Doubles
+    go through the money rounding (decimal(18,2)) because a raw
+    double→string cast is formatted differently by Spark ("1.0E7") and
+    DuckDB; timestamps are formatted explicitly for the same reason (the
+    r3 timestamp-flavor drift)."""
+    if kind == "money":
+        return round2(col).cast("decimal(18,2)").cast("string")
+    if kind == "timestamp":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def column_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = PROFILE_TABLE,
+    columns: tuple[tuple[str, str], ...] = PROFILE_COLUMNS,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column profile of one table — (col_name, n_rows, n_null,
+    n_distinct, min_value, max_value) — computed in a single scan.
+
+    ``approx=True`` is the 100 TB monitoring spelling: HLL cardinalities
+    (bounded-size partials) instead of exact distinct sets.
+    """
+    df = load_table(spark, sf_dir, table)
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in columns:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nnull"),
+            distinct(c).alias(f"{c}__ndist"),
+            _render(F.min(c), kind).alias(f"{c}__min"),
+            _render(F.max(c), kind).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"{c}__nnull").alias("n_null"),
+                    F.col(f"{c}__ndist").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_value"),
+                    F.col(f"{c}__max").alias("max_value"),
+                )
+                for c, _ in columns
+            ]
+        )
+    ).alias("p")
+    return one.select(rows).select(
+        "p.col_name",
+        "p.n_rows",
+        "p.n_null",
+        "p.n_distinct",
+        "p.min_value",
+        "p.max_value",
+    )
+
+
+def _events_with_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + ``is_ref`` (first time half).  The midpoint is a 1-row
+    aggregate attached by broadcast."""
+    ev = load_events(spark, sf_dir)
+    mid = ev.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2.0)
+        ).alias("mid")
+    )
+    return ev.crossJoin(F.broadcast(mid)).withColumn(
+        "is_ref", F.unix_micros(F.col("ts")) < F.col("mid")
+    )
+
+
+def numeric_drift_psi(
+    spark: SparkSession, sf_dir: str, n_bins: int = PSI_BINS
+) -> DataFrame:
+    """PSI of ``events.value`` between the two time halves, binned on
+    ``n_bins`` fixed-width bins over the REFERENCE half's [min, max]
+    (current-half outliers clamp to the edge bins — the production
+    convention, so a drifted tail registers as edge-bin mass, not a
+    crash).  NULL values drop from both halves symmetrically.
+
+    Output is the full per-bin report (a bin spine keeps empty bins
+    visible) plus the repeated ``psi_total`` so the single headline number
+    needs no second query.
+    """
+    e = _events_with_split(spark, sf_dir).select("value", "is_ref")
+    rb = e.filter("is_ref").agg(
+        F.min("value").alias("rmin"), F.max("value").alias("rmax")
+    )
+    binned = e.crossJoin(F.broadcast(rb)).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("rmin"))
+                    / ((F.col("rmax") - F.col("rmin")) / n_bins)
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("bin_idx"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin_idx").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin_idx"))
+    filled = (
+        spine.join(counts, "bin_idx", "left")
+        .select(
+            "bin_idx",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = filled.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    probs = filled.crossJoin(F.broadcast(totals)).select(
+        "bin_idx",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * n_bins)).alias("pr"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * n_bins)).alias("pc"),
+    )
+    terms = probs.withColumn(
+        "term", (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))
+    )
+    w = Window.partitionBy()  # bins-grain: n_bins rows total
+    return terms.select(
+        "bin_idx",
+        "n_ref",
+        "n_cur",
+        round4(F.col("pr")).alias("ref_frac"),
+        round4(F.col("pc")).alias("cur_frac"),
+        F.round(F.col("term") + F.lit(1e-8), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w) + F.lit(1e-8), 6).alias("psi_total"),
+    )
+
+
+def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the ``event_type`` mix between the two time
+    halves — the schema-free twin of :func:`numeric_drift_psi` (the bin
+    space is the observed category set, Laplace-smoothed by its own
+    size)."""
+    e = _events_with_split(spark, sf_dir).select("event_type", "is_ref")
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("k_cats"),
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("k_cats"))
+        ).alias("pr"),
+        (
+            (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("k_cats"))
+        ).alias("pc"),
+    )
+    terms = probs.withColumn(
+        "term", (F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))
+    )
+    w = Window.partitionBy()  # category-grain rows
+    return terms.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        round4(F.col("pr")).alias("ref_frac"),
+        round4(F.col("pc")).alias("cur_frac"),
+        F.round(F.col("term") + F.lit(1e-8), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w) + F.lit(1e-8), 6).alias("psi_total"),
+    )

@@ -1,0 +1,268 @@
+"""Lexical and hybrid retrieval over the document corpus: Okapi BM25
+ranking, reciprocal-rank-fusion hybrid search (BM25 ∪ embedding cosine),
+and pseudo-relevance-feedback query expansion (Rocchio-style).
+
+This is the RAG-serving face of the curation stack: the same corpus the
+dedup/quality tiers clean is what a retrieval-augmented pipeline queries,
+and at 100 TB the retrieval plan shape matters as much as the index build
+(`similarity.py`).  All formulas are the published ones — Robertson &
+Sparck Jones BM25 with the Lucene idf variant ``ln(1 + (N-df+0.5)/
+(df+0.5))``, Cormack et al. reciprocal-rank fusion ``Σ 1/(k + rank)``,
+Rocchio expansion weighted by within-feedback tf-idf.
+
+Scale notes (100 TB corpus):
+* BM25's heavy object is the per-document term-frequency table.  It is
+  aggregated once (map-side combined explode→count, the same discipline as
+  ``corpus.tfidf_top_terms``) and localCheckpoint'ed, because three
+  consumers read it (query-term scores, document lengths, document
+  frequencies) and Catalyst does not reuse common subplans — without the
+  pin the corpus would be scanned and exploded 3×.
+* Everything joined INTO the scored rows is bounded by the QUERY, not the
+  corpus: the df table is |query_terms| rows and the avgdl/N scalar is one
+  row — both broadcast.  The only corpus-sized shuffle is the tf groupBy
+  itself.
+* The final ranking is ORDER BY + LIMIT → TakeOrderedAndProject (per-
+  partition heaps + single reduce), never a global sort; rank ids are
+  assigned by a window AFTER the limit, over k rows.
+* RRF fuses two bounded arms (top-R each) with a full-outer join on
+  doc_id — 2R rows total, driver-scale regardless of corpus size.  The
+  arms themselves are the scalable plans above (BM25) and the broadcast-
+  query cosine scan (`similarity.brute_force_topk`'s shape); swapping the
+  exact arm for `ivf_pq_search_indexed` keeps the fusion unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..sources.readers import load_table
+from .similarity import cosine_expr
+from .text import STOP_WORDS, TOKEN_PATTERN
+
+# BM25 hyperparameters (the standard Robertson defaults) and the fixed
+# benchmark query — module constants so the DuckDB oracles interpolate the
+# SAME values the engine defaults to (ADVICE r5 constants discipline).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "merge")
+BM25_TOP_K = 20
+
+# Reciprocal-rank fusion: shortlist depth per arm, the standard k=60
+# damping constant, and the fixed query vector (doc_id == vec_id in the
+# testdata, so one id names both the lexical corpus row and its embedding).
+RRF_K = 60
+RRF_ARM_DEPTH = 50
+HYBRID_QUERY_VEC_ID = 0
+HYBRID_TOP_K = 20
+
+# Pseudo-relevance feedback: top-R docs feed the expansion, top-E terms out.
+PRF_FEEDBACK_R = 5
+PRF_EXPANSION_E = 10
+
+
+def _term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tok_count) — one aggregated row per document term.
+    localCheckpoint'ed: three consumers, one corpus scan (module docstring).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a fixed term query.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene variant: ≥ 0).
+
+    Ranking is on the ROUNDED score (4dp, nudged) with doc_id tiebreak —
+    the same round-before-rank discipline as ``corpus.tfidf_top_terms``,
+    so the oracle's libm cannot flip a rank on a last-ulp ln() difference.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _term_freqs(docs)
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tok_count").alias("doc_tokens"))
+    # One row: corpus size + average document length (broadcast scalar).
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_tokens").alias("avgdl"),
+    )
+    qtf = tf.filter(F.col("token").isin(*query))
+    # |query| rows; broadcast — bounded by the query, never the corpus.
+    df_tbl = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+    )
+    tf_norm = (F.col("tok_count") * (k1 + 1)) / (
+        F.col("tok_count")
+        + k1 * (1 - b + b * F.col("doc_tokens") / F.col("avgdl"))
+    )
+    scored = (
+        qtf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+            round4(F.sum(idf * tf_norm)).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "doc_id",
+        "n_terms",
+        "score",
+    )
+
+
+def _vector_arm(
+    spark: SparkSession, sf_dir: str, query_vec_id: int, depth: int
+) -> DataFrame:
+    """(doc_id, vec_rank) — cosine shortlist to the fixed query vector.
+    Broadcast 1-row query against one corpus scan (brute_force_topk's
+    shape); ranking on the rounded cosine, vec_id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round4(cosine_expr("q_emb", "embedding")).alias("cosine"),
+        )
+    )
+    topd = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(depth)
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return topd.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("vec_rank")
+    )
+
+
+def hybrid_rrf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    depth: int = RRF_ARM_DEPTH,
+    k: int = HYBRID_TOP_K,
+) -> DataFrame:
+    """Hybrid search: fuse the BM25 arm and the embedding-cosine arm with
+    reciprocal-rank fusion — rrf(d) = Σ_arms 1/(RRF_K + rank_arm(d)), a
+    document absent from an arm contributing 0 (Cormack et al. 2009).
+
+    The fusion itself is corpus-size-independent: a full-outer join of two
+    ``depth``-row shortlists.  Missing ranks surface as NULL columns so the
+    consumer can see WHICH arm retrieved each hit.
+    """
+    lex = bm25_rank(spark, sf_dir, query=query, k=depth).select(
+        "doc_id", F.col("rnk").alias("lex_rank")
+    )
+    vec = _vector_arm(spark, sf_dir, query_vec_id, depth)
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                )
+                + F.lit(1e-10),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        "rrf_score",
+    )
+
+
+def prf_expand_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    feedback_r: int = PRF_FEEDBACK_R,
+    expansion_e: int = PRF_EXPANSION_E,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion: run BM25, take the top-R
+    documents as the (pseudo-)relevant set, and rank their terms by summed
+    tf-idf within that set — the Rocchio positive centroid restricted to
+    its heaviest coordinates.  Original query terms and stop words are
+    excluded; output is the top-E expansion terms.
+
+    tf-idf uses the corpus idf (smoothed, sklearn-style — the exact
+    ``corpus.tfidf_top_terms`` formula) so a rare term two feedback docs
+    share outranks a common term all five contain.
+
+    Plan: the feedback set is ``feedback_r`` ids (broadcast semi-join into
+    the tf table); the only corpus-sized work is the shared tf aggregate
+    and the df/doc-count statistics — everything downstream of the
+    feedback join is R-document-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _term_freqs(docs)
+    fb = bm25_rank(spark, sf_dir, query=query, k=feedback_r).select("doc_id")
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tok_count").alias("doc_tokens"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    fb_tf = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("token").isin(*query))
+        .filter(~F.col("token").isin(*STOP_WORDS))
+    )
+    scored = (
+        fb_tf.join(doc_len, "doc_id")
+        .join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tok_count") / F.col("doc_tokens"))
+            * (
+                F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1))
+                + F.lit(1.0)
+            ),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("fb_docs"),
+            round4(F.sum("tfidf")).alias("weight"),
+        )
+    )
+    tope = scored.orderBy(F.desc("weight"), F.asc("token")).limit(expansion_e)
+    w = Window.orderBy(F.desc("weight"), F.asc("token"))
+    return tope.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "token",
+        "fb_docs",
+        "weight",
+    )

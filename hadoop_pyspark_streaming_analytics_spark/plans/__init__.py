@@ -31,6 +31,10 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # multimodal_image_ahash_dedup, ann_filtered_search,
 # embedding_staleness_audit — all green in this round's full --vanilla
 # sweep (0 failures / 159 entries) and in per-round sf0.001 oracle diffs.
+# Third-session additions (same rule-1 queue; each verified green at
+# sf0.01 --vanilla individually): retrieval_bm25_rank, retrieval_hybrid_rrf,
+# retrieval_prf_expansion, profile_columns, drift_numeric_psi,
+# drift_event_type_psi.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [

@@ -16,7 +16,9 @@ from ..operators import (
     corpus,
     dedup,
     multimodal,
+    profiling,
     quality,
+    retrieval,
     scrubbing,
     similarity,
     sketches,
@@ -2930,4 +2932,285 @@ LLM_CATALOG.append(
         _staleness_sql(),
         tags=("llm", "similarity", "evaluation", "audit"),
     )
+)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval tier: BM25 / hybrid RRF / pseudo-relevance-feedback expansion
+# ---------------------------------------------------------------------------
+
+
+def _bm25_ctes(query: tuple[str, ...] = retrieval.BM25_QUERY) -> str:
+    """CTE chain ending in ``bscored(doc_id, n_terms, score)`` — the Okapi
+    BM25 scores for the fixed query (mirrors operators/retrieval.py:
+    bm25_rank; k1/b/terms interpolate the SHARED module constants).
+    Shared by the rank, hybrid-RRF, and PRF-expansion oracles."""
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    terms = ", ".join(f"'{t}'" for t in query)
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tok_count FROM toks GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, sum(tok_count) AS doc_tokens FROM tf GROUP BY 1),
+bstats AS (SELECT count(*) AS n_docs, avg(doc_tokens) AS avgdl FROM doc_len),
+qtf AS (SELECT * FROM tf WHERE token IN ({terms})),
+dfq AS (SELECT token, count(*) AS doc_freq FROM qtf GROUP BY 1),
+bscored AS (
+  SELECT q.doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+           * (q.tok_count * {k1 + 1!r})
+             / (q.tok_count
+                + {k1!r} * ({1 - b!r}
+                            + {b!r} * l.doc_tokens::DOUBLE / s.avgdl))
+         ) + 1e-8, 4) AS score
+  FROM qtf q
+  JOIN doc_len l USING (doc_id)
+  JOIN dfq d USING (token)
+  CROSS JOIN bstats s
+  GROUP BY 1
+)"""
+
+
+def _bm25_rank_sql() -> str:
+    k = retrieval.BM25_TOP_K
+    return f"""
+WITH {_bm25_ctes()}
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rnk,
+       doc_id, n_terms, score
+FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT {k})"""
+
+
+def _hybrid_rrf_sql() -> str:
+    depth, rrf_k = retrieval.RRF_ARM_DEPTH, retrieval.RRF_K
+    qid, k = retrieval.HYBRID_QUERY_VEC_ID, retrieval.HYBRID_TOP_K
+    return f"""
+WITH {_bm25_ctes()},
+ltop AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS lex_rank
+  FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT {depth})
+),
+qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+       WHERE vec_id = {qid}),
+vsc AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb)
+               + 1e-8, 4) AS cosine
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> {qid}
+),
+vtop AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER)
+           AS vec_rank
+  FROM (SELECT * FROM vsc ORDER BY cosine DESC, doc_id LIMIT {depth})
+),
+fused AS (
+  SELECT doc_id, l.lex_rank, v.vec_rank,
+         round(coalesce(1.0 / ({rrf_k} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0.0)
+               + 1e-10, 6) AS rrf_score
+  FROM ltop l FULL OUTER JOIN vtop v USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER)
+         AS rnk,
+       doc_id, lex_rank, vec_rank, rrf_score
+FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k})"""
+
+
+def _prf_expansion_sql() -> str:
+    r, e = retrieval.PRF_FEEDBACK_R, retrieval.PRF_EXPANSION_E
+    terms = ", ".join(f"'{t}'" for t in retrieval.BM25_QUERY)
+    stops = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    return f"""
+WITH {_bm25_ctes()},
+fb AS (SELECT doc_id FROM bscored ORDER BY score DESC, doc_id LIMIT {r}),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+fbtf AS (
+  SELECT t.doc_id, t.token, t.tok_count
+  FROM tf t JOIN fb USING (doc_id)
+  WHERE t.token NOT IN ({terms}) AND t.token NOT IN ({stops})
+),
+escored AS (
+  SELECT f.token, CAST(count(*) AS INTEGER) AS fb_docs,
+         round(sum((f.tok_count::DOUBLE / l.doc_tokens)
+               * (ln((n.n_docs + 1)::DOUBLE / (d.doc_freq + 1)) + 1.0))
+               + 1e-8, 4) AS weight
+  FROM fbtf f
+  JOIN doc_len l USING (doc_id)
+  JOIN dfreq d USING (token)
+  CROSS JOIN n
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY weight DESC, token) AS INTEGER)
+         AS rnk,
+       token, fb_docs, weight
+FROM (SELECT * FROM escored ORDER BY weight DESC, token LIMIT {e})"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "retrieval_bm25_rank",
+            retrieval.bm25_rank,
+            _bm25_rank_sql(),
+            tags=("llm", "retrieval", "ranking"),
+        ),
+        QuerySpec(
+            "retrieval_hybrid_rrf",
+            retrieval.hybrid_rrf_search,
+            _hybrid_rrf_sql(),
+            headline=True,  # the retrieval tier's composed representative
+            tags=("llm", "retrieval", "ann", "fusion"),
+        ),
+        QuerySpec(
+            "retrieval_prf_expansion",
+            retrieval.prf_expand_query,
+            _prf_expansion_sql(),
+            tags=("llm", "retrieval", "ranking"),
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Profiling / drift tier: column profile + numeric & categorical PSI
+# ---------------------------------------------------------------------------
+
+
+def _column_profile_sql() -> str:
+    """One UNION ALL arm per profiled column, each rendering min/max with
+    the engine formatter's oracle twin (profiling.PROFILE_COLUMNS is the
+    single source of the column list AND the type kinds)."""
+    renders = {
+        "bigint": "CAST({m}({c}) AS VARCHAR)",
+        "string": "CAST({m}({c}) AS VARCHAR)",
+        "money": "CAST(CAST(round({m}({c}) + 1e-6, 2) AS DECIMAL(18,2))"
+        " AS VARCHAR)",
+        "timestamp": "strftime({m}({c}), '%Y-%m-%d %H:%M:%S')",
+    }
+    arms = []
+    for c, kind in profiling.PROFILE_COLUMNS:
+        mn = renders[kind].format(m="min", c=c)
+        mx = renders[kind].format(m="max", c=c)
+        arms.append(f"""SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_value,
+       {mx} AS max_value
+FROM {profiling.PROFILE_TABLE}""")
+    return "\nUNION ALL\n".join(arms)
+
+
+#: Midpoint-split CTE shared by both drift oracles (mirrors
+#: profiling._events_with_split).
+_DRIFT_SPLIT_CTE = """
+b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid
+      FROM events),
+e AS (SELECT value, event_type, epoch_us(ts) < b.mid AS is_ref
+      FROM events CROSS JOIN b)"""
+
+
+def _numeric_psi_sql() -> str:
+    nb = profiling.PSI_BINS
+    return f"""
+WITH {_DRIFT_SPLIT_CTE},
+rb AS (SELECT min(value) AS rmin, max(value) AS rmax FROM e WHERE is_ref),
+binned AS (
+  SELECT CAST(LEAST({nb - 1}, GREATEST(0,
+           floor((e.value - rb.rmin) / ((rb.rmax - rb.rmin) / {nb}))))
+         AS INTEGER) AS bin_idx,
+         is_ref
+  FROM e CROSS JOIN rb
+),
+c AS (
+  SELECT bin_idx,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM binned WHERE bin_idx IS NOT NULL GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(range({nb})) AS INTEGER) AS bin_idx),
+f AS (
+  SELECT s.bin_idx,
+         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN c USING (bin_idx)
+),
+t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM f),
+p AS (
+  SELECT f.bin_idx, f.n_ref, f.n_cur,
+         (f.n_ref + 0.5) / (t.t_ref + {0.5 * nb!r}) AS pr,
+         (f.n_cur + 0.5) / (t.t_cur + {0.5 * nb!r}) AS pc
+  FROM f CROSS JOIN t
+),
+terms AS (
+  SELECT bin_idx, n_ref, n_cur, pr, pc,
+         (pc - pr) * ln(pc / pr) AS term
+  FROM p
+)
+SELECT bin_idx,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(pr + 1e-8, 4) AS ref_frac, round(pc + 1e-8, 4) AS cur_frac,
+       round(term + 1e-8, 6) AS psi_term,
+       round(sum(term) OVER () + 1e-8, 6) AS psi_total
+FROM terms"""
+
+
+def _categorical_psi_sql() -> str:
+    return f"""
+WITH {_DRIFT_SPLIT_CTE},
+c AS (
+  SELECT event_type,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM e GROUP BY 1
+),
+t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+             count(*) AS k_cats FROM c),
+p AS (
+  SELECT c.event_type, c.n_ref, c.n_cur,
+         (c.n_ref + 0.5) / (t.t_ref + 0.5 * t.k_cats) AS pr,
+         (c.n_cur + 0.5) / (t.t_cur + 0.5 * t.k_cats) AS pc
+  FROM c CROSS JOIN t
+),
+terms AS (
+  SELECT event_type, n_ref, n_cur, pr, pc,
+         (pc - pr) * ln(pc / pr) AS term
+  FROM p
+)
+SELECT event_type,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(pr + 1e-8, 4) AS ref_frac, round(pc + 1e-8, 4) AS cur_frac,
+       round(term + 1e-8, 6) AS psi_term,
+       round(sum(term) OVER () + 1e-8, 6) AS psi_total
+FROM terms"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "profile_columns",
+            profiling.column_profile,
+            _column_profile_sql(),
+            tags=("llm", "profiling", "audit"),
+        ),
+        QuerySpec(
+            "drift_numeric_psi",
+            profiling.numeric_drift_psi,
+            _numeric_psi_sql(),
+            tags=("llm", "profiling", "drift", "evaluation"),
+        ),
+        QuerySpec(
+            "drift_event_type_psi",
+            profiling.categorical_drift_report,
+            _categorical_psi_sql(),
+            tags=("llm", "profiling", "drift", "evaluation"),
+        ),
+    ]
 )

@@ -576,6 +576,14 @@ def test_broadcast_hint_policy():
         ("operators/windows.py", "cuts"): "decile cutpoints",
         ("operators/timeseries.py", "stats"): "1-row median/total scalar",
         ("streaming/extensions.py", "dim"): "caller-contracted dimension",
+        ("operators/retrieval.py", "df_tbl"): "|query_terms| rows (BM25 df)",
+        ("operators/retrieval.py", "stats"): "1-row N/avgdl scalar",
+        ("operators/retrieval.py", "q"): "1-row hybrid query vector",
+        ("operators/retrieval.py", "fb"): "feedback_r row ids (PRF)",
+        ("operators/retrieval.py", "n_docs"): "1-row scalar",
+        ("operators/profiling.py", "mid"): "1-row epoch midpoint",
+        ("operators/profiling.py", "rb"): "1-row reference value bounds",
+        ("operators/profiling.py", "totals"): "1-row half totals",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     violations = []

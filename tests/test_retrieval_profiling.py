@@ -1,0 +1,239 @@
+"""Semantic invariants and plan-shape guards for the retrieval tier
+(BM25 / hybrid RRF / PRF expansion) and the profiling/drift tier.
+
+Exactness is gated by the DuckDB oracles (test_catalog_oracle); these
+tests pin the properties an oracle diff can't see — formula consistency,
+mathematical invariants (PSI terms are non-negative by construction),
+the approx profiling twin, and the plans staying scan-shaped.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.operators import (
+    profiling,
+    retrieval,
+)
+from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_contiguous_and_terms_bounded(spark, sf_dir):
+    rows = retrieval.bm25_rank(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(1 <= r.n_terms <= len(retrieval.BM25_QUERY) for r in rows)
+    assert all(r.score > 0 for r in rows)
+    # descending by (score, doc_id asc on ties)
+    for a, b in zip(rows, rows[1:]):
+        assert (a.score, -a.doc_id) >= (b.score, -b.doc_id) or a.score > b.score
+        assert a.score >= b.score
+
+
+def test_bm25_top_doc_contains_query_terms(spark, sf_dir):
+    top = retrieval.bm25_rank(spark, sf_dir, k=1).collect()[0]
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == top.doc_id)
+        .collect()[0]
+        .text.lower()
+    )
+    hits = [t for t in retrieval.BM25_QUERY if t in text.split()]
+    assert len(hits) == top.n_terms
+
+
+def test_bm25_plan_is_topk_not_global_sort(spark, sf_dir):
+    plan = plan_of(retrieval.bm25_rank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_score_matches_rank_formula(spark, sf_dir):
+    rows = retrieval.hybrid_rrf_search(spark, sf_dir).collect()
+    assert rows, "hybrid search returned nothing"
+    for r in rows:
+        expect = sum(
+            1.0 / (retrieval.RRF_K + rank)
+            for rank in (r.lex_rank, r.vec_rank)
+            if rank is not None
+        )
+        assert abs(r.rrf_score - expect) < 2e-6
+        assert r.lex_rank is not None or r.vec_rank is not None
+    # fused ordering is by rrf_score desc
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_both_arms_beat_single_arm_at_same_rank(spark, sf_dir):
+    """A doc retrieved by BOTH arms at rank r must outscore a doc one arm
+    retrieved at the same r — the monotonicity RRF exists for."""
+    rows = retrieval.hybrid_rrf_search(spark, sf_dir).collect()
+    both = [r for r in rows if r.lex_rank is not None and r.vec_rank is not None]
+    single = [r for r in rows if (r.lex_rank is None) != (r.vec_rank is None)]
+    for b in both:
+        for s in single:
+            s_rank = s.lex_rank if s.lex_rank is not None else s.vec_rank
+            if s_rank >= min(b.lex_rank, b.vec_rank):
+                assert b.rrf_score > s.rrf_score - 2e-6
+
+
+def test_hybrid_plan_broadcasts_query_vector(spark, sf_dir):
+    plan = plan_of(retrieval.hybrid_rrf_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan  # 1-row sides ride BNLJ
+
+
+# ---------------------------------------------------------------------------
+# PRF expansion
+# ---------------------------------------------------------------------------
+
+
+def test_prf_excludes_query_and_stop_words(spark, sf_dir):
+    from hadoop_pyspark_streaming_analytics_spark.operators.text import (
+        STOP_WORDS,
+    )
+
+    rows = retrieval.prf_expand_query(spark, sf_dir).collect()
+    assert rows, "no expansion terms"
+    toks = {r.token for r in rows}
+    assert not toks & set(retrieval.BM25_QUERY)
+    assert not toks & set(STOP_WORDS)
+    assert all(1 <= r.fb_docs <= retrieval.PRF_FEEDBACK_R for r in rows)
+    assert all(r.weight > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Column profile
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_consistent_with_direct_aggregates(spark, sf_dir):
+    rows = {r.col_name: r for r in profiling.column_profile(spark, sf_dir).collect()}
+    assert set(rows) == {c for c, _ in profiling.PROFILE_COLUMNS}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    direct = orders.agg(
+        F.count("o_custkey").alias("nn"),
+        F.count_distinct("o_orderstatus").alias("nd"),
+        F.min("o_orderkey").alias("mn"),
+    ).collect()[0]
+    assert all(r.n_rows == n for r in rows.values())
+    assert rows["o_custkey"].n_null == n - direct.nn
+    assert rows["o_orderstatus"].n_distinct == direct.nd
+    assert rows["o_orderkey"].min_value == str(direct.mn)
+
+
+def test_column_profile_approx_twin_same_schema_close_cardinality(
+    spark, sf_dir
+):
+    exact = {
+        r.col_name: r for r in profiling.column_profile(spark, sf_dir).collect()
+    }
+    approx_df = profiling.column_profile(spark, sf_dir, approx=True)
+    approx = {r.col_name: r for r in approx_df.collect()}
+    assert approx_df.columns == [
+        "col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value",
+    ]
+    for c in exact:
+        e, a = exact[c].n_distinct, approx[c].n_distinct
+        assert abs(a - e) <= max(2, 0.1 * e), (c, e, a)
+        # everything but the HLL cardinality is identical
+        assert exact[c].n_null == approx[c].n_null
+        assert exact[c].min_value == approx[c].min_value
+
+
+def test_column_profile_is_single_scan(spark, sf_dir):
+    plan = plan_of(profiling.column_profile(spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail): one scan.
+    assert plan.count("Scan parquet") == 2
+
+
+# ---------------------------------------------------------------------------
+# Drift / PSI
+# ---------------------------------------------------------------------------
+
+
+def test_numeric_psi_terms_nonnegative_and_total_is_sum(spark, sf_dir):
+    rows = profiling.numeric_drift_psi(spark, sf_dir).collect()
+    assert [r.bin_idx for r in sorted(rows, key=lambda r: r.bin_idx)] == list(
+        range(profiling.PSI_BINS)
+    )
+    # (pc-pr) and ln(pc/pr) always share sign -> every term >= 0
+    assert all(r.psi_term >= -1e-9 for r in rows)
+    total = rows[0].psi_total
+    assert all(abs(r.psi_total - total) < 1e-12 for r in rows)
+    assert abs(total - sum(r.psi_term for r in rows)) < 1e-4
+    assert total >= -1e-9
+
+
+def test_numeric_psi_bins_partition_the_values(spark, sf_dir):
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        load_events,
+    )
+
+    rows = profiling.numeric_drift_psi(spark, sf_dir).collect()
+    n_binned = sum(r.n_ref + r.n_cur for r in rows)
+    n_values = load_events(spark, sf_dir).filter(F.col("value").isNotNull()).count()
+    assert n_binned == n_values
+
+
+def test_categorical_psi_invariants(spark, sf_dir):
+    rows = profiling.categorical_drift_report(spark, sf_dir).collect()
+    assert rows
+    assert all(r.psi_term >= -1e-9 for r in rows)
+    # fractions are Laplace-smoothed: strictly positive, roughly sum to 1
+    for frac in ("ref_frac", "cur_frac"):
+        s = sum(getattr(r, frac) for r in rows)
+        assert all(getattr(r, frac) > 0 for r in rows)
+        assert abs(s - 1.0) < 0.01
+    total = rows[0].psi_total
+    assert abs(total - sum(r.psi_term for r in rows)) < 1e-4
+
+
+def test_psi_is_zero_for_identical_distributions(spark, sf_dir, tmp_path):
+    """Synthetic check that the score MEANS drift: duplicate the same
+    values into both halves -> PSI ~ 0 (only Laplace noise)."""
+    # pairs (2k, 2k+1) share a value and land one per half -> identical mix
+    base = [
+        (
+            k,
+            "2024-01-01 00:00:00" if k % 2 == 0 else "2024-01-03 00:00:00",
+            float((k // 2) % 50),
+        )
+        for k in range(1000)
+    ]
+    ev = (
+        spark.createDataFrame(base, "event_id long, ts_s string, value double")
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("x").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+    )
+    out = str(tmp_path / "events.parquet")
+    ev.write.parquet(out)
+    rows = profiling.numeric_drift_psi(spark, str(tmp_path)).collect()
+    # identical halves: every bin's ref/cur counts match exactly
+    assert all(r.n_ref == r.n_cur for r in rows)
+    assert abs(rows[0].psi_total) < 1e-6
