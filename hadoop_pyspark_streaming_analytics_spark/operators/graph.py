@@ -1,0 +1,92 @@
+"""Graph analytics over the near-duplicate candidate graph: PageRank.
+
+The dedup tier already materializes a document graph (MinHash-LSH
+candidate pairs feed :func:`dedup.connected_components`); PageRank over
+the same graph ranks documents by duplication CENTRALITY — the template
+hubs whose text radiates through the corpus.  A curation pipeline uses it
+to pick cluster canonicals (or to cap hub influence) with a principled
+score instead of min-id.
+
+This is the repo's second iterative-fixpoint operator (after min-label
+propagation) and follows the same execution discipline:
+
+* the symmetrized edge list is ``localCheckpoint``'ed ONCE — it is
+  re-joined every round, and without the pin each round would replay the
+  whole shingle→minhash→LSH pipeline;
+* each round is one distributed join + map-side-combined groupBy (mass =
+  Σ pr/degree over in-edges), re-checkpointed so lineage stays flat;
+* rounds are the ONLY driver orchestration — no per-node driver state.
+
+Scale (100 TB): edges from LSH are near-linear in corpus size (bounded
+bucket fan-out — the hot-bucket caps upstream); each round shuffles the
+edge list on ``u`` once.  A production run would pre-partition ``sym``
+and the rank table on the join key so every round reuses one exchange
+(the AQE-visible co-partitioning is left to runtime here).  Undirected
+graphs have no dangling nodes (every node has degree ≥ 1), so the
+damping term needs no leaked-mass correction and Σ pagerank stays 1 —
+pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_candidates
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank_similar_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank over the undirected LSH candidate graph:
+    pr₀ = 1/N;  prₜ₊₁(v) = (1−d)/N + d·Σ_{u∼v} prₜ(u)/deg(u).
+
+    Returns (doc_id, degree, pagerank) for every document in ≥1 candidate
+    pair; ``iters`` fixed (the oracle unrolls the same count).
+    """
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sym = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    n = sym.select("u").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        mass = (
+            sym.join(ranks, sym.u == ranks.node)
+            .join(deg, "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
+        )
+        ranks = (
+            mass.crossJoin(F.broadcast(n))
+            .select(
+                F.col("v").alias("node"),
+                (
+                    F.lit(1 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("mass")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(
+        deg.select(F.col("u").alias("node"), "degree"), "node"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("int").alias("degree"),
+        F.round(F.col("pr") + F.lit(1e-8), 6).alias("pagerank"),
+    )

@@ -266,3 +266,101 @@ def prf_expand_query(
         "fb_docs",
         "weight",
     )
+
+
+# MMR re-ranking: shortlist depth, greedy selections, and the
+# relevance/diversity trade-off weight (Carbonell & Goldstein 1998).
+MMR_SHORTLIST = 20
+MMR_SELECT_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = MMR_SELECT_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank: greedily select ``k`` documents
+    from the cosine top-``shortlist``, each step taking
+    argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    (the first pick scores λ·rel alone).  The diversity-aware answer set a
+    RAG context window actually wants — near-duplicate hits stop crowding
+    out coverage.
+
+    Execution: the shortlist (``shortlist`` rows WITH their embeddings) is
+    localCheckpoint'ed once; each greedy step is a distributed argmax over
+    it (selected-set join is ≤k broadcast rows) with a 1-ROW collect — the
+    bounded-driver-pattern of the BPE per-merge argmax, k·1 rows total.
+    Corpus-sized work happens exactly once, in the shortlist scan; at
+    100 TB that scan is the brute-force arm and swaps for the indexed ANN
+    spelling unchanged.
+
+    All scores are rounded (6dp, nudged) BEFORE every argmax so the
+    DuckDB oracle's libm noise cannot flip a selection; ties break on
+    doc_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sl = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(cosine_expr("q_emb", "embedding") + F.lit(1e-8), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(shortlist)
+        .localCheckpoint(eager=True)
+    )
+    picked: list[tuple[int, int, float, float]] = []
+    for step in range(1, k + 1):
+        chosen_ids = [p[1] for p in picked]
+        if not picked:
+            row = sl.select(
+                "doc_id",
+                "rel",
+                F.round(F.lit(lam) * F.col("rel") + F.lit(1e-8), 6).alias(
+                    "mmr"
+                ),
+            ).orderBy(F.desc("mmr"), F.asc("doc_id")).first()
+        else:
+            sel = sl.filter(F.col("doc_id").isin(chosen_ids)).select(
+                F.col("embedding").alias("s_emb")
+            )
+            row = (
+                sl.filter(~F.col("doc_id").isin(chosen_ids))
+                .crossJoin(F.broadcast(sel))
+                .select(
+                    "doc_id",
+                    "rel",
+                    F.round(
+                        cosine_expr("embedding", "s_emb") + F.lit(1e-8), 6
+                    ).alias("sim"),
+                )
+                .groupBy("doc_id", "rel")
+                .agg(F.max("sim").alias("max_sim"))
+                .select(
+                    "doc_id",
+                    "rel",
+                    F.round(
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1 - lam) * F.col("max_sim")
+                        + F.lit(1e-8),
+                        6,
+                    ).alias("mmr"),
+                )
+                .orderBy(F.desc("mmr"), F.asc("doc_id"))
+                .first()
+            )
+        picked.append((step, row.doc_id, float(row.rel), float(row.mmr)))
+    return spark.createDataFrame(
+        picked, "rnk int, doc_id long, relevance double, mmr_score double"
+    )

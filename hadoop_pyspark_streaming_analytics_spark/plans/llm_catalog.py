@@ -15,6 +15,7 @@ from ..operators import (
     chunking,
     corpus,
     dedup,
+    graph,
     multimodal,
     profiling,
     quality,
@@ -3213,4 +3214,123 @@ LLM_CATALOG.extend(
             tags=("llm", "profiling", "drift", "evaluation"),
         ),
     ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Graph tier: PageRank over the LSH candidate graph (unrolled iterations)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(
+    damping: float = graph.PAGERANK_DAMPING, iters: int = graph.PAGERANK_ITERS
+) -> str:
+    """PageRank oracle: the proven LSH cand CTEs feed an edge list, and
+    each power iteration is unrolled (the kmeans/BPE precedent for
+    iterative operators).  Constants interpolate via !r so 1-damping is
+    the IDENTICAL Python double the engine multiplies with."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""r{i + 1} AS (
+  SELECT e.v AS node,
+         {1 - damping!r} / n.n_nodes
+           + {damping!r} * sum(r.pr / dg.degree) AS pr
+  FROM edges e
+  JOIN r{i} r ON r.node = e.u
+  JOIN deg dg ON dg.u = e.u
+  CROSS JOIN n
+  GROUP BY e.v, n.n_nodes
+)""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_lsh_ctes()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+deg AS (SELECT u, count(*) AS degree FROM edges GROUP BY 1),
+n AS (SELECT count(DISTINCT u) AS n_nodes FROM edges),
+r0 AS (
+  SELECT DISTINCT u AS node, 1.0 / n.n_nodes AS pr FROM edges CROSS JOIN n
+),
+{chain}
+SELECT dg.u AS doc_id, CAST(dg.degree AS INTEGER) AS degree,
+       round(r.pr + 1e-8, 6) AS pagerank
+FROM r{iters} r JOIN deg dg ON dg.u = r.node"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "graph_pagerank_docs",
+        graph.pagerank_similar_docs,
+        _pagerank_sql(),
+        tags=("llm", "graph", "dedup", "ranking"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-rank: unrolled greedy selection (k stages, each an argmax CTE)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_sql() -> str:
+    lam = retrieval.MMR_LAMBDA
+    qid, sl, k = (
+        retrieval.HYBRID_QUERY_VEC_ID,
+        retrieval.MMR_SHORTLIST,
+        retrieval.MMR_SELECT_K,
+    )
+    stages = [
+        f"""s1 AS (
+  SELECT 1 AS rnk, doc_id, emb, rel,
+         round({lam!r} * rel + 1e-8, 6) AS mmr
+  FROM sl ORDER BY round({lam!r} * rel + 1e-8, 6) DESC, doc_id LIMIT 1
+),
+sel1 AS (SELECT doc_id, emb FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        stages.append(f"""s{i} AS (
+  SELECT {i} AS rnk, c.doc_id, c.emb, c.rel,
+         round({lam!r} * c.rel
+               - {1 - lam!r} * max(round(list_cosine_similarity(c.emb, s.emb)
+                                         + 1e-8, 6))
+               + 1e-8, 6) AS mmr
+  FROM sl c CROSS JOIN sel{i - 1} s
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+  GROUP BY c.doc_id, c.emb, c.rel
+  ORDER BY mmr DESC, c.doc_id LIMIT 1
+),
+sel{i} AS (SELECT doc_id, emb FROM sel{i - 1}
+           UNION ALL SELECT doc_id, emb FROM s{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT rnk, doc_id, rel, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    chain = ",\n".join(stages)
+    return f"""
+WITH base AS (
+  SELECT e.vec_id AS doc_id,
+         list_transform(e.embedding, x -> x::DOUBLE) AS emb,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb)
+               + 1e-8, 6) AS rel
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
+              WHERE vec_id = {qid}) q
+  WHERE e.vec_id <> {qid}
+),
+sl AS (SELECT * FROM base ORDER BY rel DESC, doc_id LIMIT {sl}),
+{chain}
+SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, rel AS relevance,
+       mmr AS mmr_score
+FROM ({unions})"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "retrieval_mmr_rerank",
+        retrieval.mmr_rerank,
+        _mmr_sql(),
+        tags=("llm", "retrieval", "ann", "ranking"),
+    )
 )

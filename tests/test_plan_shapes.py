@@ -584,6 +584,8 @@ def test_broadcast_hint_policy():
         ("operators/profiling.py", "mid"): "1-row epoch midpoint",
         ("operators/profiling.py", "rb"): "1-row reference value bounds",
         ("operators/profiling.py", "totals"): "1-row half totals",
+        ("operators/retrieval.py", "sel"): "<=k selected MMR rows",
+        ("operators/graph.py", "n"): "1-row node-count scalar",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     violations = []

@@ -237,3 +237,95 @@ def test_psi_is_zero_for_identical_distributions(spark, sf_dir, tmp_path):
     # identical halves: every bin's ref/cur counts match exactly
     assert all(r.n_ref == r.n_cur for r in rows)
     assert abs(rows[0].psi_total) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_and_nodes_match_graph(spark, sf_dir):
+    """Undirected graph -> no dangling mass: sum(pagerank) == 1 (to
+    rounding); node set == the candidate graph's node set; degree >= 1."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import graph
+    from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = graph.pagerank_similar_docs(spark, sf_dir).collect()
+    assert rows, "empty candidate graph"
+    assert all(r.degree >= 1 for r in rows)
+    assert all(r.pagerank > 0 for r in rows)
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-4 * len(rows)
+    cand = minhash_lsh_candidates(spark, sf_dir).collect()
+    nodes = {c.doc_a for c in cand} | {c.doc_b for c in cand}
+    assert {r.doc_id for r in rows} == nodes
+
+
+def test_pagerank_favors_high_degree_on_average(spark, sf_dir):
+    """Rank mass flows toward hubs: the mean pagerank of above-median-
+    degree nodes must exceed the mean of below-median ones."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import graph
+
+    rows = graph.pagerank_similar_docs(spark, sf_dir).collect()
+    degs = sorted(r.degree for r in rows)
+    med = degs[len(degs) // 2]
+    hi = [r.pagerank for r in rows if r.degree > med]
+    lo = [r.pagerank for r in rows if r.degree < med]
+    if hi and lo:  # degenerate all-equal-degree graphs skip the split
+        assert sum(hi) / len(hi) > sum(lo) / len(lo)
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_independent_numpy_greedy(spark, sf_dir):
+    """Recompute the whole greedy MMR selection from raw embeddings with
+    numpy (independent of every Spark expression) and require the same
+    picks, in order, with matching scores."""
+    import numpy as np
+
+    out = retrieval.mmr_rerank(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    qid, lam = retrieval.HYBRID_QUERY_VEC_ID, retrieval.MMR_LAMBDA
+    q = emb[qid]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {
+        i: round(cos(v, q) + 1e-8, 6) for i, v in emb.items() if i != qid
+    }
+    short = sorted(rel, key=lambda i: (-rel[i], i))[: retrieval.MMR_SHORTLIST]
+    picks, sel = [], []
+    for step in range(1, retrieval.MMR_SELECT_K + 1):
+        best = None
+        for c in short:
+            if c in sel:
+                continue
+            if not sel:
+                score = round(lam * rel[c] + 1e-8, 6)
+            else:
+                mx = max(round(cos(emb[c], emb[s]) + 1e-8, 6) for s in sel)
+                score = round(lam * rel[c] - (1 - lam) * mx + 1e-8, 6)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        sel.append(best[1])
+        picks.append((step, best[1], rel[best[1]], best[2]))
+    got = [(r.rnk, r.doc_id, r.relevance, r.mmr_score) for r in out]
+    assert got == picks
+
+
+def test_mmr_selects_distinct_shortlist_members(spark, sf_dir):
+    out = retrieval.mmr_rerank(spark, sf_dir).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) == retrieval.MMR_SELECT_K
+    assert [r.rnk for r in out] == list(range(1, retrieval.MMR_SELECT_K + 1))
+    # first pick is the pure-relevance argmax
+    assert out[0].relevance == max(r.relevance for r in out)
