@@ -200,23 +200,22 @@ def numeric_drift_psi(
     )
 
 
-def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical PSI of the ``event_type`` mix between the two time
-    halves — the schema-free twin of :func:`numeric_drift_psi` (the bin
-    space is the observed category set, Laplace-smoothed by its own
-    size)."""
-    e = _events_with_split(spark, sf_dir).select("event_type", "is_ref")
-    counts = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
-    )
+def psi_report(counts: DataFrame, key: str) -> DataFrame:
+    """Categorical PSI over a pre-counted (key, n_ref, n_cur) table —
+    ONE definition of the smoothing/score math, shared by the batch
+    midpoint report and the streaming per-micro-batch monitor
+    (streaming/extensions.py:foreach_batch_drift_monitor), so the two
+    faces cannot drift.  The category space is the table's own key set,
+    Laplace-smoothed by its size; the input is category-grain (bounded),
+    so the cross-joined totals row and the whole-frame window are
+    trivially small."""
     totals = counts.agg(
         F.sum("n_ref").alias("t_ref"),
         F.sum("n_cur").alias("t_cur"),
         F.count(F.lit(1)).alias("k_cats"),
     )
     probs = counts.crossJoin(F.broadcast(totals)).select(
-        "event_type",
+        key,
         "n_ref",
         "n_cur",
         (
@@ -231,7 +230,7 @@ def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()  # category-grain rows
     return terms.select(
-        "event_type",
+        key,
         "n_ref",
         "n_cur",
         round4(F.col("pr")).alias("ref_frac"),
@@ -239,3 +238,16 @@ def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("term") + F.lit(1e-8), 6).alias("psi_term"),
         F.round(F.sum("term").over(w) + F.lit(1e-8), 6).alias("psi_total"),
     )
+
+
+def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the ``event_type`` mix between the two time
+    halves — the schema-free twin of :func:`numeric_drift_psi` (the bin
+    space is the observed category set, Laplace-smoothed by its own
+    size)."""
+    e = _events_with_split(spark, sf_dir).select("event_type", "is_ref")
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    return psi_report(counts, "event_type")

@@ -105,6 +105,15 @@ def bm25_rank(
         F.avg("doc_tokens").alias("avgdl"),
     )
     qtf = tf.filter(F.col("token").isin(*query))
+    return _bm25_score_topk(qtf, doc_len, stats, k, k1, b)
+
+
+def _bm25_score_topk(
+    qtf: DataFrame, doc_len: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """The query-bounded BM25 scoring tail — ONE definition shared by the
+    from-corpus spelling and the materialized-index spelling, so the
+    formula cannot drift between the two physical paths."""
     # |query| rows; broadcast — bounded by the query, never the corpus.
     df_tbl = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     idf = F.log(
@@ -133,6 +142,73 @@ def bm25_rank(
         "n_terms",
         "score",
     )
+
+
+def materialize_text_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the BM25 inverted-index artifacts — the build-once/
+    query-forever split the PQ index already follows (similarity.py:
+    materialize_pq_index):
+
+    * ``{path}/postings`` — (doc_id, token, tok_count), range-partitioned
+      and sorted on ``token`` so every parquet file covers a narrow token
+      range: a term lookup prunes files/row-groups via min/max stats
+      instead of scanning the corpus-sized postings table.
+    * ``{path}/doc_len``  — (doc_id, doc_tokens), the length norms.
+    * ``{path}/stats``    — 1 row (n_docs, avgdl).
+
+    At 100 TB the postings build is the one corpus-sized job (explode +
+    map-side-combined count + one range shuffle); every query afterwards
+    touches only its terms' files.
+    """
+    tf = _term_freqs(load_table(spark, sf_dir, "documents"))
+    (
+        tf.repartitionByRange("token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tok_count").alias("doc_tokens"))
+    doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+    doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_tokens").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_rank_indexed(
+    spark: SparkSession,
+    path: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 against a :func:`materialize_text_index` layout: the term
+    filter pushes down into the token-sorted postings scan (plan-asserted
+    PushedFilters), so per-query I/O is the matched terms' postings — not
+    the corpus.  Result-identical to :func:`bm25_rank` (shared scoring
+    tail; parity pytest-pinned)."""
+    qtf = spark.read.parquet(f"{path}/postings").filter(
+        F.col("token").isin(*query)
+    )
+    doc_len = spark.read.parquet(f"{path}/doc_len")
+    stats = spark.read.parquet(f"{path}/stats")
+    return _bm25_score_topk(qtf, doc_len, stats, k, k1, b)
+
+
+def bm25_indexed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained catalog spelling of :func:`bm25_rank_indexed` (the
+    ivf_pq_search_indexed_entry convention): build the index into scratch,
+    query it, localCheckpoint the k-row result, delete the scratch.
+    Result-identical to :func:`bm25_rank`, so it shares that oracle."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="text_index_entry_")
+    try:
+        materialize_text_index(spark, sf_dir, path)
+        return bm25_rank_indexed(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _vector_arm(

@@ -34,7 +34,8 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # Third-session additions (same rule-1 queue; each verified green at
 # sf0.01 --vanilla individually): retrieval_bm25_rank, retrieval_hybrid_rrf,
 # retrieval_prf_expansion, profile_columns, drift_numeric_psi,
-# drift_event_type_psi, graph_pagerank_docs, retrieval_mmr_rerank.
+# drift_event_type_psi, graph_pagerank_docs, retrieval_mmr_rerank,
+# retrieval_bm25_indexed.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [

@@ -3334,3 +3334,16 @@ LLM_CATALOG.append(
         tags=("llm", "retrieval", "ann", "ranking"),
     )
 )
+
+
+# The materialized-index BM25 spelling is result-identical to the
+# from-corpus spelling (shared scoring tail), so it reuses that oracle
+# verbatim — the ann_ivf_pq_search_indexed precedent.
+LLM_CATALOG.append(
+    QuerySpec(
+        "retrieval_bm25_indexed",
+        retrieval.bm25_indexed_entry,
+        _bm25_rank_sql(),
+        tags=("llm", "retrieval", "ranking", "indexed"),
+    )
+)

@@ -404,3 +404,49 @@ def foreach_batch_adc_topk(
         )
 
     return apply
+
+
+def foreach_batch_drift_monitor(
+    reference_profile: DataFrame, out_path: str
+) -> Callable[[DataFrame, int], None]:
+    """Streaming distribution-drift monitor: per micro-batch, the
+    categorical PSI of the batch's ``event_type`` mix against a FROZEN
+    reference profile — the streaming face of
+    operators/profiling.py:categorical_drift_report (the score math is
+    the SAME function, profiling.psi_report, so the two cannot drift).
+
+    ``reference_profile`` is (event_type, n_ref) — e.g. the trusted
+    snapshot's counts, category-grain and tiny.  Categories are the UNION
+    of reference and batch (full-outer + zero-fill): a type the reference
+    never saw registers as finite positive drift via Laplace smoothing,
+    not a crash — exactly what an ingest alert wants from schema-ish
+    drift.
+
+    Per batch: one map-side-combined count of the batch + category-grain
+    joins; no state between batches (each report stands alone against the
+    frozen reference), so exactly-once is the batch_id=N overwrite
+    discipline shared with the other foreachBatch sinks here.  The
+    monitor's consumer reads ``out_path`` with batch_id as a partition
+    column and alerts on ``psi_total`` (conventional: >0.25 = drifted).
+    """
+    ref = reference_profile.select("event_type", "n_ref")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.profiling import psi_report
+
+        cur = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_cur")
+        )
+        counts = (
+            ref.join(cur, "event_type", "full_outer")
+            .select(
+                "event_type",
+                F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            )
+        )
+        psi_report(counts, "event_type").write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return apply

@@ -329,3 +329,116 @@ def test_mmr_selects_distinct_shortlist_members(spark, sf_dir):
     assert [r.rnk for r in out] == list(range(1, retrieval.MMR_SELECT_K + 1))
     # first pick is the pure-relevance argmax
     assert out[0].relevance == max(r.relevance for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Materialized text index
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_indexed_parity_with_from_corpus(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tindex")
+    retrieval.materialize_text_index(spark, sf_dir, path)
+    direct = retrieval.bm25_rank(spark, sf_dir).collect()
+    indexed = retrieval.bm25_rank_indexed(spark, path).collect()
+    assert direct == indexed
+
+
+def test_bm25_indexed_pushes_token_filter_into_postings_scan(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB point of the index: the term predicate must reach the
+    token-sorted postings scan as a pushed filter (file/row-group pruning
+    via min/max), and the scan must not read doc-grain columns it doesn't
+    need."""
+    path = str(tmp_path / "tindex")
+    retrieval.materialize_text_index(spark, sf_dir, path)
+    plan = plan_of(retrieval.bm25_rank_indexed(spark, path))
+    postings_scan = [
+        b
+        for b in plan.split("\n\n")
+        if "postings" in b and "Scan parquet" in b and "PushedFilters" in b
+    ]
+    assert postings_scan, "no pushed filter on the postings scan"
+    assert any("token" in b.split("PushedFilters")[1].splitlines()[0]
+               for b in postings_scan)
+
+
+def test_text_index_postings_are_token_clustered(spark, sf_dir, tmp_path):
+    """Range partition + sort must actually cluster: each postings file's
+    (min, max) token range must not overlap any other file's."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    path = str(tmp_path / "tindex")
+    retrieval.materialize_text_index(spark, sf_dir, path)
+    spans = []
+    for f in Path(path, "postings").glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["token"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+        assert amax <= bmin, f"overlapping token ranges: {amax} > {bmin}"
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_drift_monitor_matches_batch_report_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Feed the monitor the midpoint report's own inputs — reference
+    profile = first-half counts, one micro-batch = the whole second half —
+    and the per-batch report must EQUAL categorical_drift_report's rows
+    (shared psi_report math, same counts).  Replaying the batch must
+    overwrite, not append; a second batch with an unseen category must
+    produce a finite positive psi row for it."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_drift_monitor,
+    )
+
+    e = profiling._events_with_split(spark, sf_dir)
+    ref = (
+        e.filter("is_ref")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur_half = e.filter(~F.col("is_ref")).select("event_type")
+    out = str(tmp_path / "drift")
+    apply_fn = foreach_batch_drift_monitor(ref, out)
+    apply_fn(cur_half, 0)
+    apply_fn(cur_half, 0)  # replay: overwrite discipline
+    got = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    want = {
+        r.event_type: r
+        for r in profiling.categorical_drift_report(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t].n_ref == want[t].n_ref
+        assert got[t].n_cur == want[t].n_cur
+        assert got[t].psi_term == want[t].psi_term
+        assert got[t].psi_total == want[t].psi_total
+
+    # unseen category in a later batch: finite positive drift, no crash
+    novel = cur_half.limit(50).withColumn("event_type", F.lit("brand_new"))
+    apply_fn(novel, 1)
+    rows = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{out}/batch_id=1").collect()
+    }
+    assert "brand_new" in rows
+    assert rows["brand_new"].n_ref == 0
+    assert rows["brand_new"].psi_term > 0
+    assert math.isfinite(rows["brand_new"].psi_total)
