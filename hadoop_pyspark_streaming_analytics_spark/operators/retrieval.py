@@ -303,12 +303,24 @@ def prf_expand_query(
     Plan: the feedback set is ``feedback_r`` ids (broadcast semi-join into
     the tf table); the only corpus-sized work is the shared tf aggregate
     and the df/doc-count statistics — everything downstream of the
-    feedback join is R-document-sized.
+    feedback join is R-document-sized.  The BM25 feedback ranking runs
+    over THIS function's own checkpointed tf table (shared scoring tail),
+    so the corpus is scanned once, not once per stage.
     """
     docs = load_table(spark, sf_dir, "documents")
     tf = _term_freqs(docs)
-    fb = bm25_rank(spark, sf_dir, query=query, k=feedback_r).select("doc_id")
     doc_len = tf.groupBy("doc_id").agg(F.sum("tok_count").alias("doc_tokens"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_tokens").alias("avgdl")
+    )
+    fb = _bm25_score_topk(
+        tf.filter(F.col("token").isin(*query)),
+        doc_len,
+        stats,
+        feedback_r,
+        BM25_K1,
+        BM25_B,
+    ).select("doc_id")
     df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     fb_tf = (
@@ -436,6 +448,8 @@ def mmr_rerank(
                 .orderBy(F.desc("mmr"), F.asc("doc_id"))
                 .first()
             )
+        if row is None:  # shortlist exhausted before k picks
+            break
         picked.append((step, row.doc_id, float(row.rel), float(row.mmr)))
     return spark.createDataFrame(
         picked, "rnk int, doc_id long, relevance double, mmr_score double"

@@ -38,10 +38,9 @@ def test_bm25_ranks_contiguous_and_terms_bounded(spark, sf_dir):
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
     assert all(1 <= r.n_terms <= len(retrieval.BM25_QUERY) for r in rows)
     assert all(r.score > 0 for r in rows)
-    # descending by (score, doc_id asc on ties)
+    # descending by score, doc_id ascending on ties
     for a, b in zip(rows, rows[1:]):
-        assert (a.score, -a.doc_id) >= (b.score, -b.doc_id) or a.score > b.score
-        assert a.score >= b.score
+        assert (-a.score, a.doc_id) < (-b.score, b.doc_id)
 
 
 def test_bm25_top_doc_contains_query_terms(spark, sf_dir):
