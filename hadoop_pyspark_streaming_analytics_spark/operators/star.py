@@ -576,3 +576,67 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small_lines"),
         )
     )
+
+
+#: Q21-shape "late" threshold: a shipment more than this many days after
+#: the order date counts as late (the testdata lacks commit/receipt dates,
+#: so the reference's receiptdate > commitdate becomes this shared
+#: constant — interpolated into the oracle too).
+WAITING_LATE_DAYS = 60
+WAITING_TOP_N = 20
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order — the paired EXISTS / NOT EXISTS
+    correlated subqueries (another supplier participated / no other
+    supplier was late), DECORRELATED into order-grain aggregates joined
+    back: per (order, supplier) lateness, then per-order supplier and
+    late-supplier counts, then the filter
+    ``is_late ∧ n_supp ≥ 2 ∧ n_late = 1``.
+
+    Plan shape (the Q21 lesson at 100 TB): NO correlated re-scans and NO
+    fact-fact existence joins per predicate — one orderkey-grain shuffle
+    produces BOTH existence facts at once, and the supplier-name attach
+    happens after the supplier-grain aggregation (bounded rows) under
+    AQE sizing.  The final ranking is ORDER BY + LIMIT →
+    TakeOrderedAndProject."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {WAITING_LATE_DAYS} DAYS")
+    )
+    # (order, supplier)-grain — far smaller than lineitem — and read by
+    # BOTH existence consumers below; checkpointed so the fact-fact join
+    # pipeline runs once (Catalyst does not reuse common subplans — the
+    # Q17 brand_lines discipline).
+    per_supp_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+        .localCheckpoint(eager=True)
+    )
+    per_order = per_supp_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    waited = per_supp_order.filter(F.col("is_late") == 1).join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    counts = waited.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        counts.join(supp, counts.l_suppkey == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(WAITING_TOP_N)
+    )

@@ -35,7 +35,7 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # sf0.01 --vanilla individually): retrieval_bm25_rank, retrieval_hybrid_rrf,
 # retrieval_prf_expansion, profile_columns, drift_numeric_psi,
 # drift_event_type_psi, graph_pagerank_docs, retrieval_mmr_rerank,
-# retrieval_bm25_indexed.
+# retrieval_bm25_indexed, star_waiting_suppliers.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [

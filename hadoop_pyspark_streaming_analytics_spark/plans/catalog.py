@@ -1406,6 +1406,38 @@ FROM brand_lines b JOIN thresholds t USING (l_partkey)
 WHERE b.l_quantity < t.qty_thresh""",
         tags=("star", "scalar-subquery", "decorrelation"),
     ),
+    QuerySpec(
+        "star_waiting_suppliers",
+        star.waiting_suppliers,
+        f"""
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate
+                   > fo.o_orderdate + INTERVAL {star.WAITING_LATE_DAYS} DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+),
+pso AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS is_late FROM li GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM pso GROUP BY 1
+),
+w AS (
+  SELECT p.l_suppkey, count(*) AS numwait
+  FROM pso p JOIN po ON p.l_orderkey = po.l_orderkey
+  WHERE p.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+  GROUP BY 1
+)
+SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+ORDER BY numwait DESC, s.s_name LIMIT {star.WAITING_TOP_N}""",
+        tags=("star", "semi-join", "decorrelation"),
+    ),
 ]
 
 

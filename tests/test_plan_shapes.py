@@ -758,3 +758,37 @@ def test_epoch_mixture_is_shuffle_free_single_scan(spark, sf_dir):
     assert "Exchange" not in plan
     # one source: the formatted plan prints each scan twice (tree + detail)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q21_waiting_suppliers_shape(spark, sf_dir):
+    """Q21's plan lesson: the paired EXISTS/NOT-EXISTS must decorrelate
+    into ONE orderkey-grain aggregation (both existence facts from one
+    shuffle) — no correlated re-scan, no cartesian, and the final ranking
+    is TakeOrderedAndProject, never a global sort.  The status filter
+    must push to the orders scan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        waiting_suppliers,
+    )
+
+    plan = plan_of(waiting_suppliers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # both existence consumers read the CHECKPOINTED (order, supplier)
+    # grain — the only parquet scan left in this plan is the supplier
+    # name attach (lineitem/orders were consumed once, at checkpoint
+    # build; formatted mode prints each node twice)
+    assert plan.count("Scan parquet") == 2
+    # ...and the checkpoint's own build pushed the status filter to the
+    # orders scan
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        load_table,
+    )
+
+    build = plan_of(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+    )
+    assert "EqualTo(o_orderstatus,F)" in build
