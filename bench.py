@@ -59,17 +59,31 @@ def main() -> None:
     # Steady-state timing: best of 2 measured runs per query (single-JVM
     # local mode has ~±0.5 s GC/scheduler noise per query; min-of-N is the
     # standard microbenchmark estimator for the noise-free cost).
+    # Sub-second queries get a THIRD measured run (VERDICT r6 item 3):
+    # fixed per-query job overhead dominates down there, so two samples
+    # can both land on the same scheduler hiccup and flag a phantom
+    # normalized regression — the r6 events_sliding/hourly 1.30x case.
+    # Raw per-query samples are reported so variance is auditable.
     timings: dict[str, float] = {}
+    timings_raw: dict[str, list[float]] = {}
     for spec in specs:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 3))
             del df
             gc.collect()
-        timings[spec.name] = round(best, 3)
+        if min(samples) < 1.0:
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+            del df
+            gc.collect()
+        timings_raw[spec.name] = samples
+        timings[spec.name] = min(samples)
 
     streaming = _bench_streaming(spark)
     calibration = _bench_calibration(spark, sf_dir)
@@ -82,24 +96,115 @@ def main() -> None:
     core_total = round(
         sum(t for name, t in timings.items() if name in CORE_QUERIES), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "core_total": core_total,
-                "core_n": sum(1 for n in timings if n in CORE_QUERIES),
-                "sf": sf,
-                **streaming,
-                **calibration,
-                **calibration_pre,
-                **_normalized_vs_prev(timings, core_total, calibration),
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_raw": timings_raw,
+        "core_total": core_total,
+        "core_n": sum(1 for n in timings if n in CORE_QUERIES),
+        "sf": sf,
+        **streaming,
+        **calibration,
+        **calibration_pre,
+        **_normalized_vs_prev(timings, core_total, calibration),
+    }
+    # Persist BEFORE printing (VERDICT r6 item 2): the driver's tail
+    # capture truncated BENCH_r06's single JSON line (parsed: null),
+    # which would silently disable the next round's normalized
+    # comparison — the local .benchmarks/ copy is the durable history
+    # _normalized_vs_prev reads first.
+    _persist_summary(summary, _round_id())
+    print(json.dumps(summary))
     spark.stop()
+
+
+def _bench_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
+    )
+
+
+def _round_id() -> int:
+    """The in-flight round number: the driver writes CORRECTNESS_r{N}.json
+    at the END of round N, so the current round is max(existing)+1.  A
+    post-round re-run (CORRECTNESS_r{N} already present for this round's
+    own results) only shifts which file the summary lands in — never which
+    PRIOR round _normalized_vs_prev compares against, because the
+    comparison excludes every round >= the bench being summarized."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(
+            os.path.join(os.path.dirname(_bench_dir()), "CORRECTNESS_r*.json")
+        )
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _persist_summary(summary: dict, round_id: int) -> str:
+    """Write the full summary dict (however large — BENCH_r06's line
+    outgrew the driver's tail capture at ~2 KB of quoting overhead) to
+    .benchmarks/bench_r{N}.json, overwriting any same-round re-run."""
+    d = _bench_dir()
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"bench_r{round_id:02d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(summary, f, indent=1)
+    os.replace(tmp, path)
+    return path
+
+
+def _load_prev_summary(current_round: int, this_sf: float) -> tuple[str, dict] | None:
+    """The newest PRIOR round's bench summary at the same SF: prefer the
+    local .benchmarks/bench_r{M}.json history (complete by construction),
+    fall back to the driver-captured BENCH_r{M}.json `parsed` field for
+    rounds that predate local persistence.  Excludes the current round
+    (ADVICE r6: comparing a re-run against its own stored results reports
+    ratio ~1.0 and masks regressions) and any unparseable capture."""
+    import glob
+    import re
+
+    candidates: dict[int, tuple[str, dict]] = {}
+    repo = os.path.dirname(_bench_dir())
+    for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed")
+        except Exception:
+            continue
+        if parsed:
+            candidates[int(m.group(1))] = (os.path.basename(p), parsed)
+    # Local copies override driver captures for the same round.
+    for p in sorted(glob.glob(os.path.join(_bench_dir(), "bench_r*.json"))):
+        m = re.search(r"bench_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                candidates[int(m.group(1))] = (os.path.basename(p), json.load(f))
+        except Exception:
+            continue
+    usable = [
+        (r, name, d)
+        for r, (name, d) in candidates.items()
+        if r < current_round
+        and d.get("core_total")
+        and d.get("calibration_scan_sec")
+        and d.get("sf") == this_sf
+    ]
+    if not usable:
+        return None
+    _, name, d = max(usable)
+    return name, d
 
 
 def _normalized_vs_prev(
@@ -112,33 +217,26 @@ def _normalized_vs_prev(
     the number that separates host drift (ratio ~1.0 on untouched code)
     from a real engine regression.  Per-query ratios > 1.3 are listed so a
     regression is attributable; queries new this round have no prev and
-    are skipped.  Silently returns only the normalized core when no prior
-    bench with a calibration exists (r5 is the first)."""
-    import glob
-
+    are skipped.  The prior round's summary comes from _load_prev_summary
+    (local .benchmarks/ history first, driver-tail capture fallback;
+    never the in-flight round's own file).  Silently returns only the
+    normalized core when no prior bench with a calibration exists."""
     cal = calibration.get("calibration_scan_sec")
     out: dict = {}
     if not cal:
         return out
     out["core_total_normalized"] = round(core_total / cal, 3)
-    benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json"))
-    )
-    if not benches:
-        return out
-    try:
-        with open(benches[-1]) as f:
-            prev = json.load(f).get("parsed") or {}
-    except Exception:
-        return out
-    prev_core = prev.get("core_total")
-    prev_cal = prev.get("calibration_scan_sec")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    this_sf = os.path.basename(sf_dir.rstrip("/"))
-    if not (prev_core and prev_cal) or f"sf{prev.get('sf')}" != this_sf:
-        return out  # no prior calibration, or prior round ran another SF
-    out["prev_bench"] = os.path.basename(benches[-1])
+    this_sf = float(
+        os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+    )
+    loaded = _load_prev_summary(_round_id(), this_sf)
+    if loaded is None:
+        return out
+    name, prev = loaded
+    prev_core = prev["core_total"]
+    prev_cal = prev["calibration_scan_sec"]
+    out["prev_bench"] = name
     out["prev_core_total_normalized"] = round(prev_core / prev_cal, 3)
     out["core_normalized_ratio"] = round(
         (core_total / cal) / (prev_core / prev_cal), 4

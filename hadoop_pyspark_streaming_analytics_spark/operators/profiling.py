@@ -144,18 +144,35 @@ def numeric_drift_psi(
     needs no second query.
     """
     e = _events_with_split(spark, sf_dir).select("value", "is_ref")
+    return _numeric_psi_from(spark, e, n_bins)
+
+
+def _numeric_psi_from(
+    spark: SparkSession, e: DataFrame, n_bins: int = PSI_BINS
+) -> DataFrame:
+    """PSI-report core over a prepared (value, is_ref) frame — split out
+    so the degenerate-range guard is testable on a constructed constant
+    fixture without a parquet detour.
+
+    Degenerate-range guard (ADVICE r6): a constant reference half makes
+    the bin width (rmax - rmin) / n_bins = 0, and 0/0 is NaN — Spark
+    sorts NaN greatest, so every row would silently land in the top bin
+    (and DuckDB's NaN handling could diverge from the oracle).  A width
+    floor of 1.0 when rmax == rmin keeps the expression defined: the
+    reference mass lands in bin 0 and drifted current-half values clamp
+    through the same least/greatest edges as any other outlier.  The
+    oracle carries the identical CASE guard."""
     rb = e.filter("is_ref").agg(
         F.min("value").alias("rmin"), F.max("value").alias("rmax")
     )
+    span = F.col("rmax") - F.col("rmin")
+    width = F.when(span == 0, F.lit(1.0)).otherwise(span / n_bins)
     binned = e.crossJoin(F.broadcast(rb)).select(
         F.least(
             F.lit(n_bins - 1),
             F.greatest(
                 F.lit(0),
-                F.floor(
-                    (F.col("value") - F.col("rmin"))
-                    / ((F.col("rmax") - F.col("rmin")) / n_bins)
-                ),
+                F.floor((F.col("value") - F.col("rmin")) / width),
             ),
         )
         .cast("int")

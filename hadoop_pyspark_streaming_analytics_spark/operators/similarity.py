@@ -1511,8 +1511,13 @@ def compact_pq_index(spark: SparkSession, path: str) -> int:
     from ..sources.sinks import write_parquet
 
     codes_dir = f"{path}/codes"
+    # Count only true APPEND prefixes: batch_id=-1 is the base generation
+    # (present even on a never-appended index), so it is excluded from
+    # the "prefixes folded" return (ADVICE r6 off-by-one).
     batches = [
-        d for d in os.listdir(codes_dir) if d.startswith("batch_id=")
+        d
+        for d in os.listdir(codes_dir)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
     ]
     codes = spark.read.parquet(codes_dir).select(
         "vec_id", "codes", "centroid_id"

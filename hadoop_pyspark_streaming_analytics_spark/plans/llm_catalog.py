@@ -3125,8 +3125,12 @@ def _numeric_psi_sql() -> str:
 WITH {_DRIFT_SPLIT_CTE},
 rb AS (SELECT min(value) AS rmin, max(value) AS rmax FROM e WHERE is_ref),
 binned AS (
+  -- width floor 1.0 when rmax == rmin: same degenerate-range guard as
+  -- the engine (profiling._numeric_psi_from) — 0/0 NaN bins otherwise
   SELECT CAST(LEAST({nb - 1}, GREATEST(0,
-           floor((e.value - rb.rmin) / ((rb.rmax - rb.rmin) / {nb}))))
+           floor((e.value - rb.rmin) /
+                 (CASE WHEN rb.rmax = rb.rmin THEN 1.0
+                       ELSE (rb.rmax - rb.rmin) / {nb} END))))
          AS INTEGER) AS bin_idx,
          is_ref
   FROM e CROSS JOIN rb

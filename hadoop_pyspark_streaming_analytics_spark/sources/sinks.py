@@ -147,9 +147,21 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
     column arithmetic, whole-stage-codegen'd; no UDF.
 
     Returns (zval_column, stats) where stats maps col -> (min, max) for
-    reuse/debugging."""
+    reuse/debugging.
+
+    The interleave must fit a signed 64-bit value: bit ``bits-1`` of the
+    last column lands at position ``bits * n_cols - 1``, and Java's
+    shiftleft wraps its shift amount mod 64, so ``bits * n_cols > 63``
+    would silently fold high bits onto low positions and break Morton
+    monotonicity (ADVICE r6).  ``bits`` auto-shrinks per column so the
+    widest interleave always stays inside 63 bits (bit 63 is the sign)."""
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): 63 bits max")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),

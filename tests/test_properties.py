@@ -409,3 +409,48 @@ def test_zorder_value_is_monotone_per_dimension(spark, coords):
                 assert z1 <= z2, ((x1, y1, z1), (x2, y2, z2))
             if x1 == x2 and y1 < y2:
                 assert z1 <= z2, ((x1, y1, z1), (x2, y2, z2))
+
+
+def test_zorder_wide_column_list_stays_in_63_bits(spark):
+    """ADVICE r6: at the default bits=16, 4 z-order columns used to push
+    bit positions to 63 (sign flip) and 5+ past 63 (Java shiftleft wraps
+    mod 64), silently folding high bits onto low positions.  bits now
+    auto-shrinks to 63 // n_cols, so the interleave is non-negative and
+    per-dimension monotone for wide column lists too."""
+    from hadoop_pyspark_streaming_analytics_spark.sources.sinks import zorder_value
+
+    cols = ["a", "b", "c", "d", "e"]
+    # corner points + an interior ramp in every dimension
+    data = []
+    i = 0
+    for lo_hi in (0, 1000):
+        data.append(tuple([i] + [lo_hi] * 5)); i += 1
+    for dim in range(5):
+        for v in (100, 500, 900):
+            row = [250] * 5
+            row[dim] = v
+            data.append(tuple([i] + row)); i += 1
+    df = spark.createDataFrame(
+        data, "id long, a long, b long, c long, d long, e long"
+    )
+    z, _ = zorder_value(df, cols)  # default bits=16 -> shrunk to 12
+    rows = df.withColumn("z", z).collect()
+    assert all(r["z"] >= 0 for r in rows)
+    vals = [tuple(r[c] for c in cols) + (r["z"],) for r in rows]
+    for p1 in vals:
+        for p2 in vals:
+            # p2 dominates p1 in one dimension, equal elsewhere -> z order
+            diffs = [d for d in range(5) if p1[d] != p2[d]]
+            if len(diffs) == 1 and p1[diffs[0]] < p2[diffs[0]]:
+                assert p1[5] <= p2[5], (p1, p2)
+    # the corner points bound everything
+    zmin = min(r["z"] for r in rows)
+    zmax = max(r["z"] for r in rows)
+    corner = {tuple(r[c] for c in cols): r["z"] for r in rows}
+    assert corner[(0,) * 5] == zmin
+    assert corner[(1000,) * 5] == zmax
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_value(df, [f"c{i}" for i in range(64)])

@@ -238,6 +238,94 @@ def test_psi_is_zero_for_identical_distributions(spark, sf_dir, tmp_path):
     assert abs(rows[0].psi_total) < 1e-6
 
 
+def _psi_fixture_events(spark, ref_vals, cur_vals):
+    """events-shaped frame: ref_vals land in the first time half,
+    cur_vals in the second (midpoint split at 2024-01-02)."""
+    rows = [(k, "2024-01-01 00:00:00", float(v)) for k, v in enumerate(ref_vals)]
+    rows += [
+        (10_000 + k, "2024-01-03 00:00:00", float(v))
+        for k, v in enumerate(cur_vals)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("x").alias("event_type"),
+        "value",
+        F.lit("{}").alias("props"),
+    )
+
+
+def test_numeric_psi_degenerate_constant_reference(spark, sf_dir, tmp_path):
+    """ADVICE r6: a CONSTANT reference half used to make the bin width
+    (rmax-rmin)/n = 0 and the bin expression 0/0 = NaN (Spark sorts NaN
+    greatest -> silent top-bin pileup).  With the width-floor guard the
+    report is defined: the whole reference mass sits in bin 0, drifted
+    current values clamp through the normal edge bins, no NaN anywhere,
+    and the DuckDB oracle (same CASE guard) agrees bin-for-bin."""
+    import math
+
+    import duckdb
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.profiling import (
+        _numeric_psi_from,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import (
+        _numeric_psi_sql,
+    )
+
+    ev = _psi_fixture_events(
+        spark, ref_vals=[7.0] * 200, cur_vals=[7.0] * 100 + [9.5] * 100
+    )
+    out = str(tmp_path / "events.parquet")
+    ev.write.parquet(out)
+    rows = sorted(
+        profiling.numeric_drift_psi(spark, str(tmp_path)).collect(),
+        key=lambda r: r.bin_idx,
+    )
+    assert [r.bin_idx for r in rows] == list(range(profiling.PSI_BINS))
+    # reference mass entirely in bin 0; current: equal values join bin 0,
+    # larger values bin at the unit-width floor (floor((9.5-7)/1.0) = 2)
+    assert rows[0].n_ref == 200 and sum(r.n_ref for r in rows) == 200
+    assert rows[0].n_cur == 100
+    assert rows[2].n_cur == 100
+    assert sum(r.n_cur for r in rows) == 200
+    for r in rows:
+        for v in (r.ref_frac, r.cur_frac, r.psi_term, r.psi_total):
+            assert math.isfinite(v), rows
+    assert rows[0].psi_total > 0.1  # a 50% mass shift reads as drift
+
+    # oracle parity on the degenerate fixture (the CASE guard twin)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{out}/*.parquet')"
+        )
+        want = con.execute(_numeric_psi_sql()).df()
+    finally:
+        con.close()
+    want = want.sort_values("bin_idx", ignore_index=True)
+    assert [int(b) for b in want["bin_idx"]] == [r.bin_idx for r in rows]
+    assert [int(n) for n in want["n_ref"]] == [r.n_ref for r in rows]
+    assert [int(n) for n in want["n_cur"]] == [r.n_cur for r in rows]
+    assert all(
+        abs(float(t) - r.psi_term) < 1e-9
+        for t, r in zip(want["psi_term"], rows)
+    )
+
+    # the injectable core accepts a constructed frame directly too
+    e = ev.select("value", F.col("event_id") < 10_000).toDF("value", "is_ref")
+    direct = sorted(
+        _numeric_psi_from(spark, e).collect(), key=lambda r: r.bin_idx
+    )
+    assert [(r.n_ref, r.n_cur) for r in direct] == [
+        (r.n_ref, r.n_cur) for r in rows
+    ]
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------

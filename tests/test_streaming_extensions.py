@@ -865,12 +865,17 @@ def test_incremental_index_append_equals_full_build(spark, tmp_path):
     import os
 
     n_folded = compact_pq_index(spark, idx_inc)
-    assert n_folded >= 2  # base + batch 7 (+ empty batch 8)
+    # batch 7 (+ empty batch 8 if its directory materialized); the
+    # batch_id=-1 base generation is NOT counted (ADVICE r6 off-by-one)
+    assert 1 <= n_folded <= 2
     assert codes_of(idx_inc) == full
     assert search(idx_inc) == search(idx_full)
     assert os.listdir(f"{idx_inc}/codes") == ["batch_id=-1"] or sorted(
         d for d in os.listdir(f"{idx_inc}/codes") if d.startswith("batch_id=")
     ) == ["batch_id=-1"]
+    # a compacted (= never-appended-since) index reports 0 prefixes folded
+    assert compact_pq_index(spark, idx_inc) == 0
+    assert codes_of(idx_inc) == full
 
     # streaming spelling: two real micro-batches through foreachBatch
     idx_stream = str(tmp_path / "idx_stream")
