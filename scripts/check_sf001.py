@@ -22,6 +22,14 @@ from tests.oracle import compare
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 VANILLA = "--vanilla" in sys.argv
 SF = args[0] if args else "/root/testdata/sf0.01"
+#: --only=name1,name2 runs just those entries (iteration aid).
+ONLY = {
+    n
+    for a in sys.argv[1:]
+    if a.startswith("--only=")
+    for n in a.split("=", 1)[1].split(",")
+    if n
+}
 
 
 def main() -> int:
@@ -38,6 +46,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
     for spec in CATALOG:
+        if ONLY and spec.name not in ONLY:
+            continue
         t0 = time.perf_counter()
         try:
             if spec.oracle is None:

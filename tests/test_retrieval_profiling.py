@@ -331,6 +331,64 @@ def test_numeric_psi_degenerate_constant_reference(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_pagerank_round_never_reshuffles_edge_side(spark, sf_dir):
+    """VERDICT r6 item 5: the per-round join must reuse the edge frame's
+    one-time hash partitioning on ``u``.  With broadcast disabled (so the
+    join is forced to the sort-merge path a 100 TB graph would take), the
+    SMJ's edge child must read the cache directly — no Exchange, no Sort
+    — leaving exactly two shuffles per round: the node-grain rank table
+    and the groupBy(v) combine."""
+    import re
+
+    from pyspark import StorageLevel
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import graph
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = spark.createDataFrame(
+            [(i, (i * 7) % 50) for i in range(200)], "u long, v long"
+        )
+        sym = raw.repartition("u").persist(StorageLevel.MEMORY_AND_DISK)
+        sym.count()
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        edges = sym.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        n = sym.select("u").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+        ranks = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("pr", F.lit(0.1))
+            .localCheckpoint(eager=True)
+        )
+        rnd = graph._pagerank_round(edges, ranks, n, 0.85)
+        plan = rnd._sc._jvm.PythonSQLUtils.explainString(
+            rnd._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        # the span from the join down to its edge-cache child: no Exchange
+        m = re.search(
+            r"SortMergeJoin Inner.*?InMemoryTableScan", tree, re.DOTALL
+        )
+        assert m, tree
+        assert "Exchange" not in m.group(0), m.group(0)
+        assert "Sort (" not in m.group(0), m.group(0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        sym.unpersist()
+        edges.unpersist()
+
+
 def test_pagerank_mass_conserved_and_nodes_match_graph(spark, sf_dir):
     """Undirected graph -> no dangling mass: sum(pagerank) == 1 (to
     rounding); node set == the candidate graph's node set; degree >= 1."""
