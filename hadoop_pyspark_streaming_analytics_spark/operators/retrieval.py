@@ -408,13 +408,31 @@ def mmr_rerank(
         .limit(shortlist)
         .localCheckpoint(eager=True)
     )
-    picked: list[tuple[int, int, float, float]] = []
+    return _mmr_greedy(spark, sl, k, lam)
+
+
+def _mmr_greedy(
+    spark: SparkSession,
+    sl: DataFrame,
+    k: int,
+    lam: float,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The greedy MMR selection loop over a CHECKPOINTED shortlist with
+    columns (doc_id, embedding, rel[, *extra]) — one definition shared by
+    the raw-cosine re-rank and the hybrid-fused serving pipeline so the
+    selection math cannot drift between entry points.  ``extra`` columns
+    (doc-grain, e.g. the fused rrf_score) ride through the argmaxes into
+    the output.  Each step is a distributed argmax with a 1-row collect
+    (the bounded driver pattern); no corpus-sized work happens here — the
+    caller's shortlist scan already did it."""
+    base_cols = ["doc_id", "rel", *extra]
+    picked: list[tuple] = []
     for step in range(1, k + 1):
         chosen_ids = [p[1] for p in picked]
         if not picked:
             row = sl.select(
-                "doc_id",
-                "rel",
+                *base_cols,
                 F.round(F.lit(lam) * F.col("rel") + F.lit(1e-8), 6).alias(
                     "mmr"
                 ),
@@ -427,17 +445,15 @@ def mmr_rerank(
                 sl.filter(~F.col("doc_id").isin(chosen_ids))
                 .crossJoin(F.broadcast(sel))
                 .select(
-                    "doc_id",
-                    "rel",
+                    *base_cols,
                     F.round(
                         cosine_expr("embedding", "s_emb") + F.lit(1e-8), 6
                     ).alias("sim"),
                 )
-                .groupBy("doc_id", "rel")
+                .groupBy(*base_cols)
                 .agg(F.max("sim").alias("max_sim"))
                 .select(
-                    "doc_id",
-                    "rel",
+                    *base_cols,
                     F.round(
                         F.lit(lam) * F.col("rel")
                         - F.lit(1 - lam) * F.col("max_sim")
@@ -450,7 +466,80 @@ def mmr_rerank(
             )
         if row is None:  # shortlist exhausted before k picks
             break
-        picked.append((step, row.doc_id, float(row.rel), float(row.mmr)))
+        picked.append(
+            (step, row.doc_id)
+            + tuple(float(row[c]) for c in extra)
+            + (float(row.rel), float(row.mmr))
+        )
+    extra_schema = "".join(f"{c} double, " for c in extra)
     return spark.createDataFrame(
-        picked, "rnk int, doc_id long, relevance double, mmr_score double"
+        picked,
+        f"rnk int, doc_id long, {extra_schema}relevance double, "
+        "mmr_score double",
+    )
+
+
+def hybrid_mmr_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    k: int = MMR_SELECT_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """The serving path end-to-end — gate → fuse → diversify (VERDICT r6
+    item 7): the hybrid RRF shortlist (BM25 arm ∪ cosine arm, top
+    ``HYBRID_TOP_K``) feeds the greedy MMR diversity re-rank, so the
+    answer set a RAG context window receives is both relevant ACROSS
+    retrieval modalities and non-redundant.
+
+    The fused rrf_score is min-max normalized over the shortlist into
+    ``rel`` ∈ [0, 1] before MMR (raw RRF scores live in [0, ~2/RRF_K] —
+    λ-weighting against cosine similarities needs a comparable scale; a
+    degenerate all-equal shortlist maps to rel = 1.0).  Normalization is
+    rounded (6dp, nudged) before any argmax, same cross-engine discipline
+    as the raw re-rank.
+
+    Plan: the MMR stage's only corpus-sized work is ONE embeddings scan —
+    the broadcast join that attaches vectors to the 20-row fused
+    shortlist (plan-asserted); the normalization window and the greedy
+    argmaxes run over the checkpointed 20-row frame.
+    """
+    sl = _hybrid_mmr_shortlist(spark, sf_dir, query, query_vec_id)
+    return _mmr_greedy(
+        spark, sl.localCheckpoint(eager=True), k, lam, extra=("rrf_score",)
+    )
+
+
+def _hybrid_mmr_shortlist(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+) -> DataFrame:
+    """The pre-checkpoint fused+normalized shortlist (split out so the
+    plan test can assert its corpus-sized work: exactly one embeddings
+    scan beyond the fusion arms')."""
+    fused = hybrid_rrf_search(
+        spark, sf_dir, query=query, query_vec_id=query_vec_id
+    ).select("doc_id", "rrf_score")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = Window.partitionBy()  # shortlist-grain: HYBRID_TOP_K rows
+    mn = F.min("rrf_score").over(w)
+    mx = F.max("rrf_score").over(w)
+    return (
+        F.broadcast(fused)
+        .join(emb, fused.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "embedding",
+            "rrf_score",
+            F.round(
+                F.when(mx == mn, F.lit(1.0)).otherwise(
+                    (F.col("rrf_score") - mn) / (mx - mn)
+                )
+                + F.lit(1e-8),
+                6,
+            ).alias("rel"),
+        )
     )

@@ -2985,12 +2985,15 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
 FROM (SELECT * FROM bscored ORDER BY score DESC, doc_id LIMIT {k})"""
 
 
-def _hybrid_rrf_sql() -> str:
+def _hybrid_fused_ctes() -> str:
+    """CTE chain ending in ``fused(doc_id, lex_rank, vec_rank,
+    rrf_score)`` — the RRF fusion of the two retrieval arms (mirrors
+    operators/retrieval.py:hybrid_rrf_search).  Appended after
+    ``_bm25_ctes()``; shared by the hybrid-RRF oracle and the composed
+    hybrid→MMR serving-pipeline oracle."""
     depth, rrf_k = retrieval.RRF_ARM_DEPTH, retrieval.RRF_K
-    qid, k = retrieval.HYBRID_QUERY_VEC_ID, retrieval.HYBRID_TOP_K
-    return f"""
-WITH {_bm25_ctes()},
-ltop AS (
+    qid = retrieval.HYBRID_QUERY_VEC_ID
+    return f"""ltop AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
            AS lex_rank
@@ -3017,7 +3020,14 @@ fused AS (
                + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0.0)
                + 1e-10, 6) AS rrf_score
   FROM ltop l FULL OUTER JOIN vtop v USING (doc_id)
-)
+)"""
+
+
+def _hybrid_rrf_sql() -> str:
+    k = retrieval.HYBRID_TOP_K
+    return f"""
+WITH {_bm25_ctes()},
+{_hybrid_fused_ctes()}
 SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER)
          AS rnk,
        doc_id, lex_rank, vec_rank, rrf_score
@@ -3279,16 +3289,17 @@ LLM_CATALOG.append(
 # ---------------------------------------------------------------------------
 
 
-def _mmr_sql() -> str:
-    lam = retrieval.MMR_LAMBDA
-    qid, sl, k = (
-        retrieval.HYBRID_QUERY_VEC_ID,
-        retrieval.MMR_SHORTLIST,
-        retrieval.MMR_SELECT_K,
-    )
+def _mmr_stage_ctes(k: int, lam: float, extra: tuple[str, ...] = ()) -> tuple[str, str]:
+    """(chain, unions) for the unrolled greedy-MMR stages over an ``sl``
+    CTE with columns (doc_id, emb, rel[, *extra]) — one stage generator
+    shared by the raw-cosine re-rank oracle and the composed hybrid→MMR
+    pipeline oracle, mirroring operators/retrieval.py:_mmr_greedy's
+    shared loop.  ``extra`` columns ride through every stage."""
+    xs = "".join(f", c.{c}" for c in extra)
+    xs_bare = "".join(f", {c}" for c in extra)
     stages = [
         f"""s1 AS (
-  SELECT 1 AS rnk, doc_id, emb, rel,
+  SELECT 1 AS rnk, doc_id, emb, rel{xs_bare},
          round({lam!r} * rel + 1e-8, 6) AS mmr
   FROM sl ORDER BY round({lam!r} * rel + 1e-8, 6) DESC, doc_id LIMIT 1
 ),
@@ -3296,22 +3307,33 @@ sel1 AS (SELECT doc_id, emb FROM s1)"""
     ]
     for i in range(2, k + 1):
         stages.append(f"""s{i} AS (
-  SELECT {i} AS rnk, c.doc_id, c.emb, c.rel,
+  SELECT {i} AS rnk, c.doc_id, c.emb, c.rel{xs},
          round({lam!r} * c.rel
                - {1 - lam!r} * max(round(list_cosine_similarity(c.emb, s.emb)
                                          + 1e-8, 6))
                + 1e-8, 6) AS mmr
   FROM sl c CROSS JOIN sel{i - 1} s
   WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
-  GROUP BY c.doc_id, c.emb, c.rel
+  GROUP BY c.doc_id, c.emb, c.rel{xs}
   ORDER BY mmr DESC, c.doc_id LIMIT 1
 ),
 sel{i} AS (SELECT doc_id, emb FROM sel{i - 1}
            UNION ALL SELECT doc_id, emb FROM s{i})""")
     unions = "\nUNION ALL\n".join(
-        f"SELECT rnk, doc_id, rel, mmr FROM s{i}" for i in range(1, k + 1)
+        f"SELECT rnk, doc_id, rel{xs_bare}, mmr FROM s{i}"
+        for i in range(1, k + 1)
     )
-    chain = ",\n".join(stages)
+    return ",\n".join(stages), unions
+
+
+def _mmr_sql() -> str:
+    lam = retrieval.MMR_LAMBDA
+    qid, sl, k = (
+        retrieval.HYBRID_QUERY_VEC_ID,
+        retrieval.MMR_SHORTLIST,
+        retrieval.MMR_SELECT_K,
+    )
+    chain, unions = _mmr_stage_ctes(k, lam)
     return f"""
 WITH base AS (
   SELECT e.vec_id AS doc_id,
@@ -3323,11 +3345,55 @@ WITH base AS (
               WHERE vec_id = {qid}) q
   WHERE e.vec_id <> {qid}
 ),
-sl AS (SELECT * FROM base ORDER BY rel DESC, doc_id LIMIT {sl}),
+sl AS MATERIALIZED (SELECT * FROM base ORDER BY rel DESC, doc_id LIMIT {sl}),
 {chain}
 SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, rel AS relevance,
        mmr AS mmr_score
 FROM ({unions})"""
+
+
+def _hybrid_mmr_pipeline_sql() -> str:
+    """The composed serving-path oracle: hybrid RRF fusion (shared fused
+    CTE) → embedding attach → min-max rel normalization (degenerate
+    all-equal shortlist → 1.0, same guard as the engine) → the shared
+    unrolled greedy-MMR stages carrying rrf_score."""
+    lam, k = retrieval.MMR_LAMBDA, retrieval.MMR_SELECT_K
+    top = retrieval.HYBRID_TOP_K
+    chain, unions = _mmr_stage_ctes(k, lam, extra=("rrf_score",))
+    return f"""
+WITH {_bm25_ctes()},
+{_hybrid_fused_ctes()},
+ftop AS (SELECT doc_id, rrf_score FROM fused
+         ORDER BY rrf_score DESC, doc_id LIMIT {top}),
+slraw AS (
+  SELECT f.doc_id, list_transform(e.embedding, x -> x::DOUBLE) AS emb,
+         f.rrf_score
+  FROM ftop f JOIN embeddings e ON e.vec_id = f.doc_id
+),
+bounds AS (SELECT min(rrf_score) AS mn, max(rrf_score) AS mx FROM slraw),
+-- MATERIALIZED: every unrolled MMR stage references sl, and DuckDB would
+-- otherwise re-inline (re-run) the whole BM25+fusion corpus chain per
+-- stage — 20 rows materialized once instead
+sl AS MATERIALIZED (
+  SELECT doc_id, emb, rrf_score,
+         round(CASE WHEN b.mx = b.mn THEN 1.0
+               ELSE (rrf_score - b.mn) / (b.mx - b.mn) END + 1e-8, 6) AS rel
+  FROM slraw CROSS JOIN bounds b
+),
+{chain}
+SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_score, rel AS relevance,
+       mmr AS mmr_score
+FROM ({unions})"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "retrieval_hybrid_mmr_pipeline",
+        retrieval.hybrid_mmr_pipeline,
+        _hybrid_mmr_pipeline_sql(),
+        tags=("llm", "retrieval", "ann", "fusion", "ranking", "pipeline"),
+    )
+)
 
 
 LLM_CATALOG.append(

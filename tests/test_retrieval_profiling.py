@@ -472,8 +472,84 @@ def test_mmr_selects_distinct_shortlist_members(spark, sf_dir):
     ids = [r.doc_id for r in out]
     assert len(ids) == len(set(ids)) == retrieval.MMR_SELECT_K
     assert [r.rnk for r in out] == list(range(1, retrieval.MMR_SELECT_K + 1))
-    # first pick is the pure-relevance argmax
-    assert out[0].relevance == max(r.relevance for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Composed serving pipeline: hybrid RRF -> MMR (VERDICT r6 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_mmr_pipeline_matches_independent_greedy(spark, sf_dir):
+    """Normalize + greedy-select in plain Python from the (separately
+    oracle-gated) fused shortlist and raw embeddings; the composed
+    pipeline must make the same picks with the same scores."""
+    import numpy as np
+
+    out = retrieval.hybrid_mmr_pipeline(spark, sf_dir).collect()
+    fused = {
+        r.doc_id: r.rrf_score
+        for r in retrieval.hybrid_rrf_search(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    lam = retrieval.MMR_LAMBDA
+    mn, mx = min(fused.values()), max(fused.values())
+    rel = {
+        d: round(
+            (1.0 if mx == mn else (s - mn) / (mx - mn)) + 1e-8, 6
+        )
+        for d, s in fused.items()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    picks, sel = [], []
+    for step in range(1, retrieval.MMR_SELECT_K + 1):
+        best = None
+        for c in sorted(fused):
+            if c in sel:
+                continue
+            if not sel:
+                score = round(lam * rel[c] + 1e-8, 6)
+            else:
+                mxs = max(
+                    round(cos(emb[c], emb[s]) + 1e-8, 6) for s in sel
+                )
+                score = round(lam * rel[c] - (1 - lam) * mxs + 1e-8, 6)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        sel.append(best[1])
+        picks.append((step, best[1], fused[best[1]], rel[best[1]], best[2]))
+    got = [
+        (r.rnk, r.doc_id, r.rrf_score, r.relevance, r.mmr_score) for r in out
+    ]
+    assert got == picks
+    # sanity on the shape: picks come from the fused shortlist, first pick
+    # is the top-fused doc (rel = 1.0), relevances normalized into [0, 1]
+    assert {r.doc_id for r in out} <= set(fused)
+    assert out[0].relevance == round(1.0 + 1e-8, 6)
+    assert all(0.0 <= r.relevance <= 1.0 + 1e-6 for r in out)
+
+
+def test_hybrid_mmr_shortlist_attach_is_one_embeddings_scan(spark, sf_dir):
+    """The MMR stage's only corpus-sized addition over the fusion arms is
+    the vector-attach broadcast join: beyond the cosine arm's corpus scan
+    and its 1-row query-vector lookup, the pre-checkpoint shortlist plan
+    adds exactly one embeddings scan and never re-scans documents (the tf
+    table is checkpointed upstream)."""
+    sl = retrieval._hybrid_mmr_shortlist(spark, sf_dir)
+    plan = plan_of(sl)
+    # exactly 3 embeddings scans: the 1-row query-vector lookup (filter
+    # pushed), the cosine arm's corpus scan, and the attach — NOT one per
+    # MMR step, and no second corpus pass sneaks in via the fusion join
+    assert plan.count("embeddings.parquet") == 3, plan
+    assert "documents.parquet" not in plan, plan
+    # the 20-row fused side is broadcast, not shuffled, into the attach
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 # ---------------------------------------------------------------------------
