@@ -390,7 +390,10 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     adc1, adc2 = _bench_streaming_retrieval(spark)
     splits["adc_retrieval"] = min(adc1, adc2)
     raw["adc_retrieval"] = [adc1, adc2]
-    cur1, cur2 = _bench_streaming_curation(spark)
+    lex1, lex2 = _bench_streaming_lexical(spark)
+    splits["lexical_retrieval"] = min(lex1, lex2)
+    raw["lexical_retrieval"] = [lex1, lex2]
+    (cur1, stages1), (cur2, stages2) = _bench_streaming_curation(spark)
     splits["curation"] = min(cur1, cur2)
     raw["curation"] = [cur1, cur2]
     return {
@@ -398,10 +401,84 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
         "streaming_3query_wall_sec": wall,
         "streaming_query_splits_sec": splits,
         "streaming_query_splits_raw_sec": raw,
+        # per-stage attribution for the heaviest streaming split
+        # (VERDICT r6 item 8): stages of the best measured curation run
+        "streaming_curation_stage_sec": stages1 if cur1 <= cur2 else stages2,
     }
 
 
-def _bench_streaming_curation(spark, n_docs: int = 5_000) -> tuple[float, float]:
+def _bench_streaming_lexical(spark, n_queries: int = 32) -> tuple[float, float]:
+    """Online BM25 retrieval: one micro-batch of ``n_queries`` term
+    queries scored against the MATERIALIZED inverted index via the
+    foreachBatch lexical handler (build-once outside the timed window,
+    the adc_retrieval convention).  Queries cycle through corpus-derived
+    term triples so the isin-pruned postings scan does real work.
+    Warm-up + best-of-2, same protocol as the other streaming figures."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.retrieval import (
+        materialize_text_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_bm25_topk,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx = tempfile.mkdtemp(prefix="bench_text_idx_")
+    watch = tempfile.mkdtemp(prefix="bench_bm25_q_")
+    try:
+        materialize_text_index(spark, sf_dir, idx)
+        # top corpus tokens -> rotating query triples (deterministic)
+        top = [
+            r["token"]
+            for r in spark.read.parquet(f"{idx}/postings")
+            .groupBy("token")
+            .count()
+            .orderBy("count", ascending=False)
+            .limit(3 * n_queries)
+            .collect()
+        ]
+        with open(f"{watch}/q0.json", "w") as f:
+            for i in range(n_queries):
+                terms = [top[(3 * i + j) % len(top)] for j in range(3)]
+                f.write(
+                    _json.dumps({"query_id": i, "terms": terms}) + "\n"
+                )
+
+        def run_once() -> float:
+            work = tempfile.mkdtemp(prefix="bench_bm25_")
+            try:
+                t0 = time.perf_counter()
+                q = (
+                    spark.readStream.schema(
+                        "query_id long, terms array<string>"
+                    )
+                    .json(watch)
+                    .writeStream.foreachBatch(
+                        foreach_batch_bm25_topk(idx, f"{work}/hits")
+                    )
+                    .option("checkpointLocation", f"{work}/ckpt")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                return round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+        run_once()  # warm-up
+        return run_once(), run_once()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(watch, ignore_errors=True)
+
+
+def _bench_streaming_curation(
+    spark, n_docs: int = 5_000
+) -> tuple[tuple[float, dict], tuple[float, dict]]:
     """The streaming curation pipeline end-to-end (VERDICT r5 item 6): one
     micro-batch of ``n_docs`` raw documents through ingest → model quality
     gate → LSH near-dup dedup (fresh band store) → BPE tokenize → parquet,
@@ -440,8 +517,9 @@ def _bench_streaming_curation(spark, n_docs: int = 5_000) -> tuple[float, float]
                     + "\n"
                 )
 
-        def run_once() -> float:
+        def run_once() -> tuple[float, dict]:
             work = tempfile.mkdtemp(prefix="bench_curation_")
+            stages: dict[str, float] = {}
             try:
                 t0 = time.perf_counter()
                 q = (
@@ -449,7 +527,8 @@ def _bench_streaming_curation(spark, n_docs: int = 5_000) -> tuple[float, float]
                     .json(watch)
                     .writeStream.foreachBatch(
                         foreach_batch_curation(
-                            f"{work}/bands", f"{work}/out", merges
+                            f"{work}/bands", f"{work}/out", merges,
+                            stage_times=stages,
                         )
                     )
                     .option("checkpointLocation", f"{work}/ckpt")
@@ -457,7 +536,7 @@ def _bench_streaming_curation(spark, n_docs: int = 5_000) -> tuple[float, float]
                 )
                 q.processAllAvailable()
                 q.stop()
-                return round(time.perf_counter() - t0, 3)
+                return round(time.perf_counter() - t0, 3), stages
             finally:
                 shutil.rmtree(work, ignore_errors=True)
 

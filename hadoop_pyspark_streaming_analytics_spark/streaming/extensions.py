@@ -262,6 +262,7 @@ def foreach_batch_curation(
     n: int = 3,
     bands: int = 4,
     rows: int = 4,
+    stage_times: dict[str, float] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The STREAMING curation pipeline — the streaming twin of
     pipelines.curate_documents_modern's shape, composed entirely from the
@@ -287,12 +288,22 @@ def foreach_batch_curation(
     and the tokenizer only touch docs that passed).  Each stage's
     batch-parity is separately test-pinned; the composition has its own
     parity test (tests/test_streaming_extensions.py).
+
+    ``stage_times`` (VERDICT r6 item 8): when given, per-stage wall
+    seconds for the LAST processed batch are recorded into it under
+    ``gate`` / ``lsh_dedup`` / ``tokenize_write`` / ``bands_write``, so a
+    bench regression in the composed figure is attributable to a stage.
+    The split points are the pipeline's natural materialization barriers
+    (two localCheckpoints and the two writes) — timing adds no extra
+    materialization and does not change the executed plan.
     """
+    import time
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.corpus import bpe_tokenize_documents
         from ..operators.quality import classify_documents, quality_features
 
+        t0 = time.perf_counter()
         docs = batch_df.select("doc_id", "text")
         scored = classify_documents(quality_features(docs)).filter(
             F.col("keep")
@@ -300,9 +311,11 @@ def foreach_batch_curation(
         gated = docs.join(
             scored.select("doc_id", "model_score"), "doc_id"
         ).localCheckpoint(eager=True)
+        t1 = time.perf_counter()
         buckets, victims = _lsh_batch_victims(
             gated.select("doc_id", "text"), batch_id, store_path, n, bands, rows
         )
+        t2 = time.perf_counter()
         survivors = gated.join(victims, "doc_id", "left_anti")
         toks = bpe_tokenize_documents(
             survivors.select("doc_id", "text"), merges
@@ -319,9 +332,16 @@ def foreach_batch_curation(
             F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
         )
         out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        t3 = time.perf_counter()
         buckets.join(victims, "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
+        if stage_times is not None:
+            t4 = time.perf_counter()
+            stage_times["gate"] = round(t1 - t0, 3)
+            stage_times["lsh_dedup"] = round(t2 - t1, 3)
+            stage_times["tokenize_write"] = round(t3 - t2, 3)
+            stage_times["bands_write"] = round(t4 - t3, 3)
 
     return apply
 
@@ -350,6 +370,63 @@ def foreach_batch_index_append(
         )
 
     return apply_fn
+
+
+def foreach_batch_text_index_append(
+    index_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """STREAMING lexical-index maintenance — the BM25 twin of
+    :func:`foreach_batch_index_append` (VERDICT r6 item 4): every
+    micro-batch of new documents is tokenized and landed as the
+    replay-idempotent ``batch_id=N`` generation of a
+    retrieval.materialize_text_index layout (postings + doc_len + stats
+    partial), via operators/retrieval.py:append_text_index_batch.  One
+    stream can GROW the index while another serves BM25 from it; a
+    replayed batch overwrites only its own generation, and cross-batch
+    redelivery is anti-joined against the doc-grain id authority.
+    Micro-batch schema: (doc_id, text)."""
+    from ..operators.retrieval import append_text_index_batch
+
+    def apply_fn(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_text_index_batch(
+            batch_df.sparkSession, index_path, batch_df, int(batch_id)
+        )
+
+    return apply_fn
+
+
+def foreach_batch_bm25_topk(
+    index_path: str, out_path: str, k: int = 10
+) -> Callable[[DataFrame, int], None]:
+    """Online lexical retrieval: a foreachBatch stage that ranks each
+    micro-batch of term queries against the materialized BM25 index and
+    writes each query's top-``k`` documents — the lexical twin of
+    :func:`foreach_batch_adc_topk`, backed by
+    operators/retrieval.py:bm25_topk_for_queries (one isin-pruned
+    postings scan serves the whole batch; query-bounded broadcasts;
+    WindowGroupLimit per-query top-k).
+
+    Micro-batch schema: (query_id, terms array<string>).  State: none —
+    retrieval is embarrassingly replayable, so exactly-once is the
+    batch_id=N overwrite discipline shared by every foreachBatch sink
+    here."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.retrieval import bm25_topk_for_queries
+
+        result = bm25_topk_for_queries(
+            batch_df.sparkSession,
+            index_path,
+            batch_df.select("query_id", "terms"),
+            k,
+        )
+        result.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return apply
 
 
 def foreach_batch_adc_topk(

@@ -594,7 +594,7 @@ def test_text_index_postings_are_token_clustered(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tindex")
     retrieval.materialize_text_index(spark, sf_dir, path)
     spans = []
-    for f in Path(path, "postings").glob("*.parquet"):
+    for f in Path(path, "postings", "batch_id=-1").glob("*.parquet"):
         md = pq.ParquetFile(str(f)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         mins, maxs = [], []

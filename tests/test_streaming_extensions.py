@@ -899,3 +899,192 @@ def test_incremental_index_append_equals_full_build(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert codes_of(idx_stream) == full
+
+
+def test_text_index_incremental_append_equals_full_build(spark, tmp_path):
+    """Lexical index lifecycle (VERDICT r6 item 4), mirroring the PQ
+    test above: base-build on half the corpus + appending the other half
+    must hold the same postings as a one-shot full build (tf/df/doc_len/
+    stats are additive over disjoint doc sets); per-batch replay and
+    cross-batch redelivery are no-ops; BM25 through the grown index
+    equals the from-corpus ranking; compaction folds the generations
+    without changing any answer; and the STREAMING spelling (real
+    micro-batches through foreach_batch_text_index_append) converges to
+    the same index."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.retrieval import (
+        append_text_index_batch,
+        bm25_rank,
+        bm25_rank_indexed,
+        compact_text_index,
+        materialize_text_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_text_index_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    half = 250
+    sub = str(tmp_path / "sub")
+    docs.filter(F.col("doc_id") < half).write.parquet(
+        f"{sub}/documents.parquet"
+    )
+
+    idx_inc = str(tmp_path / "idx_inc")
+    idx_full = str(tmp_path / "idx_full")
+    materialize_text_index(spark, sub, idx_inc)
+    materialize_text_index(spark, sf, idx_full)
+
+    def postings_of(p):
+        return sorted(
+            (r["doc_id"], r["token"], r["tok_count"])
+            for r in spark.read.parquet(f"{p}/postings").collect()
+        )
+
+    def rank_of(p):
+        return [
+            (r["rnk"], r["doc_id"], r["n_terms"], r["score"])
+            for r in bm25_rank_indexed(spark, p).collect()
+        ]
+
+    new_docs = docs.filter(F.col("doc_id") >= half)
+    append_text_index_batch(spark, idx_inc, new_docs, batch_id=7)
+    full = postings_of(idx_full)
+    assert postings_of(idx_inc) == full and full
+
+    # folded corpus stats equal the one-shot build's
+    def stats_of(p):
+        r = (
+            spark.read.parquet(f"{p}/stats")
+            .agg(F.sum("n_docs"), F.sum("sum_tokens"))
+            .collect()[0]
+        )
+        return (r[0], r[1])
+
+    assert stats_of(idx_inc) == stats_of(idx_full)
+
+    # replay: re-appending the same batch overwrites its own generation
+    append_text_index_batch(spark, idx_inc, new_docs, batch_id=7)
+    assert postings_of(idx_inc) == full
+
+    # redelivery in a DIFFERENT batch: already-indexed docs anti-joined
+    redelivered = docs.filter(
+        (F.col("doc_id") < 10) | (F.col("doc_id") >= 490)
+    )
+    append_text_index_batch(spark, idx_inc, redelivered, batch_id=8)
+    assert postings_of(idx_inc) == full
+    assert stats_of(idx_inc) == stats_of(idx_full)
+
+    # ranking parity: grown index == full index == from-corpus
+    want_rank = [
+        (r["rnk"], r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_rank(spark, sf).collect()
+    ]
+    assert rank_of(idx_inc) == want_rank
+    assert rank_of(idx_full) == want_rank
+
+    # compaction folds append generations, answers unchanged
+    import os
+
+    n_folded = compact_text_index(spark, idx_inc)
+    assert 1 <= n_folded <= 2  # batch 7 (+ empty batch 8's directory)
+    assert sorted(
+        d
+        for d in os.listdir(f"{idx_inc}/postings")
+        if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    assert postings_of(idx_inc) == full
+    assert rank_of(idx_inc) == want_rank
+    assert compact_text_index(spark, idx_inc) == 0
+
+    # streaming spelling: two real micro-batches through foreachBatch
+    idx_stream = str(tmp_path / "idx_stream")
+    materialize_text_index(spark, sub, idx_stream)
+    watch = tmp_path / "docs"
+    watch.mkdir()
+    docs.filter(
+        (F.col("doc_id") >= half) & (F.col("doc_id") < 375)
+    ).coalesce(1).write.parquet(str(watch / "f0"))
+    docs.filter(F.col("doc_id") >= 375).coalesce(1).write.parquet(
+        str(watch / "f1")
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_text_index_append(idx_stream)
+        )
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert postings_of(idx_stream) == full
+    assert rank_of(idx_stream) == want_rank
+
+
+def test_streaming_bm25_topk_matches_batch_ranking(spark, tmp_path):
+    """The streaming lexical query stage: a micro-batch of term queries
+    through foreach_batch_bm25_topk must reproduce, per query, exactly
+    the bm25_rank batch ranking for those terms (shared scoring math);
+    replaying the batch overwrites its own output directory."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import retrieval
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "tindex")
+    retrieval.materialize_text_index(spark, sf, idx)
+
+    queries = [
+        (1, list(retrieval.BM25_QUERY)),
+        (2, ["data", "model"]),
+        (3, ["zzz_not_a_token"]),
+    ]
+    import json
+
+    watch = tmp_path / "queries"
+    watch.mkdir()
+    with open(watch / "q0.json", "w") as f:
+        for qid, terms in queries:
+            f.write(json.dumps({"query_id": qid, "terms": terms}) + "\n")
+
+    out = str(tmp_path / "hits")
+    q = (
+        spark.readStream.schema("query_id long, terms array<string>")
+        .json(str(watch))
+        .writeStream.foreachBatch(
+            foreach_batch_bm25_topk(idx, out, k=retrieval.BM25_TOP_K)
+        )
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    by_query = {
+        qid: sorted(
+            (
+                (r["rnk"], r["doc_id"], r["n_terms"], r["score"])
+                for r in got.filter(F.col("query_id") == qid).collect()
+            )
+        )
+        for qid, _ in queries
+    }
+    for qid, terms in queries:
+        want = sorted(
+            (r["rnk"], r["doc_id"], r["n_terms"], r["score"])
+            for r in retrieval.bm25_rank(spark, sf, query=tuple(terms)).collect()
+        )
+        assert by_query[qid] == want, f"query {qid}"
+    assert by_query[3] == []  # unseen term: no hits, no crash
