@@ -18,87 +18,75 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 6 pays the whole r1/r2 refresh debt at once (VERDICT r5 item 1):
-# all 37 entries whose last green row is r1 or r2 are in-window, so after
-# this round min(last-green) across every oracle-backed entry is >= r3.
-# Everything outside the window stays oracle-diffed per round by
-# tests/test_catalog_oracle.py at sf0.001 and scripts/check_sf001.py
-# (driver-exact --vanilla mode) at sf0.01.
-# ROUND-7 ROTATION QUEUE (never-gated tail entries added after this
-# round's window froze; rule 1 puts them in-window next round):
-# text_contamination_bloom, corpus_dsir_sample, star_order_priority_returns,
-# star_customer_order_distribution, star_small_quantity_revenue,
-# multimodal_image_ahash_dedup, ann_filtered_search,
-# embedding_staleness_audit — all green in this round's full --vanilla
-# sweep (0 failures / 159 entries) and in per-round sf0.001 oracle diffs.
-# Third-session additions (same rule-1 queue; each verified green at
-# sf0.01 --vanilla individually): retrieval_bm25_rank, retrieval_hybrid_rrf,
-# retrieval_prf_expansion, profile_columns, drift_numeric_psi,
-# drift_event_type_psi, graph_pagerank_docs, retrieval_mmr_rerank,
-# retrieval_bm25_indexed, star_waiting_suppliers.
+# Round 7 gates the ENTIRE never-gated set at once (VERDICT r6 item 1:
+# the whole round-6 tier — retrieval/drift/graph/DSIR/Bloom/aHash/
+# filtered-ANN/staleness/star — plus this round's composed serving
+# pipeline), then spends every remaining slot on the now-oldest refresh
+# generation: all 28 entries whose last green driver row is r3, plus the
+# 3 alphabetically-first r4 entries, so after this round min(last-green)
+# across every oracle-backed entry is >= r4.  Changed-code rule 2 is
+# subsumed: every operator file edited this round (retrieval.py,
+# graph.py, profiling.py) has its catalog faces inside the never-gated
+# block below.  Everything outside the window stays oracle-diffed per
+# round by tests/test_catalog_oracle.py at sf0.001 and
+# scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [
-    # ---- round-6 NEW entries (never gated) --------------------------------
-    "ann_ivf_pq_search_indexed",  # the materialized/partition-pruned IVFADC
-    "pack_documents_bpe",         # packing priced with tokenizer-true counts
-    "corpus_truncation_report",   # context-length loss under true counts
-    "corpus_epoch_mixture",       # LLaMA-style epoch-repeat materialization
-    "training_shard_manifest",    # shard content fingerprints + volumes
-    # ---- changed-code re-gates (round-6 edits) ----------------------------
-    "corpus_bpe_merges",          # top-M symbol-disjoint merge batching
-    "corpus_bpe_segment",         # (same trainer)
-    "corpus_bpe_vocab",           # (same trainer)
-    "corpus_bpe_token_counts",    # (same trainer)
-    "embedding_semdedup",         # corpus-derived default k
-    "pack_documents",             # counts= pricing override path
-    "pack_efficiency_report",     # composes pack_documents
-    # ---- the r1/r2 refresh debt: every entry whose last green driver row
-    # ---- is round 1 or round 2 (37 entries; VERDICT r5 item 1) -----------
-    # last green r1:
-    "set_union_active_users",
-    "set_intersect_buyers_with_events",
-    "set_except_buyers_without_events",
-    "bonus_categorize_python_udf",
-    "bonus_categorize_pandas_udf",
-    "events_type_hour_cube",
-    "q1_word_length_histogram",
-    "q1_corpus_stats",
-    "events_running_stats",
-    "events_scalar_features",
-    "events_top_users_per_type",
-    "skew_salted_count",
-    "q2_spend_distribution",
-    "star_semi_join_big_spenders",
-    "star_anti_join_dormant_customers",
-    "agg_order_baskets",
-    "events_sliding_10min_5min",
-    "temporal_click_error_pairs",
-    # last green r2:
-    "dedup_simhash",
-    "ann_partitioned_topk",
-    "ann_ivf_assign",
-    "embedding_near_duplicates",
-    "multimodal_decoded_metadata",
-    "text_document_fingerprints",
-    "temporal_clicks_trailing_5min",
-    "q2_order_count_thresholds",
-    "q2_top_customers_by_spend",
-    "events_props_avg_k",
-    "events_hourly_rollup",
-    "events_ewma_per_user",
-    "events_type_percentiles",
-    "events_tumbling_5min",
-    "multimodal_frame_sample",
-    "dedup_exact",
-    "text_token_counts",
-    "multimodal_png_decode",
-    "pipeline_surviving_docs",
-    # ---- remaining slot: the flagship starts the r3 refresh generation
-    # (three r3-refresh slots were re-funded to the round-6 breadth trio
-    # above — new never-gated entries outrank oldest-green refresh, and
-    # r3 rows already satisfy the min-last-green >= r3 bar)
-    "q2a_customer_summary",
+    # ---- never gated: the round-6 tier (VERDICT r6 item 1) ---------------
+    "retrieval_bm25_rank",
+    "retrieval_bm25_indexed",
+    "retrieval_hybrid_rrf",
+    "retrieval_prf_expansion",
+    "retrieval_mmr_rerank",
+    "profile_columns",
+    "drift_numeric_psi",          # + round-7 degenerate-range guard re-gate
+    "drift_event_type_psi",
+    "graph_pagerank_docs",        # + round-7 co-partitioned rounds re-gate
+    "corpus_dsir_sample",
+    "text_contamination_bloom",
+    "multimodal_image_ahash_dedup",
+    "ann_filtered_search",
+    "embedding_staleness_audit",
+    "star_order_priority_returns",
+    "star_customer_order_distribution",
+    "star_small_quantity_revenue",
+    "star_waiting_suppliers",
+    # ---- round-7 NEW entry (never gated) ---------------------------------
+    "retrieval_hybrid_mmr_pipeline",  # gate -> RRF fuse -> MMR diversify
+    # ---- oldest-green refresh: every last-green-r3 entry (28) ------------
+    "bonus_categorize_expr",
+    "bonus_left_join",
+    "corpus_vocabulary",
+    "events_props_map_stats",
+    "events_resample_hourly_locf",
+    "events_user_sessions",
+    "events_values_winsorized",
+    "q1_word_count_top20",
+    "q2b_customer_orders_window",
+    "q3a_product_statistics",
+    "q3b_customer_brand_pivot",
+    "star_bracketed_discount_revenue",
+    "star_forecast_revenue_change",
+    "star_inactive_rich_customers",
+    "star_large_volume_customers",
+    "star_local_supplier_volume",
+    "star_nation_trade_volume",
+    "star_pricing_summary",
+    "star_promo_revenue_share",
+    "star_region_market_share",
+    "star_returned_item_losses",
+    "star_shipping_priority",
+    "star_top_supplier",
+    "stratified_sample",
+    "temporal_asof_last_click",
+    "temporal_point_in_time_value",
+    "text_language_id",
+    "train_split_assign",
+    # ---- refresh spills into the r4 generation (3 slots left) ------------
+    "chunk_documents",
+    "corpus_boilerplate_ngrams",
+    "corpus_repetition_scores",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

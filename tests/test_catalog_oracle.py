@@ -25,63 +25,25 @@ def test_driver_window_priority():
     from hadoop_pyspark_streaming_analytics_spark.plans import DRIVER_WINDOW
 
     window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
+    # Rule 1, derived from the driver's own history rather than a
+    # hand-copied list (the per-round maintenance kept lagging a round):
+    # every oracle-backed entry with NO green driver row in any
+    # CORRECTNESS_r*.json must sit inside the window.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_green = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            for name, row in json.load(f).items():
+                if row.get("rows_match") and row.get("schema_match"):
+                    ever_green.add(name)
     must_be_gated = {
-        # round-6 new operators (never gated)
-        "ann_ivf_pq_search_indexed",
-        "pack_documents_bpe",
-        "corpus_truncation_report",
-        "corpus_epoch_mixture",
-        "training_shard_manifest",
-        # round-6 changed-code re-gates (BPE batching / derived-k semdedup /
-        # counts= packing path)
-        "corpus_bpe_merges",
-        "corpus_bpe_segment",
-        "corpus_bpe_vocab",
-        "corpus_bpe_token_counts",
-        "embedding_semdedup",
-        "pack_documents",
-        "pack_efficiency_report",
-        # the r1/r2 refresh debt — VERDICT r5 item 1: after round 6 every
-        # oracle-backed entry's last green driver row must be >= r3.
-        # last green r1:
-        "set_union_active_users",
-        "set_intersect_buyers_with_events",
-        "set_except_buyers_without_events",
-        "bonus_categorize_python_udf",
-        "bonus_categorize_pandas_udf",
-        "events_type_hour_cube",
-        "q1_word_length_histogram",
-        "q1_corpus_stats",
-        "events_running_stats",
-        "events_scalar_features",
-        "events_top_users_per_type",
-        "skew_salted_count",
-        "q2_spend_distribution",
-        "star_semi_join_big_spenders",
-        "star_anti_join_dormant_customers",
-        "agg_order_baskets",
-        "events_sliding_10min_5min",
-        "temporal_click_error_pairs",
-        # last green r2:
-        "dedup_simhash",
-        "ann_partitioned_topk",
-        "ann_ivf_assign",
-        "embedding_near_duplicates",
-        "multimodal_decoded_metadata",
-        "text_document_fingerprints",
-        "temporal_clicks_trailing_5min",
-        "q2_order_count_thresholds",
-        "q2_top_customers_by_spend",
-        "events_props_avg_k",
-        "events_hourly_rollup",
-        "events_ewma_per_user",
-        "events_type_percentiles",
-        "events_tumbling_5min",
-        "multimodal_frame_sample",
-        "dedup_exact",
-        "text_token_counts",
-        "multimodal_png_decode",
-        "pipeline_surviving_docs",
+        s.name
+        for s in CATALOG
+        if s.oracle is not None and s.name not in ever_green
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
