@@ -371,6 +371,71 @@ def bm25_topk_for_queries(
     )
 
 
+def hybrid_rrf_for_queries(
+    spark: SparkSession,
+    text_index_path: str,
+    pq_index_path: str,
+    queries: DataFrame,
+    k: int = HYBRID_TOP_K,
+    depth: int = RRF_ARM_DEPTH,
+) -> DataFrame:
+    """Hybrid retrieval over an arbitrary (query_id, terms
+    array<string>, q_emb array<float>) set against MATERIALIZED indexes
+    — the multi-query engine behind the streaming hybrid stage, fusing
+    the lexical arm (:func:`bm25_topk_for_queries`, isin-pruned postings
+    scan) and the vector arm (similarity.adc_topk_for_queries over the
+    PQ codes table, zero raw-embedding reads) with the same reciprocal-
+    rank-fusion formula as :func:`hybrid_rrf_search`.
+
+    The vector arm ranks by ADC distance where the batch catalog entry
+    uses exact cosine — the indexed spelling IS the 100 TB path, and RRF
+    consumes only the RANKS, so the fusion math is identical.  The
+    fusion joins two ``depth``-row-per-query shortlists on (query_id,
+    doc_id): batch-bounded, never corpus-sized.  Output: (query_id, rnk,
+    doc_id, lex_rank, vec_rank, rrf_score) per query's top-``k``.
+    """
+    from .similarity import adc_topk_for_queries, load_pq_index
+
+    lex = bm25_topk_for_queries(
+        spark, text_index_path, queries.select("query_id", "terms"), k=depth
+    ).select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    codes, cents = load_pq_index(spark, pq_index_path)
+    vec = adc_topk_for_queries(
+        None,
+        queries.select("query_id", "q_emb"),
+        depth,
+        codes=codes.select("vec_id", "codes"),
+        cents=cents,
+        exclude_self=False,
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rk").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+            + F.lit(1e-10),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "rnk", "doc_id", "lex_rank", "vec_rank", "rrf_score"
+        )
+    )
+
+
 def bm25_indexed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-contained catalog spelling of :func:`bm25_rank_indexed` (the
     ivf_pq_search_indexed_entry convention): build the index into scratch,

@@ -640,3 +640,72 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(WAITING_TOP_N)
     )
+
+
+#: Q19-shape disjunctive branches: (brand, size_lo, size_hi, qty_lo,
+#: qty_hi) — each branch constrains BOTH join sides (part brand+size,
+#: lineitem quantity).  Shared with the oracle (constants discipline).
+DISJ_BRANCHES = (
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#2", 10, 30, 10, 20),
+    ("Brand#3", 20, 50, 20, 30),
+)
+
+
+def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under a three-branch
+    DISJUNCTIVE predicate spanning both join sides (brand + size on
+    part, quantity on lineitem) — the classic "OR of conjunctions"
+    pattern that defeats naive per-table filtering.  Reported per branch
+    (branch, n_lines, revenue) so the decomposition is visible; rows
+    matching several branches land in the FIRST (CASE order, mirrored in
+    the oracle).
+
+    Plan shape (the Q19 lesson at 100 TB): the disjunction still yields
+    per-table prunes — the brand set reaches the part scan as an IN
+    pushed filter, and the quantity envelope (the union of branch
+    ranges) reaches the lineitem scan as pushed bounds — so the join
+    input is pre-reduced on BOTH sides even though no single branch can
+    be applied alone.  Part stays a broadcast dimension; branch
+    assignment is one codegen CASE over the joined rows feeding a
+    map-side-combined 3-group aggregate.  Plan-asserted in
+    tests/test_plan_shapes.py."""
+    brands = [b for b, *_ in DISJ_BRANCHES]
+    qty_lo = min(lo for *_, lo, _ in DISJ_BRANCHES)
+    qty_hi = max(hi for *_, hi in DISJ_BRANCHES)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    branch = None
+    for i, (b, slo, shi, qlo, qhi) in enumerate(DISJ_BRANCHES, start=1):
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = F.when(cond, i) if branch is None else branch.when(cond, i)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            branch.cast("int").alias("branch"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+        .filter(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            round2(F.sum("rev")).alias("revenue"),
+        )
+        .orderBy("branch")
+    )

@@ -52,8 +52,9 @@ _WINDOW = [
     "star_customer_order_distribution",
     "star_small_quantity_revenue",
     "star_waiting_suppliers",
-    # ---- round-7 NEW entry (never gated) ---------------------------------
+    # ---- round-7 NEW entries (never gated) -------------------------------
     "retrieval_hybrid_mmr_pipeline",  # gate -> RRF fuse -> MMR diversify
+    "star_disjunctive_branch_revenue",  # TPC-H Q19 OR-of-conjunctions
     # ---- oldest-green refresh: every last-green-r3 entry (28) ------------
     "bonus_categorize_expr",
     "bonus_left_join",
@@ -83,10 +84,9 @@ _WINDOW = [
     "temporal_point_in_time_value",
     "text_language_id",
     "train_split_assign",
-    # ---- refresh spills into the r4 generation (3 slots left) ------------
+    # ---- refresh spills into the r4 generation (2 slots left) ------------
     "chunk_documents",
     "corpus_boilerplate_ngrams",
-    "corpus_repetition_scores",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -1438,6 +1438,29 @@ FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
 ORDER BY numwait DESC, s.s_name LIMIT {star.WAITING_TOP_N}""",
         tags=("star", "semi-join", "decorrelation"),
     ),
+    QuerySpec(
+        "star_disjunctive_branch_revenue",
+        star.disjunctive_branch_revenue,
+        f"""
+SELECT CAST(branch AS INTEGER) AS branch,
+       count(*) AS n_lines,
+       round(sum(rev) + 1e-6, 2) AS revenue
+FROM (
+  SELECT CASE
+           {" ".join(
+               f"WHEN p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+               f" AND l.l_quantity BETWEEN {qlo} AND {qhi} THEN {i}"
+               for i, (b, slo, shi, qlo, qhi)
+               in enumerate(star.DISJ_BRANCHES, start=1)
+           )}
+         END AS branch,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+WHERE branch IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
+        tags=("star", "disjunction", "pushdown"),
+    ),
 ]
 
 

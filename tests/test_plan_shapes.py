@@ -585,6 +585,9 @@ def test_broadcast_hint_policy():
         ("operators/profiling.py", "rb"): "1-row reference value bounds",
         ("operators/profiling.py", "totals"): "1-row half totals",
         ("operators/retrieval.py", "sel"): "<=k selected MMR rows",
+        ("operators/retrieval.py", "qterms"): "batch-bounded (query_id, token) pairs",
+        ("operators/retrieval.py", "fused"): "HYBRID_TOP_K-row fused shortlist",
+        ("operators/star.py", "part"): "brand-filtered part dimension (3/25 of a dim table)",
         ("operators/graph.py", "n"): "1-row node-count scalar",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
@@ -792,3 +795,36 @@ def test_q21_waiting_suppliers_shape(spark, sf_dir):
         )
     )
     assert "EqualTo(o_orderstatus,F)" in build
+
+
+def test_q19_disjunctive_branch_revenue_shape(spark, sf_dir):
+    """Q19's plan lesson: the OR-of-conjunctions still yields per-table
+    prunes — the brand IN set must reach the part scan and the quantity
+    envelope must reach the lineitem scan as pushed filters — while the
+    filtered part side broadcasts (never a shuffle join against a
+    dimension) and the branch CASE runs post-join in codegen."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        disjunctive_branch_revenue,
+    )
+
+    plan = plan_of(disjunctive_branch_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    blocks = plan.split("\n\n")
+    part_scans = [
+        b for b in blocks if "part.parquet" in b and "Scan parquet" in b
+    ]
+    li_scans = [
+        b for b in blocks if "lineitem.parquet" in b and "Scan parquet" in b
+    ]
+    assert part_scans and li_scans
+    assert any(
+        "PushedFilters" in b and "p_brand" in b.split("PushedFilters")[1]
+        for b in part_scans
+    ), part_scans
+    assert any(
+        "PushedFilters" in b and "l_quantity" in b.split("PushedFilters")[1]
+        for b in li_scans
+    ), li_scans
+    # partial aggregation before the 3-group exchange
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -1088,3 +1088,117 @@ def test_streaming_bm25_topk_matches_batch_ranking(spark, tmp_path):
         )
         assert by_query[qid] == want, f"query {qid}"
     assert by_query[3] == []  # unseen term: no hits, no crash
+
+
+def test_streaming_hybrid_topk_fuses_both_index_arms(spark, tmp_path):
+    """The streaming hybrid stage: per query, the fused ranking must be
+    the RRF of the two (independently tested) index arms — recomputed in
+    plain Python from the arms' own collected shortlists — and a doc
+    found by only one arm still fuses with a single-arm score."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import retrieval
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        adc_topk_for_queries,
+        load_pq_index,
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_hybrid_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tidx = str(tmp_path / "tindex")
+    pidx = str(tmp_path / "pindex")
+    retrieval.materialize_text_index(spark, sf, tidx)
+    materialize_pq_index(spark, sf, pidx)
+
+    emb0 = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    )
+    queries = [
+        (1, list(retrieval.BM25_QUERY), [float(x) for x in emb0]),
+        (2, ["data", "model"], [float(x) for x in emb0]),
+    ]
+    watch = tmp_path / "hqueries"
+    watch.mkdir()
+    with open(watch / "q0.json", "w") as f:
+        for qid, terms, q_emb in queries:
+            f.write(
+                json.dumps({"query_id": qid, "terms": terms, "q_emb": q_emb})
+                + "\n"
+            )
+
+    out = str(tmp_path / "hhits")
+    k = retrieval.HYBRID_TOP_K
+    q = (
+        spark.readStream.schema(
+            "query_id long, terms array<string>, q_emb array<float>"
+        )
+        .json(str(watch))
+        .writeStream.foreachBatch(
+            foreach_batch_hybrid_topk(tidx, pidx, out, k=k)
+        )
+        .option("checkpointLocation", str(tmp_path / "hckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["rnk"]): (
+            r["doc_id"],
+            r["lex_rank"],
+            r["vec_rank"],
+            r["rrf_score"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # recompute the fusion per query from the two arms' own engines
+    qdf = spark.createDataFrame(
+        queries, "query_id long, terms array<string>, q_emb array<float>"
+    )
+    depth = retrieval.RRF_ARM_DEPTH
+    lex_rows = retrieval.bm25_topk_for_queries(
+        spark, tidx, qdf.select("query_id", "terms"), k=depth
+    ).collect()
+    codes, cents = load_pq_index(spark, pidx)
+    vec_rows = adc_topk_for_queries(
+        None,
+        qdf.select("query_id", "q_emb"),
+        depth,
+        codes=codes.select("vec_id", "codes"),
+        cents=cents,
+        exclude_self=False,
+    ).collect()
+    for qid, _, _ in queries:
+        lex = {r["doc_id"]: r["rnk"] for r in lex_rows if r["query_id"] == qid}
+        vec = {r["vec_id"]: r["rk"] for r in vec_rows if r["query_id"] == qid}
+        score = {
+            d: round(
+                (1.0 / (retrieval.RRF_K + lex[d]) if d in lex else 0.0)
+                + (1.0 / (retrieval.RRF_K + vec[d]) if d in vec else 0.0)
+                + 1e-10,
+                6,
+            )
+            for d in set(lex) | set(vec)
+        }
+        want = sorted(score, key=lambda d: (-score[d], d))[:k]
+        for rnk, d in enumerate(want, start=1):
+            doc, lr, vr, s = got[(qid, rnk)]
+            assert doc == d, (qid, rnk, doc, d)
+            assert s == score[d]
+            assert lr == lex.get(d) and vr == vec.get(d)
+        # both single-arm and both-arm docs must appear in the fusion
+        assert any(d not in vec for d in want) or any(
+            d not in lex for d in want
+        )
+        assert any(d in lex and d in vec for d in want) or not (
+            set(lex) & set(vec)
+        )
