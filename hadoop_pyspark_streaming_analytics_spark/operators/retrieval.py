@@ -296,7 +296,13 @@ def compact_text_index(spark: SparkSession, path: str) -> int:
     )
     tmp_new = f"{path}/.compact"
     old = f"{path}/.old"
-    for leftover in (tmp_new, old):
+    # Debris from an interrupted compact: the staging tree AND every
+    # per-artifact .old_<part> directory (os.replace onto an existing
+    # non-empty directory fails, so a retry must start clean).
+    for leftover in (
+        tmp_new,
+        *(f"{old}_{part}" for part in ("postings", "doc_len", "stats")),
+    ):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
     _write_text_index_generation(tf, tmp_new, -1)

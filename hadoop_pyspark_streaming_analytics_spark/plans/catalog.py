@@ -1459,6 +1459,7 @@ FROM (
 )
 WHERE branch IS NOT NULL
 GROUP BY 1 ORDER BY 1""",
+        headline=True,  # the Q19 both-sides-pruned disjunction shape
         tags=("star", "disjunction", "pushdown"),
     ),
 ]

@@ -3391,6 +3391,7 @@ LLM_CATALOG.append(
         "retrieval_hybrid_mmr_pipeline",
         retrieval.hybrid_mmr_pipeline,
         _hybrid_mmr_pipeline_sql(),
+        headline=True,  # the composed serving path: gate -> fuse -> diversify
         tags=("llm", "retrieval", "ann", "fusion", "ranking", "pipeline"),
     )
 )
