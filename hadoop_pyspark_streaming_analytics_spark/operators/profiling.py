@@ -80,7 +80,18 @@ def column_profile(
     ``approx=True`` is the 100 TB monitoring spelling: HLL cardinalities
     (bounded-size partials) instead of exact distinct sets.
     """
-    df = load_table(spark, sf_dir, table)
+    return profile_frame(load_table(spark, sf_dir, table), columns, approx)
+
+
+def profile_frame(
+    df: DataFrame,
+    columns: tuple[tuple[str, str], ...] = PROFILE_COLUMNS,
+    approx: bool = False,
+) -> DataFrame:
+    """The single-scan profile core over an arbitrary frame — shared by
+    the batch catalog entry and the streaming per-micro-batch monitor
+    (streaming/extensions.py:foreach_batch_profile_monitor), so the two
+    faces compute identical metrics."""
     distinct = F.approx_count_distinct if approx else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in columns:

@@ -513,6 +513,42 @@ def foreach_batch_adc_topk(
     return apply
 
 
+def foreach_batch_profile_monitor(
+    out_path: str,
+    columns: tuple[tuple[str, str], ...] | None = None,
+    approx: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming data-quality profiling: per micro-batch, the single-scan
+    per-column profile (nulls / cardinality / bounds) of the batch —
+    the profile twin of :func:`foreach_batch_drift_monitor`, computed by
+    the SAME profiling.profile_frame core as the batch catalog entry so
+    the two faces cannot drift.  ``approx=True`` (the default here,
+    unlike batch) uses HLL cardinalities — the right spelling for a
+    monitor that runs on every batch forever.
+
+    Per batch: one map-side-combined aggregate over the batch, exploded
+    to column-grain rows; no cross-batch state, so exactly-once is the
+    batch_id=N overwrite discipline.  A consumer reads ``out_path`` with
+    batch_id as a partition column and alerts on null-rate or
+    cardinality excursions (the schema-ish failures PSI cannot see:
+    an upstream change nulling a column shifts no distribution mass but
+    spikes n_null immediately)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.profiling import PROFILE_COLUMNS, profile_frame
+
+        cols = columns if columns is not None else tuple(
+            (c, k)
+            for c, k in PROFILE_COLUMNS
+            if c in batch_df.columns
+        )
+        profile_frame(batch_df, cols, approx=approx).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+
+    return apply
+
+
 def foreach_batch_drift_monitor(
     reference_profile: DataFrame, out_path: str
 ) -> Callable[[DataFrame, int], None]:

@@ -663,3 +663,54 @@ def test_drift_monitor_matches_batch_report_and_replays_idempotently(
     assert rows["brand_new"].n_ref == 0
     assert rows["brand_new"].psi_term > 0
     assert math.isfinite(rows["brand_new"].psi_total)
+
+
+def test_profile_monitor_matches_batch_profile_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """The streaming profile monitor: a micro-batch's per-column report
+    must EQUAL profile_frame over the same static frame (shared core);
+    replaying a batch overwrites; columns absent from the batch schema
+    are skipped, not crashed; the approx default still produces the
+    same schema with near-exact cardinalities."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_profile_monitor,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "profiles")
+    apply_fn = foreach_batch_profile_monitor(out, approx=False)
+    apply_fn(orders, 0)
+    apply_fn(orders, 0)  # replay: overwrite discipline
+    got = {
+        r.col_name: r
+        for r in spark.read.parquet(f"{out}/batch_id=0").collect()
+    }
+    want = {
+        r.col_name: r
+        for r in profiling.profile_frame(orders).collect()
+    }
+    assert set(got) == {c for c, _ in profiling.PROFILE_COLUMNS}
+    for c in want:
+        for field in ("n_rows", "n_null", "n_distinct", "min_value", "max_value"):
+            assert getattr(got[c], field) == getattr(want[c], field), (c, field)
+
+    # a batch missing some profiled columns: those columns are skipped
+    thin = orders.select("o_orderkey", "o_orderstatus")
+    apply_fn(thin, 1)
+    rows = spark.read.parquet(f"{out}/batch_id=1").collect()
+    assert {r.col_name for r in rows} == {"o_orderkey", "o_orderstatus"}
+
+    # approx default: same schema, HLL cardinality within 10% (Spark's
+    # default rsd is 0.05, ~2 sigma headroom)
+    apply_fn_approx = foreach_batch_profile_monitor(out)
+    apply_fn_approx(orders, 2)
+    approx_rows = {
+        r.col_name: r
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    for c, r in approx_rows.items():
+        exact = want[c].n_distinct
+        assert abs(r.n_distinct - exact) <= max(1, 0.10 * exact), c
+        assert r.min_value == want[c].min_value
+        assert r.max_value == want[c].max_value
