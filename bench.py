@@ -85,6 +85,13 @@ def main() -> None:
         timings_raw[spec.name] = samples
         timings[spec.name] = min(samples)
 
+    # Tier hygiene: the batch tier leaves cached relations, checkpoint
+    # blocks, and GC debt in the shared JVM — observed inflating the
+    # streaming wall ~2x versus a standalone run (r7).  Clear what is
+    # clearable and let the cleaner drain before the streaming tier.
+    spark.catalog.clearCache()
+    for _ in range(3):
+        gc.collect()
     streaming = _bench_streaming(spark)
     calibration = _bench_calibration(spark, sf_dir)
 

@@ -255,6 +255,69 @@ def _lsh_batch_victims(
     return buckets, victims
 
 
+def compact_band_store(
+    spark, store_path: str, keep_latest: int = 1
+) -> int:
+    """Fold the LSH band store's per-micro-batch ``batch_id=N``
+    generations into the ``batch_id=-1`` base — the band store's
+    compaction story, completing the set (PQ codes and BM25 postings
+    already have theirs): at thousands of batches the prior-batches
+    authority semi-join pays footer/listing overhead per tiny generation.
+    Returns the number of generations folded.
+
+    The ``keep_latest`` highest batch ids are NOT folded: Spark replays
+    the last un-committed batch after a restart, and a replayed batch
+    must not find its own bands in the "prior batches" authority
+    (batch_id=-1 < N always passes the ``batch_id < N`` filter) — that
+    would flag the whole batch as self-duplicates and overwrite its
+    output empty.  Folding only committed history keeps replay exact;
+    with the stream fully stopped, ``keep_latest=0`` folds everything.
+
+    Interruption window: the folded rows are staged and swapped in as
+    the new base BEFORE the old generation directories are removed, so
+    a crash mid-compact can only leave band rows duplicated between the
+    base and an un-deleted generation — harmless to the semi-join
+    authority (existence is idempotent), and the next compact folds the
+    leftovers."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_path)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    )
+    fold = gens[: len(gens) - keep_latest] if keep_latest else gens
+    if not fold:
+        return 0
+    folded = (
+        spark.read.option("basePath", store_path)
+        .parquet(store_path)
+        .filter(
+            (F.col("batch_id") == -1) | F.col("batch_id").isin(fold)
+        )
+        .select("band_id", "band_hash", "doc_id")
+    )
+    tmp = f"{store_path}/.bands.compact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    folded.write.mode("overwrite").parquet(tmp)
+    base = f"{store_path}/batch_id=-1"
+    old = f"{store_path}/.bands.old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(base):
+        os.replace(base, old)
+    os.replace(tmp, base)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    for n in fold:
+        shutil.rmtree(f"{store_path}/batch_id={n}", ignore_errors=True)
+    return len(fold)
+
+
 def foreach_batch_curation(
     store_path: str,
     out_path: str,

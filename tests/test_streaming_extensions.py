@@ -1202,3 +1202,83 @@ def test_streaming_hybrid_topk_fuses_both_index_arms(spark, tmp_path):
         assert any(d in lex and d in vec for d in want) or not (
             set(lex) & set(vec)
         )
+
+
+def test_compact_band_store_preserves_dedup_authority(spark, tmp_path):
+    """Band-store compaction: folding committed per-batch generations
+    into the batch_id=-1 base must not change any later batch's dedup
+    outcome (the authority is an existence semi-join — only the ROW SET
+    matters, never the generation layout); the keep_latest generation
+    survives unfolded so the replay-the-last-batch recovery path still
+    excludes its own bands; double-compact folds nothing new."""
+    import os
+
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        compact_band_store,
+        foreach_batch_lsh_dedup,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog and runs far away "
+           "into the deep green forest tonight while stars shine bright",
+        2: "completely different content about spark shuffle partitions and "
+           "broadcast joins in distributed query engines at massive scale",
+        3: "a third unrelated passage describing bloom filters inverted "
+           "indexes and product quantization for large retrieval systems",
+    }
+    probe = texts[1].replace("tonight", "today")  # near-dup of doc 1
+
+    def build(store, out):
+        apply_fn = foreach_batch_lsh_dedup(store, out)
+        for bid, did in ((0, 1), (1, 2), (2, 3)):
+            apply_fn(
+                spark.createDataFrame([Row(doc_id=did, text=texts[did])]), bid
+            )
+        return apply_fn
+
+    store_a, out_a = str(tmp_path / "bands_a"), str(tmp_path / "out_a")
+    store_b, out_b = str(tmp_path / "bands_b"), str(tmp_path / "out_b")
+    apply_a = build(store_a, out_a)
+    apply_b = build(store_b, out_b)
+
+    def band_rows(store):
+        return sorted(
+            (r["band_id"], r["band_hash"], r["doc_id"])
+            for r in spark.read.option("basePath", store)
+            .parquet(store)
+            .collect()
+        )
+
+    before = band_rows(store_a)
+    assert compact_band_store(spark, store_a) == 2  # folds batches 0, 1
+    assert band_rows(store_a) == before  # row set unchanged
+    dirs = sorted(
+        d for d in os.listdir(store_a) if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=-1", "batch_id=2"]  # keep_latest survived
+    assert compact_band_store(spark, store_a) == 0  # nothing new to fold
+
+    # a later batch dedups identically through both layouts
+    b3 = spark.createDataFrame(
+        [Row(doc_id=9, text=probe), Row(doc_id=10, text="fresh words about "
+         "entirely novel topics never mentioned before in any document")]
+    )
+    apply_a(b3, 3)
+    apply_b(b3, 3)
+
+    def kept(out):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.option("basePath", out).parquet(out).collect()
+        )
+
+    assert kept(out_a) == kept(out_b) == [1, 2, 3, 10]
+
+    # full fold with the stream stopped: keep_latest=0 leaves only base
+    assert compact_band_store(spark, store_a, keep_latest=0) >= 1
+    assert sorted(
+        d for d in os.listdir(store_a) if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    assert band_rows(store_a) == band_rows(store_b)
