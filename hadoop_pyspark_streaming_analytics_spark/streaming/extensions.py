@@ -278,7 +278,18 @@ def compact_band_store(
     a crash mid-compact can only leave band rows duplicated between the
     base and an un-deleted generation — harmless to the semi-join
     authority (existence is idempotent), and the next compact folds the
-    leftovers."""
+    leftovers.
+
+    OPERATIONAL CONTRACT (applies to every generational store here —
+    band store, PQ codes, text index): restarting a stream with a FRESH
+    checkpoint restarts batch ids at 0, which (a) would overwrite the
+    previous incarnation's ``batch_id=0`` generation and (b) drops every
+    old generation out of the ``batch_id < N`` dedup authority (0..k are
+    not < 0; only the -1 base is).  Run the matching compact with
+    ``keep_latest=0`` while the stream is stopped BEFORE pointing a new
+    checkpoint at an existing store — folding history into ``batch_id=-1``
+    makes it authority-visible to every future id sequence and leaves no
+    generation for batch 0 to collide with."""
     import os
     import shutil
 
