@@ -1077,3 +1077,156 @@ def dsir_importance_sample(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics for tokenizer / loader planning (round 7)
+# ---------------------------------------------------------------------------
+
+#: n-gram widths for the diversity audit and rank cutpoints for the
+#: vocabulary head-coverage curve (shared with the oracles).
+DIVERSITY_NS = (1, 2, 3)
+COVERAGE_KS = (10, 100, 1000)
+LENGTH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def ngram_diversity_by_source(
+    spark: SparkSession,
+    sf_dir: str,
+    ns: tuple[int, ...] = DIVERSITY_NS,
+) -> DataFrame:
+    """Per-source n-gram diversity: total grams, distinct grams, and the
+    distinct ratio for each width in ``ns`` — the standard templated-spam
+    / repetition-collapse diagnostic (a source whose trigram distinct
+    ratio craters is stamping the same text; complements the per-doc
+    repetition scores with a SOURCE-level view a mixture designer reads).
+
+    One tokenize pass (checkpointed): each width re-reads the token
+    arrays, never the raw text.  Grams are built by a generator
+    expression inside the JVM (sequence + transform + slice — the
+    _doc_ngrams pattern); the per-width aggregate is one map-side-
+    combined count + exact distinct (the oracle-parity spelling; at
+    100 TB swap ``approx_count_distinct`` exactly like column_profile's
+    monitoring twin)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for n in ns:
+        grams = F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN"
+            f" transform(sequence(1, size(toks) - {n} + 1),"
+            f" i -> concat_ws(' ', slice(toks, i, {n})))"
+            " ELSE cast(array() AS array<string>) END"
+        )
+        parts.append(
+            toks.select("source", F.explode(grams).alias("gram"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count_distinct("gram").alias("n_distinct"),
+            )
+            .select(
+                "source",
+                F.lit(n).cast("int").alias("n"),
+                "n_grams",
+                "n_distinct",
+                F.round(
+                    F.col("n_distinct") / F.col("n_grams") + F.lit(1e-8), 4
+                ).alias("distinct_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("source", "n")
+
+
+def token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document token-length profile — docs, mean tokens, and
+    the p50/p90/p99 exact percentiles — the numbers a packing/batching
+    planner reads before choosing sequence length and truncation policy
+    (pairs with corpus_truncation_report, which prices ONE chosen
+    context length; this shows the whole tail).
+
+    One tokenize scan to (source, n_tokens) grain, one map-side-
+    combinable aggregate per source.  ``percentile`` is exact (the
+    oracle-parity spelling; approx_percentile is the 100 TB monitoring
+    twin, same trade as column_profile)."""
+    qs = ", ".join(repr(q) + "D" for q in LENGTH_QUANTILES)
+    lens = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+        ).alias("n_tokens"),
+    )
+    prof = lens.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens") + F.lit(1e-8), 4).alias("mean_tokens"),
+        F.expr(f"percentile(n_tokens, array({qs}))").alias("pq"),
+    )
+    return prof.select(
+        "source",
+        "n_docs",
+        "mean_tokens",
+        F.round(F.element_at("pq", 1) + F.lit(1e-8), 4).alias("p50_tokens"),
+        F.round(F.element_at("pq", 2) + F.lit(1e-8), 4).alias("p90_tokens"),
+        F.round(F.element_at("pq", 3) + F.lit(1e-8), 4).alias("p99_tokens"),
+    ).orderBy("source")
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, ks: tuple[int, ...] = COVERAGE_KS
+) -> DataFrame:
+    """Vocabulary head coverage: the fraction of all token OCCURRENCES
+    covered by the top-``k`` most frequent types, for each rank cutpoint
+    in ``ks`` — the Zipf-head curve that sizes a tokenizer vocabulary
+    (if 1000 types cover 95%, byte-fallback traffic is the remaining 5%).
+
+    Plan: one tokenize scan into a vocabulary-grain frequency table;
+    ranking uses a single whole-frame window over VOCAB-grain rows
+    (types, not occurrences — bounded far below corpus size; the same
+    deliberate trade as bpe_vocab's ranking), then each cutpoint is a
+    bounded join + map-side-combined sum.  A ``k`` beyond the vocabulary
+    naturally reports coverage 1.0."""
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = freq.select(
+        "cnt", F.row_number().over(w).alias("rk")
+    ).localCheckpoint(eager=True)
+    total = ranked.agg(F.sum("cnt").alias("total"))
+    cuts = spark.createDataFrame([(int(k),) for k in ks], "top_k int")
+    return (
+        F.broadcast(cuts)
+        .join(ranked, ranked.rk <= cuts.top_k)
+        .groupBy("top_k")
+        .agg(F.sum("cnt").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "top_k",
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            F.round(
+                F.col("covered_occurrences") / F.col("total") + F.lit(1e-8), 4
+            ).alias("coverage_frac"),
+        )
+        .orderBy("top_k")
+    )

@@ -55,6 +55,9 @@ _WINDOW = [
     # ---- round-7 NEW entries (never gated) -------------------------------
     "retrieval_hybrid_mmr_pipeline",  # gate -> RRF fuse -> MMR diversify
     "star_disjunctive_branch_revenue",  # TPC-H Q19 OR-of-conjunctions
+    "corpus_ngram_diversity",         # per-source repetition-collapse audit
+    "corpus_length_profile",          # token-length tail for packing
+    "corpus_vocab_coverage",          # Zipf head coverage for vocab sizing
     # ---- oldest-green refresh: every last-green-r3 entry (28) ------------
     "bonus_categorize_expr",
     "bonus_left_join",
@@ -83,10 +86,9 @@ _WINDOW = [
     "temporal_asof_last_click",
     "temporal_point_in_time_value",
     "text_language_id",
-    "train_split_assign",
-    # ---- refresh spills into the r4 generation (2 slots left) ------------
-    "chunk_documents",
-    "corpus_boilerplate_ngrams",
+    # (train_split_assign and the two r4 spill slots were re-funded to
+    # the round-7 corpus-statistics trio — never-gated outranks refresh;
+    # they refresh in r8 and stay locally oracle-diffed meanwhile)
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

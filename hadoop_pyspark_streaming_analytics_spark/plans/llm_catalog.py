@@ -3418,3 +3418,94 @@ LLM_CATALOG.append(
         tags=("llm", "retrieval", "ranking", "indexed"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics for tokenizer / loader planning (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_diversity_sql() -> str:
+    arms = []
+    for n in corpus.DIVERSITY_NS:
+        arms.append(f"""
+  SELECT source, {n} AS n, count(*) AS n_grams,
+         count(DISTINCT gram) AS n_distinct
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(t) - {n} + 2),
+                  i -> array_to_string(list_slice(t, i, i + {n} - 1), ' ')))
+             AS gram
+    FROM toks WHERE len(t) >= {n}
+  ) GROUP BY 1""")
+    unions = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+)
+SELECT source, CAST(n AS INTEGER) AS n, n_grams, n_distinct,
+       round(n_distinct::DOUBLE / n_grams + 1e-8, 4) AS distinct_ratio
+FROM ({unions})
+ORDER BY source, n"""
+
+
+def _length_profile_sql() -> str:
+    q50, q90, q99 = corpus.LENGTH_QUANTILES
+    return f"""
+SELECT source, count(*) AS n_docs,
+       round(avg(n_tokens) + 1e-8, 4) AS mean_tokens,
+       round(quantile_cont(n_tokens, {q50!r}) + 1e-8, 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, {q90!r}) + 1e-8, 4) AS p90_tokens,
+       round(quantile_cont(n_tokens, {q99!r}) + 1e-8, 4) AS p99_tokens
+FROM (
+  SELECT source, len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens
+  FROM documents
+)
+GROUP BY 1 ORDER BY 1"""
+
+
+def _vocab_coverage_sql() -> str:
+    ks = ", ".join(str(k) for k in corpus.COVERAGE_KS)
+    return f"""
+WITH freq AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM freq
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ranked),
+ks AS (SELECT unnest([{ks}]) AS top_k)
+SELECT CAST(ks.top_k AS INTEGER) AS top_k,
+       CAST(sum(r.cnt) AS BIGINT) AS covered_occurrences,
+       CAST(max(t.total) AS BIGINT) AS total_occurrences,
+       round(sum(r.cnt)::DOUBLE / max(t.total) + 1e-8, 4) AS coverage_frac
+FROM ks JOIN ranked r ON r.rk <= ks.top_k CROSS JOIN t
+GROUP BY 1 ORDER BY 1"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "corpus_ngram_diversity",
+            corpus.ngram_diversity_by_source,
+            _ngram_diversity_sql(),
+            tags=("llm", "corpus", "diversity", "audit"),
+        ),
+        QuerySpec(
+            "corpus_length_profile",
+            corpus.token_length_profile,
+            _length_profile_sql(),
+            tags=("llm", "corpus", "profiling", "packing"),
+        ),
+        QuerySpec(
+            "corpus_vocab_coverage",
+            corpus.vocab_coverage,
+            _vocab_coverage_sql(),
+            tags=("llm", "corpus", "tokenizer", "zipf"),
+        ),
+    ]
+)

@@ -2574,3 +2574,74 @@ def test_shard_manifest_fingerprints_detect_content_change(spark, tmp_path):
     for shard, fp in changed.items():
         if shard != victim_shard:
             assert fp == rows[shard]["content_fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics tier (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_invariants(spark, sf_dir):
+    """Per (source, n): 0 < distinct ratio <= 1, distinct <= total, and
+    the distinct RATIO is non-increasing in n for this natural corpus? —
+    no: wider grams are MORE distinct, so ratio must be non-decreasing
+    in n per source (repeated unigrams collapse hardest)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        DIVERSITY_NS,
+        ngram_diversity_by_source,
+    )
+
+    rows = ngram_diversity_by_source(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_grams
+        assert 0 < r.distinct_ratio <= 1.0 + 1e-9
+        by_src.setdefault(r.source, {})[r.n] = r.distinct_ratio
+    for src, ratios in by_src.items():
+        assert set(ratios) == set(DIVERSITY_NS)
+        seq = [ratios[n] for n in sorted(ratios)]
+        assert seq == sorted(seq), (src, seq)  # wider grams more distinct
+
+
+def test_length_profile_quantiles_ordered(spark, sf_dir):
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        token_length_profile,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = token_length_profile(spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0 < r.p50_tokens <= r.p90_tokens <= r.p99_tokens
+        assert r.mean_tokens > 0
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    """Coverage grows with k, never exceeds 1, and a cutpoint at or past
+    the whole vocabulary reports exactly 1.0 (covered == total)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        COVERAGE_KS,
+        vocab_coverage,
+    )
+
+    rows = sorted(vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.top_k)
+    assert [r.top_k for r in rows] == sorted(COVERAGE_KS)
+    total = rows[0].total_occurrences
+    prev = 0
+    for r in rows:
+        assert r.total_occurrences == total
+        assert prev <= r.covered_occurrences <= total
+        prev = r.covered_occurrences
+        assert r.coverage_frac <= 1.0 + 1e-9
+    # the synthetic corpus vocabulary is ~31 words: k=100 already covers all
+    assert rows[-1].covered_occurrences == total
+    assert abs(rows[-1].coverage_frac - 1.0) < 1e-6

@@ -566,6 +566,7 @@ def test_broadcast_hint_policy():
         ("operators/corpus.py", "prefix"): "per-bucket prefix sums",
         ("operators/corpus.py", "corpus_total"): "1-row scalar",
         ("operators/corpus.py", "totals"): "1-row scalar (DSIR model totals)",
+        ("operators/corpus.py", "total"): "1-row scalar (vocab occurrence total)",
         ("operators/corpus.py", "lam"): "bounded at DSIR_BUCKETS rows (hashed feature space, a constant)",
         ("operators/star.py", "nation"): "25 rows by TPC-H schema",
         ("operators/star.py", "region"): "5 rows by TPC-H schema",
