@@ -20,16 +20,20 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    break).
 # Round 7 gates the ENTIRE never-gated set at once (VERDICT r6 item 1:
 # the whole round-6 tier — retrieval/drift/graph/DSIR/Bloom/aHash/
-# filtered-ANN/staleness/star — plus this round's composed serving
-# pipeline), then spends every remaining slot on the now-oldest refresh
-# generation: all 28 entries whose last green driver row is r3, plus the
-# 3 alphabetically-first r4 entries, so after this round min(last-green)
-# across every oracle-backed entry is >= r4.  Changed-code rule 2 is
-# subsumed: every operator file edited this round (retrieval.py,
-# graph.py, profiling.py) has its catalog faces inside the never-gated
-# block below.  Everything outside the window stays oracle-diffed per
-# round by tests/test_catalog_oracle.py at sf0.001 and
-# scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
+# filtered-ANN/staleness/star — plus this round's five new entries: the
+# composed serving pipeline, the TPC-H Q19 shape, and the
+# corpus-statistics trio), then spends every remaining slot on the
+# now-oldest refresh generation: 27 of the 28 last-green-r3 entries
+# (train_split_assign and the two r4 spill slots were re-funded to the
+# corpus trio — never-gated outranks refresh; they refresh in r8), so
+# after this round min(last-green) across every oracle-backed entry is
+# >= r3 with only train_split_assign + the r4 generation left at the
+# floor.  Changed-code rule 2 is subsumed: every operator file edited
+# this round (retrieval.py, graph.py, profiling.py, corpus.py, star.py)
+# has its catalog faces inside the never-gated block below.  Everything
+# outside the window stays oracle-diffed per round by
+# tests/test_catalog_oracle.py at sf0.001 and scripts/check_sf001.py
+# (driver-exact --vanilla mode) at sf0.01.
 # tests/test_catalog_oracle.py::test_driver_window_priority pins the
 # must-be-gated set for the current round.
 _WINDOW = [
@@ -58,7 +62,7 @@ _WINDOW = [
     "corpus_ngram_diversity",         # per-source repetition-collapse audit
     "corpus_length_profile",          # token-length tail for packing
     "corpus_vocab_coverage",          # Zipf head coverage for vocab sizing
-    # ---- oldest-green refresh: every last-green-r3 entry (28) ------------
+    # ---- oldest-green refresh: 27 of the 28 last-green-r3 entries --------
     "bonus_categorize_expr",
     "bonus_left_join",
     "corpus_vocabulary",
