@@ -279,3 +279,76 @@ def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
     return psi_report(counts, "event_type")
+
+
+#: Quantile probes for the binless drift report (shared with the oracle).
+#: IQR is defined from the 0.25/0.75 entries — keep both in the tuple.
+DRIFT_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def quantile_shift_drift(
+    spark: SparkSession, sf_dir: str, qs: tuple[float, ...] = DRIFT_QS
+) -> DataFrame:
+    """BINLESS numeric drift between the two time halves: per probe
+    quantile, the reference and current exact values, the absolute
+    shift, and the shift in units of the reference IQR — the
+    scale-free number a monitor thresholds (|shift| > 0.5 IQR at the
+    median is a real move regardless of the column's units).
+
+    Complements :func:`numeric_drift_psi`: PSI sees MASS moving between
+    fixed bins (and needs the bin-edge choices); quantile shift sees the
+    distribution's SHAPE sliding and needs no binning at all — a slow
+    uniform creep that PSI smears across bins shows up crisply as a
+    median shift.
+
+    Plan: ONE scan, ONE aggregate — both halves' quantile arrays come
+    from conditional ``percentile(CASE WHEN ...)`` expressions in a
+    single agg row (nulls drop per half symmetrically), then the probe
+    rows explode from the two arrays.  Exact percentile is the
+    oracle-parity spelling; ``approx_percentile`` is the 100 TB
+    monitoring twin (same trade as column_profile).  A degenerate
+    reference IQR (constant middle half) reports shift_iqr 0.0 instead
+    of dividing by zero — the PSI width-floor discipline."""
+    e = _events_with_split(spark, sf_dir).select("value", "is_ref")
+    arr = ", ".join(repr(q) + "D" for q in qs)
+    one = e.agg(
+        F.expr(
+            f"percentile(CASE WHEN is_ref THEN value END, array({arr}))"
+        ).alias("rq"),
+        F.expr(
+            f"percentile(CASE WHEN NOT is_ref THEN value END, array({arr}))"
+        ).alias("cq"),
+    )
+    i25, i75 = qs.index(0.25) + 1, qs.index(0.75) + 1
+    iqr = F.element_at("rq", i75) - F.element_at("rq", i25)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("quantile"),
+                    F.element_at("rq", i + 1).alias("rv"),
+                    F.element_at("cq", i + 1).alias("cv"),
+                )
+                for i, q in enumerate(qs)
+            ]
+        )
+    ).alias("p")
+    return (
+        one.select(rows, iqr.alias("ref_iqr"))
+        .select(
+            F.col("p.quantile").alias("quantile"),
+            round4(F.col("p.rv")).alias("ref_value"),
+            round4(F.col("p.cv")).alias("cur_value"),
+            round4(F.col("p.cv") - F.col("p.rv")).alias("abs_shift"),
+            F.when(F.col("ref_iqr") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("p.cv") - F.col("p.rv")) / F.col("ref_iqr")
+                    + F.lit(1e-8),
+                    4,
+                )
+            )
+            .alias("shift_iqr"),
+        )
+        .orderBy("quantile")
+    )

@@ -20,17 +20,17 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    break).
 # Round 7 gates the ENTIRE never-gated set at once (VERDICT r6 item 1:
 # the whole round-6 tier — retrieval/drift/graph/DSIR/Bloom/aHash/
-# filtered-ANN/staleness/star — plus this round's five new entries: the
-# composed serving pipeline, the TPC-H Q19 shape, and the
-# corpus-statistics trio), then spends every remaining slot on the
-# now-oldest refresh generation: 27 of the 28 last-green-r3 entries
-# (train_split_assign and the two r4 spill slots were re-funded to the
-# corpus trio — never-gated outranks refresh; they refresh in r8), so
-# after this round min(last-green) across every oracle-backed entry is
-# >= r3 with only train_split_assign + the r4 generation left at the
-# floor.  Changed-code rule 2 is subsumed: every operator file edited
-# this round (retrieval.py, graph.py, profiling.py, corpus.py, star.py)
-# has its catalog faces inside the never-gated block below.  Everything
+# filtered-ANN/staleness/star — plus this round's six new entries: the
+# composed serving pipeline, the TPC-H Q19 shape, the corpus-statistics
+# trio, and the binless quantile-shift drift), then spends every
+# remaining slot on the now-oldest refresh generation: 26 of the 28
+# last-green-r3 entries (text_language_id, train_split_assign, and the
+# r4 spill slots were re-funded to the new entries — never-gated
+# outranks refresh; they refresh in r8), so after this round
+# min(last-green) stays r3 only for those two deferred entries and the
+# r4 generation.  Changed-code rule 2 is subsumed: every operator file
+# edited this round (retrieval.py, graph.py, profiling.py, corpus.py,
+# star.py) has its catalog faces inside the never-gated block below.  Everything
 # outside the window stays oracle-diffed per round by
 # tests/test_catalog_oracle.py at sf0.001 and scripts/check_sf001.py
 # (driver-exact --vanilla mode) at sf0.01.
@@ -62,7 +62,8 @@ _WINDOW = [
     "corpus_ngram_diversity",         # per-source repetition-collapse audit
     "corpus_length_profile",          # token-length tail for packing
     "corpus_vocab_coverage",          # Zipf head coverage for vocab sizing
-    # ---- oldest-green refresh: 27 of the 28 last-green-r3 entries --------
+    "drift_value_quantile_shift",     # binless numeric drift (IQR-scaled)
+    # ---- oldest-green refresh: 26 of the 28 last-green-r3 entries --------
     "bonus_categorize_expr",
     "bonus_left_join",
     "corpus_vocabulary",
@@ -89,10 +90,10 @@ _WINDOW = [
     "stratified_sample",
     "temporal_asof_last_click",
     "temporal_point_in_time_value",
-    "text_language_id",
-    # (train_split_assign and the two r4 spill slots were re-funded to
-    # the round-7 corpus-statistics trio — never-gated outranks refresh;
-    # they refresh in r8 and stay locally oracle-diffed meanwhile)
+    # (text_language_id, train_split_assign, and the two r4 spill slots
+    # were re-funded to the round-7 corpus trio + quantile drift —
+    # never-gated outranks refresh; they refresh in r8 and stay locally
+    # oracle-diffed meanwhile)
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

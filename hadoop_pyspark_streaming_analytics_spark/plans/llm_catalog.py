@@ -3509,3 +3509,43 @@ LLM_CATALOG.extend(
         ),
     ]
 )
+
+
+def _quantile_shift_sql() -> str:
+    qs = profiling.DRIFT_QS
+    probes = ",\n         ".join(
+        f"quantile_cont(CASE WHEN is_ref THEN value END, {q!r}) AS rv{i},"
+        f" quantile_cont(CASE WHEN NOT is_ref THEN value END, {q!r}) AS cv{i}"
+        for i, q in enumerate(qs)
+    )
+    i25, i75 = qs.index(0.25), qs.index(0.75)
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT {q!r} AS quantile,
+         round(rv{i} + 1e-8, 4) AS ref_value,
+         round(cv{i} + 1e-8, 4) AS cur_value,
+         round(cv{i} - rv{i} + 1e-8, 4) AS abs_shift,
+         CASE WHEN rv{i75} - rv{i25} = 0 THEN 0.0
+              ELSE round((cv{i} - rv{i}) / (rv{i75} - rv{i25}) + 1e-8, 4)
+          END AS shift_iqr
+  FROM q"""
+        for i, q in enumerate(qs)
+    )
+    return f"""
+WITH {_DRIFT_SPLIT_CTE},
+q AS (
+  SELECT {probes}
+  FROM e
+)
+SELECT * FROM (
+{arms}
+) ORDER BY quantile"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "drift_value_quantile_shift",
+        profiling.quantile_shift_drift,
+        _quantile_shift_sql(),
+        tags=("llm", "profiling", "drift", "evaluation"),
+    )
+)

@@ -714,3 +714,40 @@ def test_profile_monitor_matches_batch_profile_and_replays(
         assert abs(r.n_distinct - exact) <= max(1, 0.10 * exact), c
         assert r.min_value == want[c].min_value
         assert r.max_value == want[c].max_value
+
+
+def test_quantile_shift_drift_invariants(spark, sf_dir, tmp_path):
+    """Probe rows come back in quantile order with monotone ref/cur
+    values; an identical-halves fixture reports ~zero shift everywhere;
+    a constant middle (degenerate IQR) reports shift_iqr 0.0, not a
+    division blow-up."""
+    rows = profiling.quantile_shift_drift(spark, sf_dir).collect()
+    assert [r.quantile for r in rows] == sorted(profiling.DRIFT_QS)
+    refs = [r.ref_value for r in rows]
+    curs = [r.cur_value for r in rows]
+    assert refs == sorted(refs) and curs == sorted(curs)
+    for r in rows:
+        assert abs(r.abs_shift - round(r.cur_value - r.ref_value, 4)) < 1e-3
+
+    # identical halves -> every shift ~0
+    ev = _psi_fixture_events(
+        spark,
+        ref_vals=[float(v % 50) for v in range(500)],
+        cur_vals=[float(v % 50) for v in range(500)],
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    same = profiling.quantile_shift_drift(spark, str(tmp_path)).collect()
+    for r in same:
+        assert abs(r.abs_shift) < 1e-6 and abs(r.shift_iqr) < 1e-6
+
+    # constant reference half -> IQR 0 -> guarded shift_iqr
+    tmp2 = tmp_path / "const"
+    tmp2.mkdir()
+    ev2 = _psi_fixture_events(
+        spark, ref_vals=[7.0] * 200, cur_vals=[9.0] * 200
+    )
+    ev2.write.parquet(str(tmp2 / "events.parquet"))
+    const = profiling.quantile_shift_drift(spark, str(tmp2)).collect()
+    for r in const:
+        assert r.shift_iqr == 0.0
+        assert abs(r.abs_shift - 2.0) < 1e-6
