@@ -319,6 +319,27 @@ def quantile_shift_drift(
             f"percentile(CASE WHEN NOT is_ref THEN value END, array({arr}))"
         ).alias("cq"),
     )
+    return _quantile_report_from(one, qs)
+
+
+def quantile_reference(
+    df: DataFrame, value_col: str = "value", qs: tuple[float, ...] = DRIFT_QS
+) -> list[float]:
+    """The frozen reference quantile array from a trusted snapshot — the
+    build-once artifact the streaming quantile monitor compares every
+    micro-batch against (one bounded collect of ``len(qs)`` doubles)."""
+    arr = ", ".join(repr(q) + "D" for q in qs)
+    row = df.agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("rq")
+    ).collect()[0]
+    return [float(v) for v in row["rq"]]
+
+
+def _quantile_report_from(one: DataFrame, qs: tuple[float, ...]) -> DataFrame:
+    """The shared report tail over a 1-row frame carrying ``rq``/``cq``
+    quantile arrays — one definition for the batch midpoint report and
+    the streaming per-micro-batch monitor, so the shift math (including
+    the degenerate-IQR guard) cannot drift between faces."""
     i25, i75 = qs.index(0.25) + 1, qs.index(0.75) + 1
     iqr = F.element_at("rq", i75) - F.element_at("rq", i25)
     rows = F.explode(

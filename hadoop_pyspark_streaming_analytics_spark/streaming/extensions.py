@@ -623,6 +623,47 @@ def foreach_batch_profile_monitor(
     return apply
 
 
+def foreach_batch_quantile_monitor(
+    reference_quantiles: list[float],
+    out_path: str,
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming BINLESS numeric-drift monitor: per micro-batch, each
+    probe quantile of the batch's ``value_col`` against a FROZEN
+    reference quantile array (profiling.quantile_reference over the
+    trusted snapshot), reported in reference-IQR units — the third
+    monitoring face beside the categorical PSI monitor and the column
+    profiler, sharing profiling._quantile_report_from so the shift math
+    (degenerate-IQR guard included) is one definition.
+
+    Per batch: one aggregate (the batch's exact quantile array — a
+    micro-batch is bounded, so exact costs what approx costs) with the
+    reference array embedded as plan literals; no cross-batch state, so
+    exactly-once is the batch_id=N overwrite discipline."""
+    from ..operators.profiling import DRIFT_QS
+
+    if len(reference_quantiles) != len(DRIFT_QS):
+        raise ValueError("reference_quantiles must match DRIFT_QS length")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.profiling import _quantile_report_from
+
+        arr = ", ".join(repr(q) + "D" for q in DRIFT_QS)
+        one = batch_df.agg(
+            F.expr(f"percentile({value_col}, array({arr}))").alias("cq")
+        ).select(
+            F.array(
+                *[F.lit(float(v)) for v in reference_quantiles]
+            ).alias("rq"),
+            "cq",
+        )
+        _quantile_report_from(one, DRIFT_QS).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return apply
+
+
 def foreach_batch_drift_monitor(
     reference_profile: DataFrame, out_path: str
 ) -> Callable[[DataFrame, int], None]:

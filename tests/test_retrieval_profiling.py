@@ -751,3 +751,46 @@ def test_quantile_shift_drift_invariants(spark, sf_dir, tmp_path):
     for r in const:
         assert r.shift_iqr == 0.0
         assert abs(r.abs_shift - 2.0) < 1e-6
+
+
+def test_quantile_monitor_matches_batch_report_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Feed the streaming quantile monitor the midpoint report's own
+    inputs — frozen reference = ref-half quantiles, one micro-batch =
+    the whole current half — and the per-batch report must EQUAL
+    quantile_shift_drift's rows (shared report tail).  Replay
+    overwrites; a wrong-length reference array is rejected at wrap
+    time."""
+    import pytest
+
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_quantile_monitor,
+    )
+
+    e = profiling._events_with_split(spark, sf_dir)
+    ref_q = profiling.quantile_reference(e.filter("is_ref"))
+    assert len(ref_q) == len(profiling.DRIFT_QS)
+    cur_half = e.filter(~F.col("is_ref")).select("value")
+    out = str(tmp_path / "qdrift")
+    apply_fn = foreach_batch_quantile_monitor(ref_q, out)
+    apply_fn(cur_half, 0)
+    apply_fn(cur_half, 0)  # replay: overwrite discipline
+    got = sorted(
+        spark.read.parquet(f"{out}/batch_id=0").collect(),
+        key=lambda r: r.quantile,
+    )
+    want = sorted(
+        profiling.quantile_shift_drift(spark, sf_dir).collect(),
+        key=lambda r: r.quantile,
+    )
+    assert [
+        (r.quantile, r.ref_value, r.cur_value, r.abs_shift, r.shift_iqr)
+        for r in got
+    ] == [
+        (r.quantile, r.ref_value, r.cur_value, r.abs_shift, r.shift_iqr)
+        for r in want
+    ]
+
+    with pytest.raises(ValueError):
+        foreach_batch_quantile_monitor([1.0, 2.0], out)
