@@ -3520,7 +3520,7 @@ def _quantile_shift_sql() -> str:
     )
     i25, i75 = qs.index(0.25), qs.index(0.75)
     arms = "\n  UNION ALL\n".join(
-        f"""  SELECT {q!r} AS quantile,
+        f"""  SELECT CAST({q!r} AS DOUBLE) AS quantile,
          round(rv{i} + 1e-8, 4) AS ref_value,
          round(cv{i} + 1e-8, 4) AS cur_value,
          round(cv{i} - rv{i} + 1e-8, 4) AS abs_shift,

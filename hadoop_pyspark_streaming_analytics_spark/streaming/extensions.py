@@ -648,6 +648,8 @@ def foreach_batch_quantile_monitor(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.profiling import _quantile_report_from
 
+        if batch_df.isEmpty():  # no values -> no report, not a null row
+            return
         arr = ", ".join(repr(q) + "D" for q in DRIFT_QS)
         one = batch_df.agg(
             F.expr(f"percentile({value_col}, array({arr}))").alias("cq")
