@@ -829,3 +829,29 @@ def test_q19_disjunctive_branch_revenue_shape(spark, sf_dir):
     ), li_scans
     # partial aggregation before the 3-group exchange
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_corpus_stats_plans_stay_scan_shaped(spark, sf_dir):
+    """The round-7 corpus-statistics trio must keep its promised shapes:
+    the length profile is ONE documents scan feeding one aggregate; the
+    vocabulary-coverage cutpoint join is broadcast (3 literal rows
+    against the vocab-grain checkpoint), never a shuffle join; the
+    diversity audit scans raw documents exactly once (each gram width
+    re-reads the token checkpoint, not the text)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        ngram_diversity_by_source,
+        token_length_profile,
+        vocab_coverage,
+    )
+
+    prof = plan_of(token_length_profile(spark, sf_dir))
+    assert prof.count("Scan parquet") == 2  # formatted prints each node twice
+    assert "Join" not in prof
+
+    cov = plan_of(vocab_coverage(spark, sf_dir))
+    assert "SortMergeJoin" not in cov
+    assert "Scan parquet" not in cov  # ranked vocab is checkpointed upstream
+    assert "BroadcastNestedLoopJoin" in cov or "BroadcastHashJoin" in cov
+
+    div = plan_of(ngram_diversity_by_source(spark, sf_dir))
+    assert "Scan parquet" not in div  # token arrays checkpointed once
