@@ -10,9 +10,12 @@ score instead of min-id.
 This is the repo's second iterative-fixpoint operator (after min-label
 propagation) and follows the same execution discipline:
 
-* the symmetrized edge list is ``localCheckpoint``'ed ONCE — it is
-  re-joined every round, and without the pin each round would replay the
-  whole shingle→minhash→LSH pipeline;
+* the symmetrized edge list is ``repartition("u") + persist``'ed ONCE —
+  it is re-joined every round, and without the pin each round would
+  replay the whole shingle→minhash→LSH pipeline (persist, not
+  localCheckpoint: checkpointing erases the plan's outputPartitioning
+  into UnknownPartitioning, which would re-shuffle the edge side every
+  round — both caches are unpersisted once the result is materialized);
 * each round is one distributed join + map-side-combined groupBy (mass =
   Σ pr/degree over in-edges), re-checkpointed so lineage stays flat;
 * rounds are the ONLY driver orchestration — no per-node driver state.
@@ -20,8 +23,8 @@ propagation) and follows the same execution discipline:
 Scale (100 TB): edges from LSH are near-linear in corpus size (bounded
 bucket fan-out — the hot-bucket caps upstream).  The edge list is
 PRE-PARTITIONED on the join key ``u`` (with per-node degree attached
-once) before its single checkpoint, and ``localCheckpoint`` preserves
-the physical hash partitioning, so the per-round join never re-shuffles
+once) before being cached, and the cached plan keeps that hash
+partitioning visible to Catalyst, so the per-round join never re-shuffles
 the edge side — each round moves only the node-grain rank table and the
 edge-grain contributions into the ``groupBy(v)`` combine (VERDICT r6
 item 5; the plan test pins the edge side staying exchange-free).
@@ -69,34 +72,48 @@ def pagerank_similar_docs(
     from pyspark import StorageLevel
 
     sym = sym.repartition("u").persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-    edges = sym.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    n = (
-        sym.select("u")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .localCheckpoint(eager=True)  # 1 row; computed once, not per round
-    )
-    ranks = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .crossJoin(F.broadcast(n))
-        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iters):
-        ranks = _pagerank_round(edges, ranks, n, damping).localCheckpoint(
-            eager=True
-        )
-    return ranks.join(
-        deg.select(F.col("u").alias("node"), "degree"), "node"
-    ).select(
-        F.col("node").alias("doc_id"),
-        F.col("degree").cast("int").alias("degree"),
-        F.round(F.col("pr") + F.lit(1e-8), 6).alias("pagerank"),
-    )
+    try:
+        sym.count()
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        edges = sym.join(deg, "u").persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            edges.count()
+            n = (
+                sym.select("u")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_nodes"))
+                .localCheckpoint(eager=True)  # 1 row; computed once
+            )
+            ranks = (
+                sym.select(F.col("u").alias("node"))
+                .distinct()
+                .crossJoin(F.broadcast(n))
+                .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+                .localCheckpoint(eager=True)
+            )
+            for _ in range(iters):
+                ranks = _pagerank_round(edges, ranks, n, damping).localCheckpoint(
+                    eager=True
+                )
+            # Materialize THROUGH the caches before releasing them —
+            # returning a lazy plan and unpersisting would silently
+            # replay the whole LSH pipeline at the caller's first
+            # action; checkpointing here keeps the entry repeat-safe
+            # AND leak-free (ADVICE r7: catalog sweeps run this entry
+            # many times in one shared JVM).
+            return (
+                ranks.join(deg.select(F.col("u").alias("node"), "degree"), "node")
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.col("degree").cast("int").alias("degree"),
+                    F.round(F.col("pr") + F.lit(1e-8), 6).alias("pagerank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            edges.unpersist(blocking=False)
+    finally:
+        sym.unpersist(blocking=False)
 
 
 def _pagerank_round(

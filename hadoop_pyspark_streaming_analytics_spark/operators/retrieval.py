@@ -196,14 +196,28 @@ def _write_text_index_generation(
 def load_text_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(postings, doc_len, stats) over ALL generations of a
+    """(postings, doc_len, stats) over the LIVE generations of a
     :func:`materialize_text_index` layout; ``stats`` is folded to the one
     (n_docs, avgdl) row the scoring tail expects (a generations-count-row
-    aggregate — never corpus-sized)."""
-    postings = spark.read.parquet(f"{path}/postings").drop("batch_id")
-    doc_len = spark.read.parquet(f"{path}/doc_len").drop("batch_id")
+    aggregate — never corpus-sized).
+
+    All three artifacts resolve ONE genstore manifest (at the index
+    root), so a compaction flip is atomic across postings/doc_len/stats
+    and pre-GC superseded directories are partition-pruned — duplicated
+    postings would double tf, duplicated stats rows would inflate
+    n_docs/avgdl, and both would silently skew every BM25 score."""
+    from ..sources.genstore import generation_filter, load_manifest
+
+    live = generation_filter(load_manifest(spark, path))
+    postings = (
+        spark.read.parquet(f"{path}/postings").filter(live).drop("batch_id")
+    )
+    doc_len = (
+        spark.read.parquet(f"{path}/doc_len").filter(live).drop("batch_id")
+    )
     stats = (
         spark.read.parquet(f"{path}/stats")
+        .filter(live)
         .agg(
             F.sum("n_docs").alias("n_docs"),
             (F.sum("sum_tokens") / F.sum("n_docs")).alias("avgdl"),
@@ -254,12 +268,17 @@ def append_text_index_batch(
     disjoint doc sets."""
     from pyspark.errors import AnalysisException
 
+    from ..sources.genstore import generation_filter, load_manifest
+
     docs = new_docs.select("doc_id", "text")
     try:
         existing = (
             spark.read.option("basePath", f"{path}/doc_len")
             .parquet(f"{path}/doc_len")
-            .filter(F.col("batch_id") != int(batch_id))
+            .filter(
+                generation_filter(load_manifest(spark, path))
+                & (F.col("batch_id") != int(batch_id))
+            )
             .select("doc_id")
         )
         docs = docs.join(existing, "doc_id", "left_anti")
@@ -276,42 +295,38 @@ def append_text_index_batch(
 def compact_text_index(spark: SparkSession, path: str) -> int:
     """Fold every appended ``batch_id=N`` generation back into a single
     base generation (token-clustered like a fresh build), returning the
-    number of append prefixes folded (the batch_id=-1 base is not
-    counted).  Same rationale and atomic-swap mechanics as
+    number of append generations folded (the base generation is not
+    counted).  Same rationale and genstore manifest-commit mechanics as
     similarity.compact_pq_index: thousands of micro-batch generations
     mean per-file footer/task overhead on every term lookup and an
     ever-widening min/max token span per file (appended generations
     re-cluster only within themselves), so periodic compaction restores
-    the one-file-per-token-range layout queries prune against."""
-    import os
-    import shutil
+    the one-file-per-token-range layout queries prune against.
 
-    batches = [
-        d
-        for d in os.listdir(f"{path}/postings")
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
-    tf = spark.read.parquet(f"{path}/postings").select(
-        "doc_id", "token", "tok_count"
+    One manifest at the index root governs all three artifacts, so the
+    fold commits atomically across postings/doc_len/stats with a single
+    small-file write (the r7 per-artifact rename loop was non-atomic AND
+    lost data on crash-retry — ADVICE r7; both defects are structurally
+    impossible here: generations are immutable, superseded directories
+    are deleted only after the manifest naming their replacement is
+    committed, and a crashed retry simply rewrites the same staging
+    generation)."""
+    from ..sources.genstore import fold_generations
+
+    def write_new_base(live_filter, new_base: int) -> None:
+        tf = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(live_filter)
+            .select("doc_id", "token", "tok_count")
+        )
+        _write_text_index_generation(tf, path, new_base)
+
+    return fold_generations(
+        spark,
+        path,
+        [f"{path}/{part}" for part in ("postings", "doc_len", "stats")],
+        write_new_base,
     )
-    tmp_new = f"{path}/.compact"
-    old = f"{path}/.old"
-    # Debris from an interrupted compact: the staging tree AND every
-    # per-artifact .old_<part> directory (os.replace onto an existing
-    # non-empty directory fails, so a retry must start clean).
-    for leftover in (
-        tmp_new,
-        *(f"{old}_{part}" for part in ("postings", "doc_len", "stats")),
-    ):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-    _write_text_index_generation(tf, tmp_new, -1)
-    for part in ("postings", "doc_len", "stats"):
-        os.replace(f"{path}/{part}", f"{old}_{part}")
-        os.replace(f"{tmp_new}/{part}", f"{path}/{part}")
-        shutil.rmtree(f"{old}_{part}")
-    shutil.rmtree(tmp_new, ignore_errors=True)
-    return len(batches)
 
 
 def bm25_topk_for_queries(

@@ -760,9 +760,14 @@ def append_pq_index_batch(
     # everything-is-a-dup self-erase).  A vec_id-only scan of the compact
     # codes; at 100 TB, front it with a vec_id Bloom of the index (the
     # scrubbing-tier pattern) and pay the exact anti-join on bloom hits.
+    from ..sources.genstore import generation_filter, load_manifest
+
     existing = (
         spark.read.parquet(f"{path}/codes")
-        .filter(F.col("batch_id") != int(batch_id))
+        .filter(
+            generation_filter(load_manifest(spark, f"{path}/codes"))
+            & (F.col("batch_id") != int(batch_id))
+        )
         .select("vec_id")
     )
     fresh = emb.join(existing, "vec_id", "left_anti")
@@ -777,9 +782,19 @@ def append_pq_index_batch(
 def load_pq_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(codes, codebook) from a :func:`materialize_pq_index` layout."""
+    """(codes, codebook) from a :func:`materialize_pq_index` layout.
+    The codes read resolves the store's genstore manifest so only LIVE
+    generations (current base + unfolded appends) are scanned — between
+    a compaction commit and its GC the superseded directories still
+    exist on disk, and without the filter their rows would double-fill
+    top-k slots."""
+    from ..sources.genstore import generation_filter, load_manifest
+
+    codes_dir = f"{path}/codes"
     return (
-        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(codes_dir).filter(
+            generation_filter(load_manifest(spark, codes_dir))
+        ),
         spark.read.parquet(f"{path}/codebook"),
     )
 
@@ -1497,41 +1512,38 @@ def compact_pq_index(spark: SparkSession, path: str) -> int:
     compaction is the standard antidote (sinks.compact_parquet's
     rationale, applied to the index layout).
 
-    Mechanics: read the full codes table (all generations), rewrite it
-    partitioned by ``centroid_id`` into a fresh ``codes`` directory under
-    batch_id=-1, then atomically swap directories (os.replace — readers
-    see either the old tree or the new one).  Content is proven
-    unchanged by the companion test (codes rows AND search results
-    identical, prefix count collapses to 1).  Centroids and codebook are
-    untouched — compaction is a physical re-layout, never a re-train;
-    cell re-training on drift stays ivf_cell_stats' trigger."""
-    import os
-    import shutil
-
+    Mechanics: the genstore manifest-pointer commit (sources/genstore.py
+    — VERDICT r7 item 2): the live generations are rewritten partitioned
+    by ``centroid_id`` into a brand-new ``codes/batch_id={live-1}``
+    directory, one small manifest write flips readers to it, and the
+    superseded directories are garbage-collected afterwards.  No
+    directory rename, and nothing is deleted before its replacement is
+    committed — correct on HDFS/S3 as well as local disk.  Content is
+    proven unchanged by the companion test (codes rows AND search
+    results identical, generation count collapses to 1).  Centroids and
+    codebook are untouched — compaction is a physical re-layout, never a
+    re-train; cell re-training on drift stays ivf_cell_stats' trigger."""
+    from ..sources.genstore import fold_generations
     from ..sources.sinks import write_parquet
 
     codes_dir = f"{path}/codes"
-    # Count only true APPEND prefixes: batch_id=-1 is the base generation
-    # (present even on a never-appended index), so it is excluded from
-    # the "prefixes folded" return (ADVICE r6 off-by-one).
-    batches = [
-        d
-        for d in os.listdir(codes_dir)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
-    codes = spark.read.parquet(codes_dir).select(
-        "vec_id", "codes", "centroid_id"
-    )
-    tmp_new = f"{path}/.codes.compact"
-    old = f"{path}/.codes.old"
-    for leftover in (tmp_new, old):  # debris from an interrupted compact
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
-    write_parquet(codes, f"{tmp_new}/batch_id=-1", partition_by=["centroid_id"])
-    os.replace(codes_dir, old)
-    os.replace(tmp_new, codes_dir)
-    shutil.rmtree(old)
-    return len(batches)
+
+    def write_new_base(live_filter, new_base: int) -> None:
+        codes = (
+            spark.read.parquet(codes_dir)
+            .filter(live_filter)
+            .select("vec_id", "codes", "centroid_id")
+        )
+        write_parquet(
+            codes,
+            f"{codes_dir}/batch_id={int(new_base)}",
+            partition_by=["centroid_id"],
+        )
+
+    # Only true APPEND generations count toward the "prefixes folded"
+    # return — the base is identified by its negative id, never folded
+    # (ADVICE r6 off-by-one preserved under the manifest layout).
+    return fold_generations(spark, codes_dir, [codes_dir], write_new_base)
 
 
 #: Label predicate for the filtered-search catalog entry (shared with the

@@ -206,14 +206,22 @@ def _lsh_batch_victims(
     band store and re-runs both victim joins.
     """
     from ..operators.dedup import connected_components, lsh_band_buckets
+    from ..sources.genstore import generation_filter, load_manifest
 
     spark = docs.sparkSession
     buckets = lsh_band_buckets(docs, n, bands, rows).localCheckpoint(eager=True)
     try:
+        # Manifest-aware authority: the live base (any negative id — all
+        # < N, so always authority-visible) plus unfolded prior appends.
+        # Folded generations may physically linger until GC; the filter
+        # prunes them so their rows aren't scanned twice.
         prior = (
             spark.read.option("basePath", store_path)
             .parquet(store_path)
-            .filter(F.col("batch_id") < batch_id)
+            .filter(
+                generation_filter(load_manifest(spark, store_path))
+                & (F.col("batch_id") < batch_id)
+            )
             .select("band_id", "band_hash")
         )
     except AnalysisException as e:
@@ -259,7 +267,7 @@ def compact_band_store(
     spark, store_path: str, keep_latest: int = 1
 ) -> int:
     """Fold the LSH band store's per-micro-batch ``batch_id=N``
-    generations into the ``batch_id=-1`` base — the band store's
+    generations into a fresh base generation — the band store's
     compaction story, completing the set (PQ codes and BM25 postings
     already have theirs): at thousands of batches the prior-batches
     authority semi-join pays footer/listing overhead per tiny generation.
@@ -267,66 +275,47 @@ def compact_band_store(
 
     The ``keep_latest`` highest batch ids are NOT folded: Spark replays
     the last un-committed batch after a restart, and a replayed batch
-    must not find its own bands in the "prior batches" authority
-    (batch_id=-1 < N always passes the ``batch_id < N`` filter) — that
+    must not find its own bands in the "prior batches" authority (the
+    base's negative id always passes the ``batch_id < N`` filter) — that
     would flag the whole batch as self-duplicates and overwrite its
     output empty.  Folding only committed history keeps replay exact;
     with the stream fully stopped, ``keep_latest=0`` folds everything.
 
-    Interruption window: the folded rows are staged and swapped in as
-    the new base BEFORE the old generation directories are removed, so
-    a crash mid-compact can only leave band rows duplicated between the
-    base and an un-deleted generation — harmless to the semi-join
-    authority (existence is idempotent), and the next compact folds the
-    leftovers.
+    Publication is the genstore manifest-pointer commit
+    (sources/genstore.py — VERDICT r7 item 2): the folded rows land in a
+    brand-new ``batch_id={live-1}`` directory, ONE small manifest write
+    makes it live, and the superseded directories are garbage-collected
+    afterwards.  No directory is ever renamed and nothing is deleted
+    before the manifest naming its replacement is committed, so the
+    crash-retry band-history loss ADVICE r7 found in the old
+    ``os.replace`` swap cannot occur, on local disk or on an object
+    store alike.
 
     OPERATIONAL CONTRACT (applies to every generational store here —
     band store, PQ codes, text index): restarting a stream with a FRESH
     checkpoint restarts batch ids at 0, which (a) would overwrite the
     previous incarnation's ``batch_id=0`` generation and (b) drops every
     old generation out of the ``batch_id < N`` dedup authority (0..k are
-    not < 0; only the -1 base is).  Run the matching compact with
-    ``keep_latest=0`` while the stream is stopped BEFORE pointing a new
-    checkpoint at an existing store — folding history into ``batch_id=-1``
+    not < 0; only the negative-id base is).  Run the matching compact
+    with ``keep_latest=0`` while the stream is stopped BEFORE pointing a
+    new checkpoint at an existing store — folding history into the base
     makes it authority-visible to every future id sequence and leaves no
     generation for batch 0 to collide with."""
-    import os
-    import shutil
+    from ..sources.genstore import fold_generations
 
-    from pyspark.sql import functions as F  # noqa: F811
-
-    gens = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(store_path)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    )
-    fold = gens[: len(gens) - keep_latest] if keep_latest else gens
-    if not fold:
-        return 0
-    folded = (
-        spark.read.option("basePath", store_path)
-        .parquet(store_path)
-        .filter(
-            (F.col("batch_id") == -1) | F.col("batch_id").isin(fold)
+    def write_new_base(live_filter, new_base: int) -> None:
+        (
+            spark.read.option("basePath", store_path)
+            .parquet(store_path)
+            .filter(live_filter)
+            .select("band_id", "band_hash", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/batch_id={int(new_base)}")
         )
-        .select("band_id", "band_hash", "doc_id")
+
+    return fold_generations(
+        spark, store_path, [store_path], write_new_base, keep_latest=keep_latest
     )
-    tmp = f"{store_path}/.bands.compact"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    folded.write.mode("overwrite").parquet(tmp)
-    base = f"{store_path}/batch_id=-1"
-    old = f"{store_path}/.bands.old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(base):
-        os.replace(base, old)
-    os.replace(tmp, base)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    for n in fold:
-        shutil.rmtree(f"{store_path}/batch_id={n}", ignore_errors=True)
-    return len(fold)
 
 
 def foreach_batch_curation(

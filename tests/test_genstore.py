@@ -1,0 +1,212 @@
+"""Object-store-safe generational-store commit protocol (sources/genstore.py).
+
+Pins the crash matrix the r7 ``os.replace`` swaps got wrong (ADVICE r7:
+both the band store and the text index could permanently LOSE folded
+history when a retry ran after a crash mid-swap):
+
+* a crash BEFORE the manifest commit leaves the old state fully live and
+  the retry folds successfully — no recovery code, no data loss;
+* a crash AFTER the manifest commit but before GC leaves superseded
+  directories on disk that every reader partition-prunes (no double
+  counting), and the next compaction garbage-collects them;
+* a torn (unparseable) newest manifest falls back to the previous
+  version — versions are immutable, so the newest parseable one is
+  always a consistent snapshot;
+* the control plane never touches ``os``/``shutil`` — everything routes
+  through Hadoop's FileSystem API, so the same code is correct on
+  hdfs:// and s3a:// stores (verified by source inspection here, by the
+  ProxyLocalFileSystem round-trip in the fixtures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hadoop_pyspark_streaming_analytics_spark.sources import genstore
+
+
+def _write_gen(spark, store: str, batch_id: int, vals: list[int]) -> None:
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    df.write.mode("overwrite").parquet(f"{store}/batch_id={batch_id}")
+
+
+def _live_vals(spark, store: str) -> list[int]:
+    return sorted(
+        r["v"] for r in genstore.read_live(spark, store).select("v").collect()
+    )
+
+
+def _fold(spark, store: str, **kw) -> int:
+    def write_new_base(live_filter, new_base: int) -> None:
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+
+    return genstore.fold_generations(spark, store, [store], write_new_base, **kw)
+
+
+def test_fold_commit_and_gc(spark, tmp_path):
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1, 2])
+    _write_gen(spark, store, 0, [3])
+    _write_gen(spark, store, 1, [4])
+    assert _live_vals(spark, store) == [1, 2, 3, 4]
+
+    assert _fold(spark, store) == 2
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -2 and m["folded"] == [0, 1]
+    assert _live_vals(spark, store) == [1, 2, 3, 4]
+    # GC removed every superseded directory
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2"]
+    # nothing new to fold; manifest untouched
+    assert _fold(spark, store) == 0
+    assert genstore.load_manifest(spark, store)["version"] == m["version"]
+
+    # a later append is live immediately and folds into -3
+    _write_gen(spark, store, 2, [5])
+    assert _live_vals(spark, store) == [1, 2, 3, 4, 5]
+    assert _fold(spark, store) == 1
+    m2 = genstore.load_manifest(spark, store)
+    assert m2["live_base"] == -3 and m2["folded"] == [0, 1, 2]
+    assert _live_vals(spark, store) == [1, 2, 3, 4, 5]
+
+
+def test_keep_latest_survives_fold(spark, tmp_path):
+    store = str(tmp_path / "s")
+    for b, vals in ((0, [1]), (1, [2]), (2, [3])):
+        _write_gen(spark, store, b, vals)
+    assert _fold(spark, store, keep_latest=1) == 2
+    m = genstore.load_manifest(spark, store)
+    assert m["folded"] == [0, 1]
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2", "batch_id=2"]
+    assert _live_vals(spark, store) == [1, 2, 3]
+
+
+def test_crash_before_manifest_commit_loses_nothing(spark, tmp_path):
+    """ADVICE r7 scenario 1: die mid-publication, then retry.  With the
+    manifest protocol the half-written new base is invisible (old
+    manifest still governs) and the retry simply rewrites it."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1, 2])
+    _write_gen(spark, store, 0, [3])
+
+    def crashing_write(live_filter, new_base: int) -> None:
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+        raise RuntimeError("simulated crash after base write, before commit")
+
+    with pytest.raises(RuntimeError):
+        genstore.fold_generations(spark, store, [store], crashing_write)
+    # old state fully live: default manifest, debris pruned by readers
+    assert genstore.load_manifest(spark, store)["live_base"] == -1
+    assert _live_vals(spark, store) == [1, 2, 3]
+    # retry completes and converges to the committed state
+    assert _fold(spark, store) == 1
+    assert _live_vals(spark, store) == [1, 2, 3]
+    assert genstore.load_manifest(spark, store)["live_base"] == -2
+
+
+def test_crash_after_commit_before_gc_never_double_counts(spark, tmp_path):
+    """ADVICE r7 scenario 2: the manifest committed but GC never ran.
+    Readers must not double-count rows present in both the new base and
+    the not-yet-deleted folded generations; the next fold GCs them."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1, 2])
+    _write_gen(spark, store, 0, [3])
+    # manual fold WITHOUT GC: stage new base, commit manifest, stop
+    (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter(F.col("batch_id").isin(-1, 0))
+        .select("v")
+        .write.mode("overwrite")
+        .parquet(f"{store}/batch_id=-2")
+    )
+    genstore.commit_manifest(spark, store, live_base=-2, folded=[0], version=1)
+    # batch_id=-1 and batch_id=0 still on disk, but invisible
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-1", "batch_id=-2", "batch_id=0"]
+    assert _live_vals(spark, store) == [1, 2, 3]
+    # next fold (nothing new) still garbage-collects the debris
+    assert _fold(spark, store) == 0
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2"]
+    assert _live_vals(spark, store) == [1, 2, 3]
+
+
+def test_torn_manifest_falls_back_to_previous_version(spark, tmp_path):
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    genstore.commit_manifest(spark, store, live_base=-1, folded=[], version=1)
+    # a torn write of v2 (truncated JSON)
+    genstore.write_small_text(
+        spark, f"{store}/{genstore.MANIFEST_DIR}/v00000002.json", '{"live_ba'
+    )
+    m = genstore.load_manifest(spark, store)
+    assert m["version"] == 1 and m["live_base"] == -1
+    # and a store with ONLY torn manifests degrades to the default
+    store2 = str(tmp_path / "s2")
+    _write_gen(spark, store2, -1, [7])
+    genstore.write_small_text(
+        spark, f"{store2}/{genstore.MANIFEST_DIR}/v00000001.json", "not json"
+    )
+    assert genstore.load_manifest(spark, store2)["live_base"] == -1
+    assert _live_vals(spark, store2) == [7]
+
+
+def test_manifest_roundtrip_and_atomic_publish(spark, tmp_path):
+    store = str(tmp_path / "s")
+    genstore.commit_manifest(spark, store, live_base=-4, folded=[2, 0], version=3)
+    m = genstore.load_manifest(spark, store)
+    assert m == {"version": 3, "live_base": -4, "folded": [0, 2]}
+    # the dot-temp staging file never survives a publish
+    names = genstore.list_names(spark, f"{store}/{genstore.MANIFEST_DIR}")
+    assert names == ["v00000003.json"]
+    # file content is single-line JSON (readable by any tooling)
+    body = genstore.read_small_text(
+        spark, f"{store}/{genstore.MANIFEST_DIR}/v00000003.json"
+    )
+    assert json.loads(body)["live_base"] == -4 and "\n" not in body
+
+
+def test_control_plane_is_posix_free():
+    """The module must not touch os/shutil — that is the entire point
+    (VERDICT r7 item 2).  Source-level pin so a convenience regression
+    cannot sneak back in."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(genstore))
+    imported = {
+        n.name.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Import)
+        for n in node.names
+    } | {
+        node.module.split(".")[0]
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom) and node.module
+    }
+    assert "os" not in imported and "shutil" not in imported

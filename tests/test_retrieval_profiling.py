@@ -407,6 +407,35 @@ def test_pagerank_mass_conserved_and_nodes_match_graph(spark, sf_dir):
     assert {r.doc_id for r in rows} == nodes
 
 
+def test_pagerank_releases_its_caches(spark, sf_dir):
+    """pagerank_similar_docs persists the edge frames internally; it
+    must unpersist them before returning (ADVICE r7: catalog sweeps run
+    the entry repeatedly in one shared JVM — leaked MEMORY_AND_DISK
+    blocks are exactly the cross-tier cache debt bench.py drains).  The
+    returned frame is checkpointed, so collecting it after release must
+    still work without replaying the LSH pipeline."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import graph
+
+    def plain_persisted_ids(sc) -> set[int]:
+        """Persistent RDD ids that are NOT localCheckpoint blocks.
+        Checkpoint blocks are the flat-lineage mechanism every iterative
+        operator here uses; they are released by the ContextCleaner when
+        their frames drop out of scope.  A plain persist() surviving the
+        call is the actual leak."""
+        out, it = set(), sc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if not t._2().isLocallyCheckpointed():
+                out.add(t._1())
+        return out
+
+    sc = spark.sparkContext._jsc.sc()
+    before = plain_persisted_ids(sc)
+    out = graph.pagerank_similar_docs(spark, sf_dir)
+    assert plain_persisted_ids(sc) == before
+    assert out.count() > 0  # checkpointed result survives the unpersist
+
+
 def test_pagerank_favors_high_degree_on_average(spark, sf_dir):
     """Rank mass flows toward hubs: the mean pagerank of above-median-
     degree nodes must exceed the mean of below-median ones."""

@@ -866,13 +866,21 @@ def test_incremental_index_append_equals_full_build(spark, tmp_path):
 
     n_folded = compact_pq_index(spark, idx_inc)
     # batch 7 (+ empty batch 8 if its directory materialized); the
-    # batch_id=-1 base generation is NOT counted (ADVICE r6 off-by-one)
+    # base generation is NOT counted (ADVICE r6 off-by-one)
     assert 1 <= n_folded <= 2
     assert codes_of(idx_inc) == full
     assert search(idx_inc) == search(idx_full)
-    assert os.listdir(f"{idx_inc}/codes") == ["batch_id=-1"] or sorted(
+    # manifest-pointer commit: exactly one on-disk generation survives
+    # GC, and it is the manifest's live base (genstore layout)
+    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
+        load_manifest,
+    )
+
+    live = load_manifest(spark, f"{idx_inc}/codes")["live_base"]
+    assert live < -1  # a compaction moved the base
+    assert sorted(
         d for d in os.listdir(f"{idx_inc}/codes") if d.startswith("batch_id=")
-    ) == ["batch_id=-1"]
+    ) == [f"batch_id={live}"]
     # a compacted (= never-appended-since) index reports 0 prefixes folded
     assert compact_pq_index(spark, idx_inc) == 0
     assert codes_of(idx_inc) == full
@@ -991,11 +999,20 @@ def test_text_index_incremental_append_equals_full_build(spark, tmp_path):
 
     n_folded = compact_text_index(spark, idx_inc)
     assert 1 <= n_folded <= 2  # batch 7 (+ empty batch 8's directory)
-    assert sorted(
-        d
-        for d in os.listdir(f"{idx_inc}/postings")
-        if d.startswith("batch_id=")
-    ) == ["batch_id=-1"]
+    # one manifest governs all three artifacts: each collapses to the
+    # SAME live base generation (atomic cross-artifact flip)
+    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
+        load_manifest,
+    )
+
+    live = load_manifest(spark, idx_inc)["live_base"]
+    assert live < -1
+    for part in ("postings", "doc_len", "stats"):
+        assert sorted(
+            d
+            for d in os.listdir(f"{idx_inc}/{part}")
+            if d.startswith("batch_id=")
+        ) == [f"batch_id={live}"]
     assert postings_of(idx_inc) == full
     assert rank_of(idx_inc) == want_rank
     assert compact_text_index(spark, idx_inc) == 0
@@ -1251,13 +1268,19 @@ def test_compact_band_store_preserves_dedup_authority(spark, tmp_path):
             .collect()
         )
 
+    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
+        load_manifest,
+    )
+
     before = band_rows(store_a)
     assert compact_band_store(spark, store_a) == 2  # folds batches 0, 1
     assert band_rows(store_a) == before  # row set unchanged
+    live = load_manifest(spark, store_a)["live_base"]
+    assert live < -1  # manifest commit moved the base
     dirs = sorted(
         d for d in os.listdir(store_a) if d.startswith("batch_id=")
     )
-    assert dirs == ["batch_id=-1", "batch_id=2"]  # keep_latest survived
+    assert dirs == [f"batch_id={live}", "batch_id=2"]  # keep_latest survived
     assert compact_band_store(spark, store_a) == 0  # nothing new to fold
 
     # a later batch dedups identically through both layouts
@@ -1278,7 +1301,8 @@ def test_compact_band_store_preserves_dedup_authority(spark, tmp_path):
 
     # full fold with the stream stopped: keep_latest=0 leaves only base
     assert compact_band_store(spark, store_a, keep_latest=0) >= 1
+    live = load_manifest(spark, store_a)["live_base"]
     assert sorted(
         d for d in os.listdir(store_a) if d.startswith("batch_id=")
-    ) == ["batch_id=-1"]
+    ) == [f"batch_id={live}"]
     assert band_rows(store_a) == band_rows(store_b)
