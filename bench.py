@@ -156,7 +156,20 @@ def _round_id() -> int:
 def _persist_summary(summary: dict, round_id: int) -> str:
     """Write the full summary dict (however large — BENCH_r06's line
     outgrew the driver's tail capture at ~2 KB of quoting overhead) to
-    .benchmarks/bench_r{N}.json, overwriting any same-round re-run."""
+    .benchmarks/bench_r{N}.json, overwriting any same-round re-run.
+
+    The summary self-identifies its round basis (VERDICT r7 "wrong" #4:
+    a bench run launched AFTER the driver wrote this round's
+    CORRECTNESS file — e.g. the driver's own end-of-round run — derives
+    round_id = N+1, so bench_r08.json can hold round 7's in-flight
+    numbers; the stamped fields let an auditor see exactly which
+    CORRECTNESS files the id was derived from instead of inferring it
+    from filenames)."""
+    summary["bench_round_id"] = round_id
+    summary["bench_round_basis"] = (
+        f"max(CORRECTNESS_r*.json)={round_id - 1} at run time; "
+        "filenames are in-flight-round labels, not driver-round labels"
+    )
     d = _bench_dir()
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"bench_r{round_id:02d}.json")
@@ -403,6 +416,7 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     (cur1, stages1), (cur2, stages2) = _bench_streaming_curation(spark)
     splits["curation"] = min(cur1, cur2)
     raw["curation"] = [cur1, cur2]
+    multibatch = _bench_streaming_curation_multibatch(spark)
     return {
         "streaming_3query_rows": n_rows,
         "streaming_3query_wall_sec": wall,
@@ -411,6 +425,8 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
         # per-stage attribution for the heaviest streaming split
         # (VERDICT r6 item 8): stages of the best measured curation run
         "streaming_curation_stage_sec": stages1 if cur1 <= cur2 else stages2,
+        # generation-accumulation vs auto-compaction (VERDICT r7 item 5)
+        **multibatch,
     }
 
 
@@ -549,6 +565,98 @@ def _bench_streaming_curation(
 
         run_once()  # warm-up
         return run_once(), run_once()
+    finally:
+        shutil.rmtree(watch, ignore_errors=True)
+
+
+def _bench_streaming_curation_multibatch(
+    spark, n_docs: int = 5_000, n_batches: int = 10
+) -> dict:
+    """Sustained-ingest curation (VERDICT r7 item 5): the SAME document
+    volume as the single-batch figure, fed as ``n_batches`` micro-batches
+    so the band store accumulates one generation per batch — the regime
+    where the prior-batches authority semi-join pays per-generation
+    listing/footer overhead forever.  Two runs over identical input:
+    without compaction, and with ``compact_every=3`` auto-folding from
+    inside the handler (keep_latest=1, the replay contract).  Reported:
+    total wall for the drain and the LAST batch's lsh_dedup split — the
+    last batch faces the most prior generations (9 tiny ones uncompacted
+    vs ≤2 + the folded base), so it isolates the accumulation effect the
+    compactor exists to cap.  Single run per mode: the curation path is
+    already JVM-warm from _bench_streaming_curation, and the two modes
+    share input so the comparison is paired."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import bpe_merges
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_curation,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    watch = tempfile.mkdtemp(prefix="bench_curation_mb_q_")
+    try:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(n_docs)
+            .collect()
+        )
+        per = max(1, len(rows) // n_batches)
+        for i in range(n_batches):
+            with open(f"{watch}/b{i:02d}.json", "w") as f:
+                for r in rows[i * per : (i + 1) * per]:
+                    f.write(
+                        _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                        + "\n"
+                    )
+
+        def run_once(compact_every) -> tuple[float, dict]:
+            work = tempfile.mkdtemp(prefix="bench_curation_mb_")
+            stages: dict[str, float] = {}
+            try:
+                t0 = time.perf_counter()
+                q = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(watch)
+                    .writeStream.foreachBatch(
+                        foreach_batch_curation(
+                            f"{work}/bands", f"{work}/out", merges,
+                            stage_times=stages,
+                            compact_every=compact_every,
+                        )
+                    )
+                    .option("checkpointLocation", f"{work}/ckpt")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                return round(time.perf_counter() - t0, 3), stages
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+        plain_wall, plain_stages = run_once(None)
+        auto_wall, auto_stages = run_once(3)
+        return {
+            "streaming_curation_multibatch_batches": n_batches,
+            "streaming_curation_multibatch_wall_sec": {
+                "no_compact": plain_wall,
+                "auto_compact": auto_wall,
+            },
+            # stage_times holds the LAST processed batch's splits
+            "streaming_curation_multibatch_last_lsh_sec": {
+                "no_compact": plain_stages.get("lsh_dedup"),
+                "auto_compact": auto_stages.get("lsh_dedup"),
+            },
+        }
     finally:
         shutil.rmtree(watch, ignore_errors=True)
 

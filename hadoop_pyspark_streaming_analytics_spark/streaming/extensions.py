@@ -326,6 +326,7 @@ def foreach_batch_curation(
     bands: int = 4,
     rows: int = 4,
     stage_times: dict[str, float] | None = None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The STREAMING curation pipeline — the streaming twin of
     pipelines.curate_documents_modern's shape, composed entirely from the
@@ -359,6 +360,19 @@ def foreach_batch_curation(
     The split points are the pipeline's natural materialization barriers
     (two localCheckpoints and the two writes) — timing adds no extra
     materialization and does not change the executed plan.
+
+    ``compact_every`` (VERDICT r7 item 5): when set, the band store is
+    auto-compacted from inside the handler once the LIVE append
+    generation count reaches the threshold — every batch otherwise adds
+    one tiny generation whose listing/footer overhead the prior-batches
+    authority semi-join pays forever after.  The fold always runs with
+    ``keep_latest=1`` so the batch just written stays unfolded: Spark
+    replays the last uncommitted batch after a crash, and a replayed
+    batch must not meet its own bands in the authority (the
+    compact_band_store contract).  foreachBatch handlers are serialized
+    per query, so the genstore single-writer rule holds by construction.
+    The trigger check is one directory listing; when the fold runs its
+    wall time lands in ``stage_times["compact"]``.
     """
     import time
 
@@ -399,12 +413,24 @@ def foreach_batch_curation(
         buckets.join(victims, "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(f"{store_path}/batch_id={batch_id}")
+        t4 = time.perf_counter()
+        if compact_every is not None:
+            from ..sources.genstore import append_ids, load_manifest
+
+            spark = batch_df.sparkSession
+            live = append_ids(
+                spark, store_path, load_manifest(spark, store_path)
+            )
+            if len(live) >= compact_every:
+                compact_band_store(spark, store_path, keep_latest=1)
         if stage_times is not None:
-            t4 = time.perf_counter()
+            t5 = time.perf_counter()
             stage_times["gate"] = round(t1 - t0, 3)
             stage_times["lsh_dedup"] = round(t2 - t1, 3)
             stage_times["tokenize_write"] = round(t3 - t2, 3)
             stage_times["bands_write"] = round(t4 - t3, 3)
+            if compact_every is not None:
+                stage_times["compact"] = round(t5 - t4, 3)
 
     return apply
 

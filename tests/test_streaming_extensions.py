@@ -790,6 +790,91 @@ def test_foreach_batch_curation_matches_batch_composition(spark, tmp_path):
         assert n_tokens == true_counts.get(doc_id, 0)
 
 
+def test_foreach_batch_curation_auto_compaction_is_transparent(spark, tmp_path):
+    """compact_every (VERDICT r7 item 5): interleaving band-store
+    compaction with curation batches must change NOTHING observable —
+    admitted docs identical to an uncompacted twin at every batch, the
+    band-store ROW SET identical (layout may differ), replay of the last
+    batch still a no-op after a fold ran, and the store's live append
+    count stays bounded by the threshold."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus
+    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
+        append_ids,
+        generation_filter,
+        load_manifest,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_curation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merges = [
+        (r["lft"], r["rgt"])
+        for r in corpus.bpe_merges(spark, sf).orderBy("step").collect()
+    ]
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    )
+    # 5 batches of 20 docs; batch 3 carries near-dups of batch-0 docs so
+    # the authority must still see FOLDED history to reject them
+    batches = [docs[i * 20 : (i + 1) * 20] for i in range(5)]
+    twins = [
+        Row(doc_id=r["doc_id"] + 100_000, text=r["text"] + " extra")
+        for r in batches[0][:8]
+    ]
+    batches[3] = batches[3] + twins
+
+    store_c, out_c = str(tmp_path / "bands_c"), str(tmp_path / "out_c")
+    store_p, out_p = str(tmp_path / "bands_p"), str(tmp_path / "out_p")
+    stages: dict[str, float] = {}
+    compacted = foreach_batch_curation(
+        store_c, out_c, merges, stage_times=stages, compact_every=2
+    )
+    plain = foreach_batch_curation(store_p, out_p, merges)
+
+    def admitted(out):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.option("basePath", out).parquet(out).collect()
+        )
+
+    def band_rows(store):
+        return sorted(
+            (r["band_id"], r["band_hash"], r["doc_id"])
+            for r in spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(generation_filter(load_manifest(spark, store)))
+            .collect()
+        )
+
+    for bid, rows_ in enumerate(batches):
+        frame = spark.createDataFrame(rows_)
+        compacted(frame, bid)
+        plain(frame, bid)
+        assert admitted(out_c) == admitted(out_p)
+        assert band_rows(store_c) == band_rows(store_p)
+        # the live append-generation count stays under the threshold + 1
+        # (the keep_latest=1 survivor plus at most compact_every-1 new)
+        live = append_ids(spark, store_c, load_manifest(spark, store_c))
+        assert len(live) <= 2
+    assert "compact" in stages  # the fold actually ran and was timed
+    assert load_manifest(spark, store_c)["live_base"] < -1
+    # the injected twins were rejected against FOLDED history
+    assert all(d < 100_000 for d in admitted(out_c))
+
+    # replay of the last batch after a fold ran: still a no-op
+    before = admitted(out_c), band_rows(store_c)
+    compacted(spark.createDataFrame(batches[4]), 4)
+    assert (admitted(out_c), band_rows(store_c)) == before
+
+
 def test_incremental_index_append_equals_full_build(spark, tmp_path):
     """Index-lifecycle exactness: building the PQ index on half the corpus
     and APPENDING the other half (frozen centroids + frozen codebook) must
