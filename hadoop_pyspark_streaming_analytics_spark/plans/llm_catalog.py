@@ -3549,3 +3549,107 @@ LLM_CATALOG.append(
         tags=("llm", "profiling", "drift", "evaluation"),
     )
 )
+
+
+def _monitor_rollup_sql() -> str:
+    """Oracle for the monitor alert rollup: the full derivation — split,
+    pseudo-batching by event_id % k, per-batch categorical PSI (per-batch
+    category space + Laplace smoothing, the psi_report math), per-batch
+    quantile shifts vs the frozen reference array (degenerate-IQR guard),
+    per-batch null rate — then the metric union with thresholds and the
+    per-metric first-breach window.  Constants (batch count, thresholds,
+    probes) interpolate from the same module attributes the engine
+    reads."""
+    k = profiling.ROLLUP_BATCHES
+    thr = profiling.MONITOR_THRESHOLDS
+    qs = profiling.DRIFT_QS
+    i25, i75 = qs.index(0.25), qs.index(0.75)
+    ref_probes = ",\n       ".join(
+        f"quantile_cont(value, CAST({q!r} AS DOUBLE)) AS rv{i}"
+        for i, q in enumerate(qs)
+    )
+    cur_probes = ",\n       ".join(
+        f"quantile_cont(value, CAST({q!r} AS DOUBLE)) AS cv{i}"
+        for i, q in enumerate(qs)
+    )
+    shift_exprs = ",\n         ".join(
+        f"""CASE WHEN rq.rv{i75} - rq.rv{i25} = 0 THEN 0.0
+              ELSE round((cq.cv{i} - rq.rv{i}) / (rq.rv{i75} - rq.rv{i25})
+                         + 1e-8, 4) END AS s{i}"""
+        for i in range(len(qs))
+    )
+    greatest = ", ".join(f"abs(s{i})" for i in range(len(qs)))
+    return f"""
+WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) / 2.0 AS mid
+           FROM events),
+ev AS (SELECT event_id, value, event_type, epoch_us(ts) < b.mid AS is_ref
+       FROM events CROSS JOIN b),
+ref AS (SELECT * FROM ev WHERE is_ref),
+cur AS (SELECT *, event_id % {k} AS batch_id FROM ev WHERE NOT is_ref),
+refc AS (SELECT event_type, count(*) AS n_ref FROM ref GROUP BY 1),
+curc AS (SELECT batch_id, event_type, count(*) AS n_cur
+         FROM cur GROUP BY 1, 2),
+bt AS (SELECT DISTINCT batch_id FROM cur),
+refb AS (SELECT bt.batch_id, r.event_type, r.n_ref
+         FROM bt CROSS JOIN refc r),
+cnt AS (
+  SELECT coalesce(a.batch_id, c.batch_id) AS batch_id,
+         coalesce(a.event_type, c.event_type) AS event_type,
+         coalesce(a.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM refb a FULL OUTER JOIN curc c
+    ON a.batch_id = c.batch_id AND a.event_type = c.event_type
+),
+tot AS (SELECT batch_id, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+               count(*) AS k_cats
+        FROM cnt GROUP BY 1),
+psi AS (
+  SELECT c.batch_id,
+         round(sum(((c.n_cur + 0.5) / (t.t_cur + 0.5 * t.k_cats)
+                    - (c.n_ref + 0.5) / (t.t_ref + 0.5 * t.k_cats))
+               * ln(((c.n_cur + 0.5) / (t.t_cur + 0.5 * t.k_cats))
+                    / ((c.n_ref + 0.5) / (t.t_ref + 0.5 * t.k_cats))))
+               + 1e-8, 6) AS psi_total
+  FROM cnt c JOIN tot t USING (batch_id) GROUP BY c.batch_id
+),
+rq AS (SELECT {ref_probes} FROM ref),
+cq AS (SELECT batch_id, {cur_probes} FROM cur GROUP BY 1),
+sh AS (
+  SELECT cq.batch_id,
+         {shift_exprs}
+  FROM cq CROSS JOIN rq
+),
+shift AS (SELECT batch_id, GREATEST({greatest}) AS mx FROM sh),
+nullr AS (SELECT batch_id,
+                 (count(*) - count(value)) * 1.0 / count(*) AS v
+          FROM cur GROUP BY 1),
+m AS (
+  SELECT 'psi_total' AS metric, batch_id,
+         round(psi_total + 1e-8, 4) AS value,
+         {thr["psi_total"]!r} AS threshold
+  FROM psi
+  UNION ALL
+  SELECT 'max_quantile_shift_iqr', batch_id, round(mx + 1e-8, 4),
+         {thr["max_quantile_shift_iqr"]!r}
+  FROM shift
+  UNION ALL
+  SELECT 'null_rate_value', batch_id, round(v + 1e-8, 4),
+         {thr["null_rate_value"]!r}
+  FROM nullr
+)
+SELECT metric, CAST(batch_id AS INTEGER) AS batch_id, value,
+       CAST(threshold AS DOUBLE) AS threshold,
+       value > threshold AS breached,
+       CAST(min(CASE WHEN value > threshold THEN batch_id END)
+              OVER (PARTITION BY metric) AS INTEGER) AS first_breach_batch
+FROM m
+ORDER BY metric, batch_id"""
+
+
+LLM_CATALOG.append(
+    QuerySpec(
+        "monitor_alert_rollup",
+        profiling.monitor_alert_rollup,
+        _monitor_rollup_sql(),
+        tags=("llm", "profiling", "drift", "alerting"),
+    )
+)
