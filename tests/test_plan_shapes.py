@@ -855,3 +855,37 @@ def test_corpus_stats_plans_stay_scan_shaped(spark, sf_dir):
 
     div = plan_of(ngram_diversity_by_source(spark, sf_dir))
     assert "Scan parquet" not in div  # token arrays checkpointed once
+
+
+def test_vocab_coverage_scalable_no_vocab_grain_single_partition(
+    spark, sf_dir
+):
+    """The scale twin's contract (VERDICT r7 "wrong" #3): NO single-
+    partition Exchange may sit over vocabulary-grain (token) data.  The
+    only SinglePartition steps allowed are the cumulative window and the
+    totals aggregate, both over the (cnt, n_types) COUNT HISTOGRAM —
+    bounded by ~sqrt(2·occurrences) distinct frequencies, never by the
+    type count.  Checked structurally: every SinglePartition exchange's
+    child must carry histogram columns (n_types) and must not carry the
+    token column."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        vocab_coverage,
+        vocab_coverage_scalable,
+    )
+
+    df = vocab_coverage_scalable(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    sp = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp, "expected the histogram-grain SinglePartition steps"
+    for i in sp:
+        child = lines[i + 1]
+        assert "n_types" in child, child
+        assert "token" not in child, child
+    # the vocab-grain aggregate itself shuffles hash-partitioned only
+    assert "hashpartitioning(token" in plan
+    # and the twin is bit-identical to the exact spelling (the tie-
+    # insensitivity argument, checked not just argued)
+    got = [tuple(r) for r in df.collect()]
+    want = [tuple(r) for r in vocab_coverage(spark, sf_dir).collect()]
+    assert got == want
