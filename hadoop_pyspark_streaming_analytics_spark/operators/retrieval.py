@@ -57,6 +57,19 @@ RRF_ARM_DEPTH = 50
 HYBRID_QUERY_VEC_ID = 0
 HYBRID_TOP_K = 20
 
+#: Fixed 3-query batch for the multi-query catalog entries (VERDICT r7
+#: item 6: the batch engines had only a single-query-parity pytest as
+#: their differential signal — these constants give them first-class
+#: driver faces with full oracles).  Query 0 is BM25_QUERY, so the
+#: single-query parity stays visible inside the batched result; each
+#: query_id doubles as the vec_id of its query embedding for the hybrid
+#: entry (the HYBRID_QUERY_VEC_ID convention).
+MULTI_QUERY_TERMS = (
+    (0, BM25_QUERY),
+    (1, ("stream", "batch", "join")),
+    (2, ("vector", "hash")),
+)
+
 # Pseudo-relevance feedback: top-R docs feed the expansion, top-E terms out.
 PRF_FEEDBACK_R = 5
 PRF_EXPANSION_E = 10
@@ -805,3 +818,66 @@ def _hybrid_mmr_shortlist(
             ).alias("rel"),
         )
     )
+
+
+def _multi_queries_frame(spark: SparkSession) -> DataFrame:
+    """(query_id, terms) frame for :data:`MULTI_QUERY_TERMS` — long ids
+    so the hybrid entry can equi-join query embeddings on vec_id."""
+    return spark.createDataFrame(
+        [(int(q), list(ts)) for q, ts in MULTI_QUERY_TERMS],
+        "query_id long, terms array<string>",
+    )
+
+
+def bm25_multi_query_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog face of the multi-query BM25 engine
+    (:func:`bm25_topk_for_queries`): build the text index into scratch
+    (the bm25_indexed_entry convention), score the fixed
+    :data:`MULTI_QUERY_TERMS` batch through the isin-pruned postings
+    scan, checkpoint the |queries|·k result, delete the scratch.  The
+    oracle recomputes per-query Okapi scores from the documents table —
+    valid against the index path because half-build+append ≡ full build
+    is pytest-pinned for the index artifacts."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="text_index_mq_")
+    try:
+        materialize_text_index(spark, sf_dir, path)
+        return bm25_topk_for_queries(
+            spark, path, _multi_queries_frame(spark)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def hybrid_multi_query_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog face of the multi-query hybrid engine
+    (:func:`hybrid_rrf_for_queries`): both indexes built into scratch,
+    the fixed 3-query batch (terms + that query_id's embedding) fused
+    through the lexical isin-pruned arm and the PQ-ADC arm, RRF-ranked
+    per query.  The vector arm ranks by ADC distance — the indexed
+    production path — so the oracle carries the full PQ codebook/ADC
+    derivation (the ann_pq_adc_topk oracle's CTEs) per query, without
+    the self-exclusion (a query's own document may legitimately rank)."""
+    import shutil
+    import tempfile
+
+    from .similarity import materialize_pq_index
+
+    tdir = tempfile.mkdtemp(prefix="text_index_hmq_")
+    pdir = tempfile.mkdtemp(prefix="pq_index_hmq_")
+    try:
+        materialize_text_index(spark, sf_dir, tdir)
+        materialize_pq_index(spark, sf_dir, pdir)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        queries = _multi_queries_frame(spark).join(emb, "query_id")
+        return hybrid_rrf_for_queries(
+            spark, tdir, pdir, queries
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)

@@ -3421,6 +3421,175 @@ LLM_CATALOG.append(
 
 
 # ---------------------------------------------------------------------------
+# Multi-query engines (VERDICT r7 item 6: first-class driver faces for
+# the batched serving engines, not just single-query-parity pytests)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_multi_ctes() -> str:
+    """CTE chain ending in ``mscored(query_id, doc_id, n_terms, score)``
+    — per-query Okapi scores for the fixed MULTI_QUERY_TERMS batch
+    (mirrors retrieval.bm25_topk_for_queries: one postings prune over
+    the batch's distinct terms, per-token df over that pruned set,
+    query ownership re-attached by the qset join)."""
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in retrieval.MULTI_QUERY_TERMS
+        for t in terms
+    )
+    all_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted(
+            {t for _, terms in retrieval.MULTI_QUERY_TERMS for t in terms}
+        )
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tok_count FROM toks GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, sum(tok_count) AS doc_tokens FROM tf GROUP BY 1),
+bstats AS (SELECT count(*) AS n_docs, avg(doc_tokens) AS avgdl FROM doc_len),
+qset AS (SELECT * FROM (VALUES {qrows}) AS q(query_id, token)),
+qtf AS (SELECT * FROM tf WHERE token IN ({all_terms})),
+dfq AS (SELECT token, count(*) AS doc_freq FROM qtf GROUP BY 1),
+mscored AS (
+  SELECT s2.query_id, q.doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+           * (q.tok_count * {k1 + 1!r})
+             / (q.tok_count
+                + {k1!r} * ({1 - b!r}
+                            + {b!r} * l.doc_tokens::DOUBLE / s.avgdl))
+         ) + 1e-8, 4) AS score
+  FROM qtf q
+  JOIN qset s2 USING (token)
+  JOIN doc_len l USING (doc_id)
+  JOIN dfq d USING (token)
+  CROSS JOIN bstats s
+  GROUP BY 1, 2
+)"""
+
+
+def _bm25_multi_sql() -> str:
+    k = retrieval.BM25_TOP_K
+    return f"""
+WITH {_bm25_multi_ctes()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+       doc_id, n_terms, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM mscored)
+WHERE rnk <= {k}"""
+
+
+def _hybrid_multi_sql() -> str:
+    """Multi-query hybrid oracle: the per-query BM25 arm above fused
+    with the per-query PQ-ADC arm (the ann_pq_adc_topk oracle's
+    codebook/assignment/distance-table CTEs, WITHOUT the self-exclusion
+    — the engine passes exclude_self=False) by reciprocal-rank fusion.
+    The vector arm ranks by ADC distance, matching the materialized-
+    index production path the engine actually runs."""
+    depth, rrf_k = retrieval.RRF_ARM_DEPTH, retrieval.RRF_K
+    k = retrieval.HYBRID_TOP_K
+    qids = ", ".join(str(q) for q, _ in retrieval.MULTI_QUERY_TERMS)
+    return f"""
+WITH {_bm25_multi_ctes()},
+ltop AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS INTEGER)
+             AS lex_rank
+    FROM mscored) WHERE lex_rank <= {depth}
+),
+cents AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT e.vec_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
+                 - c.cvec[s.sub * 8 + i])
+                * (e.embedding[s.sub * 8 + i]::DOUBLE
+                   - c.cvec[s.sub * 8 + i]))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+kcodes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM pairs) WHERE rk = 1
+),
+vqueries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+dtab AS (
+  SELECT q.query_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i])
+              * (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i]))) AS qdist
+  FROM vqueries q
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+approx AS (
+  SELECT d.query_id, k.vec_id, round(sum(d.qdist) + 1e-8, 4) AS adc_dist
+  FROM kcodes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+  GROUP BY 1, 2
+),
+vtop AS (
+  SELECT query_id, doc_id, vec_rank FROM (
+    SELECT query_id, vec_id AS doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, vec_id) AS INTEGER)
+             AS vec_rank
+    FROM approx) WHERE vec_rank <= {depth}
+),
+mfused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         round(coalesce(1.0 / ({rrf_k} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0.0)
+               + 1e-10, 6) AS rrf_score
+  FROM ltop l FULL OUTER JOIN vtop v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+       doc_id, lex_rank, vec_rank, rrf_score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM mfused)
+WHERE rnk <= {k}"""
+
+
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "retrieval_bm25_multi_query",
+            retrieval.bm25_multi_query_entry,
+            _bm25_multi_sql(),
+            tags=("llm", "retrieval", "ranking", "multi-query"),
+        ),
+        QuerySpec(
+            "retrieval_hybrid_multi_query",
+            retrieval.hybrid_multi_query_entry,
+            _hybrid_multi_sql(),
+            tags=("llm", "retrieval", "ann", "ranking", "multi-query"),
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
 # Corpus statistics for tokenizer / loader planning (round 7)
 # ---------------------------------------------------------------------------
 

@@ -982,3 +982,38 @@ def test_monitor_rollup_flags_exactly_the_drifted_batches(spark, tmp_path):
             "max_quantile_shift_iqr": 3,
         }[metric]
         assert r.first_breach_batch == want_first
+
+
+def test_multi_query_entries_contain_single_query_parity(spark, sf_dir):
+    """The multi-query catalog faces (VERDICT r7 item 6): query 0 of the
+    fixed batch IS BM25_QUERY, so its slice of the batched result must
+    equal the proven single-query bm25_rank ranking row-for-row — the
+    batching (shared postings prune, broadcast ownership re-attach,
+    per-query WindowGroupLimit) must be invisible in the answers.  The
+    hybrid face must cover every query id and keep per-query ranks
+    contiguous from 1."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.retrieval import (
+        MULTI_QUERY_TERMS,
+        bm25_multi_query_entry,
+        bm25_rank,
+        hybrid_multi_query_entry,
+    )
+
+    multi = bm25_multi_query_entry(spark, sf_dir).collect()
+    q0 = sorted(
+        ((r.rnk, r.doc_id, r.n_terms, r.score) for r in multi if r.query_id == 0)
+    )
+    single = sorted(
+        (r.rnk, r.doc_id, r.n_terms, r.score)
+        for r in bm25_rank(spark, sf_dir).collect()
+    )
+    assert q0 == single and q0
+    assert {r.query_id for r in multi} == {q for q, _ in MULTI_QUERY_TERMS}
+
+    hyb = hybrid_multi_query_entry(spark, sf_dir).collect()
+    assert {r.query_id for r in hyb} == {q for q, _ in MULTI_QUERY_TERMS}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rnk for r in hyb if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1)) and ranks
+        for r in hyb:
+            assert r.lex_rank is not None or r.vec_rank is not None
