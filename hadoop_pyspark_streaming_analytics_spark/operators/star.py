@@ -19,7 +19,7 @@ Plan-shape intent per query (asserted in tests/test_plan_shapes.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round2, round4
@@ -708,4 +708,179 @@ def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             round2(F.sum("rev")).alias("revenue"),
         )
         .orderBy("branch")
+    )
+
+
+#: Q2-shape constants (adapted: the testdata has no partsupp, so the
+#: part-supplier cost bridge derives from lineitem — unit cost =
+#: min(l_extendedprice / l_quantity) per (part, supplier).  The PLAN
+#: LESSON is unchanged: a correlated scalar MIN subquery decorrelated
+#: into a windowed min).  Shared with the oracle.
+MINCOST_TYPE = "STANDARD"
+MINCOST_SIZE_LO = 10
+MINCOST_SIZE_HI = 30
+MINCOST_REGION = "ASIA"
+MINCOST_TOP_N = 20
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every qualifying part (type + size band), the
+    supplier(s) in one region offering it at the MINIMUM unit cost —
+    TPC-H's correlated scalar subquery
+    (``ps_supplycost = (SELECT min(ps_supplycost) ... WHERE ps_partkey =
+    p_partkey AND <region>)``), DECORRELATED the way a 100 TB engine
+    must run it: the region/type/size gates apply FIRST (broadcast dim
+    chain prunes the fact scan), per-(part, supplier) unit costs come
+    from ONE grouped aggregate over the single lineitem scan, and the
+    per-part minimum is a window min over that already-aggregated
+    bounded grain — never a re-scan per part.
+
+    Plan shape (asserted): exactly one lineitem scan;
+    part/supplier/nation/region all broadcast; the only shuffles are the
+    (part, supplier) aggregate and the part-grain window; final ranking
+    ORDER BY + LIMIT → TakeOrderedAndProject.  Ties at the minimum keep
+    every supplier (Q2 semantics); the output order
+    (acctbal desc, name, partkey) is total, so the LIMIT is
+    deterministic."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MINCOST_TYPE)
+            & F.col("p_size").between(MINCOST_SIZE_LO, MINCOST_SIZE_HI)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MINCOST_REGION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            round4(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            ).alias("min_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn(
+        "part_min", F.min("min_cost").over(w)
+    ).filter(F.col("min_cost") == F.col("part_min"))
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            round2(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "min_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(MINCOST_TOP_N)
+    )
+
+
+#: Q20-shape constants (adapted: no partsupp/availqty, so "stocking more
+#: than half a year's shipments" becomes "recent shipments exceed half
+#: of all-time shipments" — the same correlated half-sum threshold
+#: comparing two scopes of the same fact).  Shared with the oracle.
+PROMO_PART_TYPE = "PROMO"
+PROMO_RECENT_START = "1999-01-01"
+PROMO_REGION = "EUROPE"
+
+
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region leaning into promo-type
+    parts — TPC-H's nested IN/EXISTS chain (``s_suppkey IN (... WHERE
+    ps_partkey IN (...) AND ps_availqty > 0.5 * (SELECT sum(l_quantity)
+    ...))``), DECORRELATED: the part IN-list is a broadcast semi-join
+    gate on the single lineitem scan; the correlated half-sum threshold
+    — two aggregates of the same fact at different scopes — computes in
+    ONE grouped pass with conditional sums (recent window vs all time)
+    per (supplier, part); qualifying pairs collapse per supplier; the
+    region gate is a broadcast dim chain on the bounded supplier grain.
+
+    Plan shape (asserted): exactly one lineitem scan, no per-row
+    subquery, no second pass for the inner SUM; output is supplier-grain
+    (s_name, n_name, s_acctbal, n_promo_parts, recent_qty), ordered by
+    s_name."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == PROMO_PART_TYPE)
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == PROMO_REGION
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    recent = F.col("l_shipdate") >= F.lit(PROMO_RECENT_START).cast(
+        "timestamp"
+    )
+    per_pair = (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(recent, F.col("l_quantity")).otherwise(0.0)).alias(
+                "recent_qty"
+            ),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("recent_qty") > 0.5 * F.col("total_qty"))
+    )
+    qual = per_pair.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_promo_parts"),
+        round2(F.sum("recent_qty")).alias("recent_qty"),
+    )
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_name",
+            "n_name",
+            round2(F.col("s_acctbal")).alias("s_acctbal"),
+            "n_promo_parts",
+            "recent_qty",
+        )
+        .orderBy("s_name")
     )

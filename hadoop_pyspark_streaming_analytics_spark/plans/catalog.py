@@ -1462,6 +1462,77 @@ GROUP BY 1 ORDER BY 1""",
         headline=True,  # the Q19 both-sides-pruned disjunction shape
         tags=("star", "disjunction", "pushdown"),
     ),
+    QuerySpec(
+        "star_min_cost_supplier",
+        star.min_cost_supplier,
+        f"""
+WITH p AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = '{star.MINCOST_TYPE}'
+    AND p_size BETWEEN {star.MINCOST_SIZE_LO} AND {star.MINCOST_SIZE_HI}
+),
+sr AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{star.MINCOST_REGION}'
+),
+offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         round(min(l.l_extendedprice / l.l_quantity) + 1e-8, 4) AS min_cost
+  FROM lineitem l
+  JOIN p ON l.l_partkey = p.p_partkey
+  JOIN sr ON l.l_suppkey = sr.s_suppkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT *, min(min_cost) OVER (PARTITION BY l_partkey) AS part_min
+  FROM offers
+)
+SELECT round(sr.s_acctbal + 1e-6, 2) AS s_acctbal, sr.s_name, sr.n_name,
+       b.l_partkey AS p_partkey, p.p_brand, b.min_cost
+FROM best b
+JOIN p ON b.l_partkey = p.p_partkey
+JOIN sr ON b.l_suppkey = sr.s_suppkey
+WHERE b.min_cost = b.part_min
+ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT {star.MINCOST_TOP_N}""",
+        tags=("star", "scalar-subquery", "decorrelation", "window"),
+    ),
+    QuerySpec(
+        "star_promo_part_suppliers",
+        star.promo_part_suppliers,
+        f"""
+WITH pp AS (
+  SELECT p_partkey FROM part WHERE p_type = '{star.PROMO_PART_TYPE}'
+),
+sr AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{star.PROMO_REGION}'
+),
+per_pair AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         sum(CASE WHEN l.l_shipdate >= TIMESTAMP '{star.PROMO_RECENT_START}'
+                  THEN l.l_quantity ELSE 0.0 END) AS recent_qty,
+         sum(l.l_quantity) AS total_qty
+  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT l_suppkey, CAST(count(*) AS INTEGER) AS n_promo_parts,
+         round(sum(recent_qty) + 1e-6, 2) AS recent_qty
+  FROM per_pair WHERE recent_qty > 0.5 * total_qty
+  GROUP BY 1
+)
+SELECT sr.s_name, sr.n_name, round(sr.s_acctbal + 1e-6, 2) AS s_acctbal,
+       q.n_promo_parts, q.recent_qty
+FROM qual q JOIN sr ON q.l_suppkey = sr.s_suppkey
+ORDER BY sr.s_name""",
+        tags=("star", "semi-join", "decorrelation"),
+    ),
 ]
 
 

@@ -889,3 +889,68 @@ def test_vocab_coverage_scalable_no_vocab_grain_single_partition(
     got = [tuple(r) for r in df.collect()]
     want = [tuple(r) for r in vocab_coverage(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_q2_min_cost_supplier_shape(spark, sf_dir):
+    """Q2's plan lesson: the correlated scalar MIN subquery decorrelates
+    into a window min over the already-aggregated (part, supplier) offer
+    grain — exactly ONE lineitem scan (no per-part re-scan), every
+    dimension broadcast, type/size/region filters pushed to the dim
+    scans, and the final ranking TakeOrderedAndProject."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        min_cost_supplier,
+    )
+
+    plan = plan_of(min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    blocks = plan.split("\n\n")
+    li_scans = [
+        b for b in blocks if "lineitem.parquet" in b and "Scan parquet" in b
+    ]
+    assert len(li_scans) == 1, f"{len(li_scans)} lineitem scans"
+    part_scans = [
+        b for b in blocks if "part.parquet" in b and "Scan parquet" in b
+    ]
+    assert any(
+        "PushedFilters" in b and "p_type" in b.split("PushedFilters")[1]
+        for b in part_scans
+    ), part_scans
+    region_scans = [
+        b for b in blocks if "region.parquet" in b and "Scan parquet" in b
+    ]
+    assert any(
+        "PushedFilters" in b and "r_name" in b.split("PushedFilters")[1]
+        for b in region_scans
+    ), region_scans
+    assert "Window" in plan  # the decorrelated per-part min
+
+
+def test_q20_promo_part_suppliers_shape(spark, sf_dir):
+    """Q20's plan lesson: the nested IN/EXISTS chain with a correlated
+    half-sum threshold decorrelates into ONE lineitem scan — the part
+    gate a broadcast join, both sum scopes as conditional aggregates of
+    the same grouped pass (never a second pass for the inner SUM), the
+    region gate broadcast on the bounded supplier grain."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.star import (
+        promo_part_suppliers,
+    )
+
+    plan = plan_of(promo_part_suppliers(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    blocks = plan.split("\n\n")
+    li_scans = [
+        b for b in blocks if "lineitem.parquet" in b and "Scan parquet" in b
+    ]
+    assert len(li_scans) == 1, f"{len(li_scans)} lineitem scans"
+    part_scans = [
+        b for b in blocks if "part.parquet" in b and "Scan parquet" in b
+    ]
+    assert any(
+        "PushedFilters" in b and "p_type" in b.split("PushedFilters")[1]
+        for b in part_scans
+    ), part_scans
+    # the two sum scopes are partials of one aggregate, not two passes
+    assert "partial_sum" in plan
