@@ -410,6 +410,9 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     adc1, adc2 = _bench_streaming_retrieval(spark)
     splits["adc_retrieval"] = min(adc1, adc2)
     raw["adc_retrieval"] = [adc1, adc2]
+    adp1, adp2 = _bench_streaming_retrieval(spark, nprobe=2)
+    splits["adc_retrieval_pruned"] = min(adp1, adp2)
+    raw["adc_retrieval_pruned"] = [adp1, adp2]
     lex1, lex2 = _bench_streaming_lexical(spark)
     splits["lexical_retrieval"] = min(lex1, lex2)
     raw["lexical_retrieval"] = [lex1, lex2]
@@ -661,13 +664,17 @@ def _bench_streaming_curation_multibatch(
         shutil.rmtree(watch, ignore_errors=True)
 
 
-def _bench_streaming_retrieval(spark, n_queries: int = 32) -> tuple[float, float]:
+def _bench_streaming_retrieval(
+    spark, n_queries: int = 32, nprobe: int | None = None
+) -> tuple[float, float]:
     """Online ANN retrieval: one micro-batch of ``n_queries`` external
     query embeddings scored against the PQ-compressed corpus via the
     foreachBatch ADC handler, reading the MATERIALIZED codes table (built
     once, outside the timed window — the build-once/query-forever split
-    that is the point of PQ at scale).  Best-of-2 after a warm-up, same
-    protocol as the other streaming figures."""
+    that is the point of PQ at scale).  ``nprobe`` routes through the
+    round-8 IVF-probed partition-pruned engine (the adc_retrieval_pruned
+    split) instead of the exhaustive codes scan.  Best-of-2 after a
+    warm-up, same protocol as the other streaming figures."""
     import json as _json
     import shutil
     import tempfile
@@ -713,7 +720,9 @@ def _bench_streaming_retrieval(spark, n_queries: int = 32) -> tuple[float, float
                     spark.readStream.schema("query_id bigint, q_emb array<float>")
                     .json(watch)
                     .writeStream.foreachBatch(
-                        foreach_batch_adc_topk(sf_dir, out, codes_path=idx)
+                        foreach_batch_adc_topk(
+                            sf_dir, out, codes_path=idx, nprobe=nprobe
+                        )
                     )
                     .option("checkpointLocation", ckpt)
                     .start()

@@ -467,7 +467,12 @@ def monitor_alert_rollup_from_reports(
         "null_rate_value",
     )
     w = Window.partitionBy("metric")
-    breached = F.col("value") > F.col("threshold")
+    # NULL-safe: an empty batch's profile report yields n_rows=0 and a
+    # NULL null-rate — no evidence of a breach, so it must read as
+    # unbreached (a NULL breached flag would also poison the first-
+    # breach window).  The oracle's pseudo-batches are never empty, so
+    # the coalesce is invisible to the parity gate.
+    breached = F.coalesce(F.col("value") > F.col("threshold"), F.lit(False))
     return (
         m_psi.unionByName(m_q)
         .unionByName(m_null)

@@ -1121,17 +1121,66 @@ def ivf_pq_search_indexed(
     and the |queries|·rerank shortlist rows fetched for the exact re-rank.
     Result-identical to :func:`ivf_pq_search` (same index semantics;
     parity-tested), so the catalog oracle covers this path by composition.
-    """
-    codes_full, cents_pq = load_pq_index(spark, index_path)
+
+    Delegates to :func:`ivf_adc_topk_for_queries` (round 8), the engine
+    that also serves EXTERNAL query batches (the streaming retrieval
+    handler) — one probe/prune/score definition for both faces."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Probe against the index's OWN persisted centroids — the ones the
-    # codes layout was actually partitioned by.  Re-deriving them from
-    # the caller's corpus would silently prune the wrong cells whenever
-    # the corpus has evolved since the build (the append-path contract).
-    cents = spark.read.parquet(f"{index_path}/centroids")
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    out = ivf_adc_topk_for_queries(
+        spark,
+        index_path,
+        queries,
+        k,
+        nprobe,
+        rerank=rerank,
+        emb=emb,
+        exclude_self=True,
+    )
+    if rerank is None:
+        return out.select(
+            "query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk"
+        )
+    return out
+
+
+def ivf_adc_topk_for_queries(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    *,
+    rerank: int | None = None,
+    emb: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-probed, partition-PRUNED multi-query ADC over a materialized
+    index — the engine behind :func:`ivf_pq_search_indexed` (corpus
+    queries, exact re-rank) and the streaming retrieval handler's
+    ``nprobe`` fast path (external query batches,
+    streaming/extensions.foreach_batch_adc_topk).  This closes the last
+    full-scan in the retrieval tier: the streaming handler previously
+    ADC-scored every micro-batch against the ENTIRE codes table, which
+    is exactly the plan an IVF index exists to avoid at 100 TB.
+
+    Per batch: queries probe the index's OWN persisted centroids (the
+    ones the codes layout was partitioned by — re-deriving them from a
+    corpus that has since grown would prune the wrong cells), the union
+    of probed cells (≤ |batch|·nprobe ids — a bounded driver collect)
+    becomes a literal `isin` on the codes table's partition column
+    (PartitionFilters — unprobed directories are never read,
+    plan-asserted), and the per-(query, vec) gate rides the stored
+    centroid_id.  ``rerank`` (needs ``emb``) re-scores the per-query
+    shortlist exactly — corpus-internal callers only; external query
+    streams rank by ADC distance.
+
+    Output: (query_id, vec_id, adc_dist, rk) — or (query_id, vec_id,
+    dist, rk) when ``rerank`` is set."""
+    codes_full, cents_pq = load_pq_index(spark, index_path)
+    cents = spark.read.parquet(f"{index_path}/centroids")
     probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
         "cl2", F.round(l2sq_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
     )
@@ -1159,11 +1208,12 @@ def ivf_pq_search_indexed(
         codes=codes.select("vec_id", "codes"),
         cents=cents_pq,
         cand=cand,
+        exclude_self=exclude_self,
     )
     if rerank is None:
-        return adc.select(
-            "query_id", "vec_id", F.col("adc_dist").alias("dist"), "rk"
-        ).filter(F.col("rk") <= k)
+        return adc.filter(F.col("rk") <= k)
+    if emb is None:
+        raise ValueError("rerank requires the raw embedding table (emb=)")
     shortlist = adc.filter(F.col("rk") <= rerank).select("query_id", "vec_id")
     exact = (
         shortlist.join(emb, "vec_id")

@@ -18,82 +18,78 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 7 gates the ENTIRE never-gated set at once (VERDICT r6 item 1:
-# the whole round-6 tier — retrieval/drift/graph/DSIR/Bloom/aHash/
-# filtered-ANN/staleness/star — plus this round's six new entries: the
-# composed serving pipeline, the TPC-H Q19 shape, the corpus-statistics
-# trio, and the binless quantile-shift drift), then spends every
-# remaining slot on the now-oldest refresh generation: 26 of the 28
-# last-green-r3 entries (text_language_id, train_split_assign, and the
-# r4 spill slots were re-funded to the new entries — never-gated
-# outranks refresh; they refresh in r8), so after this round
-# min(last-green) stays r3 only for those two deferred entries and the
-# r4 generation.  Changed-code rule 2 is subsumed: every operator file
-# edited this round (retrieval.py, graph.py, profiling.py, corpus.py,
-# star.py) has its catalog faces inside the never-gated block below.  Everything
-# outside the window stays oracle-diffed per round by
-# tests/test_catalog_oracle.py at sf0.001 and scripts/check_sf001.py
-# (driver-exact --vanilla mode) at sf0.01.
-# tests/test_catalog_oracle.py::test_driver_window_priority pins the
-# must-be-gated set for the current round.
+# Round 8 pays down the refresh debt (VERDICT r7 item 1): after gating
+# the six round-8 NEW entries and re-gating the five entries whose
+# operator code changed this round (genstore manifest readers under
+# retrieval_bm25_indexed / ann_ivf_pq_search_indexed, the unpersist
+# rework under graph_pagerank_docs, the by=-generalized shared cores
+# under drift_event_type_psi / drift_value_quantile_shift), every
+# remaining slot refreshes oldest-first: the ENTIRE stale tail — all 30
+# entries whose last green driver row is <= r4 (2 at r3, 28 at r4, as
+# recomputed from CORRECTNESS_r01..r07) — plus the 9 alphabetically
+# first of the 44-entry r5 generation.  After a green r8, min(last-
+# green) across all oracle-backed entries is r5.
+# tests/test_catalog_oracle.py::test_driver_window_priority now DERIVES
+# both rules from the CORRECTNESS history (never-gated entries must be
+# in the window; so must every entry 3+ rounds stale) instead of
+# hand-listing them.  Everything outside the window stays oracle-diffed
+# per round by tests/test_catalog_oracle.py at sf0.001 and
+# scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
 _WINDOW = [
-    # ---- never gated: the round-6 tier (VERDICT r6 item 1) ---------------
-    "retrieval_bm25_rank",
-    "retrieval_bm25_indexed",
-    "retrieval_hybrid_rrf",
-    "retrieval_prf_expansion",
-    "retrieval_mmr_rerank",
-    "profile_columns",
-    "drift_numeric_psi",          # + round-7 degenerate-range guard re-gate
-    "drift_event_type_psi",
-    "graph_pagerank_docs",        # + round-7 co-partitioned rounds re-gate
-    "corpus_dsir_sample",
-    "text_contamination_bloom",
-    "multimodal_image_ahash_dedup",
-    "ann_filtered_search",
-    "embedding_staleness_audit",
-    "star_order_priority_returns",
-    "star_customer_order_distribution",
-    "star_small_quantity_revenue",
-    "star_waiting_suppliers",
-    # ---- round-7 NEW entries (never gated) -------------------------------
-    "retrieval_hybrid_mmr_pipeline",  # gate -> RRF fuse -> MMR diversify
-    "star_disjunctive_branch_revenue",  # TPC-H Q19 OR-of-conjunctions
-    "corpus_ngram_diversity",         # per-source repetition-collapse audit
-    "corpus_length_profile",          # token-length tail for packing
-    "corpus_vocab_coverage",          # Zipf head coverage for vocab sizing
-    "drift_value_quantile_shift",     # binless numeric drift (IQR-scaled)
-    # ---- oldest-green refresh: 26 of the 28 last-green-r3 entries --------
-    "bonus_categorize_expr",
-    "bonus_left_join",
-    "corpus_vocabulary",
-    "events_props_map_stats",
-    "events_resample_hourly_locf",
-    "events_user_sessions",
-    "events_values_winsorized",
-    "q1_word_count_top20",
-    "q2b_customer_orders_window",
-    "q3a_product_statistics",
-    "q3b_customer_brand_pivot",
-    "star_bracketed_discount_revenue",
-    "star_forecast_revenue_change",
-    "star_inactive_rich_customers",
-    "star_large_volume_customers",
-    "star_local_supplier_volume",
-    "star_nation_trade_volume",
-    "star_pricing_summary",
-    "star_promo_revenue_share",
-    "star_region_market_share",
-    "star_returned_item_losses",
-    "star_shipping_priority",
-    "star_top_supplier",
-    "stratified_sample",
-    "temporal_asof_last_click",
-    "temporal_point_in_time_value",
-    # (text_language_id, train_split_assign, and the two r4 spill slots
-    # were re-funded to the round-7 corpus trio + quantile drift —
-    # never-gated outranks refresh; they refresh in r8 and stay locally
-    # oracle-diffed meanwhile)
+    # ---- round-8 NEW entries (never gated) -------------------------------
+    "monitor_alert_rollup",            # composed alerting over report stores
+    "corpus_vocab_coverage_scalable",  # histogram-grain Zipf head coverage
+    "retrieval_bm25_multi_query",      # batched BM25 engine, 3-query batch
+    "retrieval_hybrid_multi_query",    # batched hybrid RRF engine
+    "star_min_cost_supplier",          # TPC-H Q2 decorrelated window-min
+    "star_promo_part_suppliers",       # TPC-H Q20 half-sum semi-join chain
+    # ---- changed-code re-gates (rule 2: outranks refresh) ----------------
+    "retrieval_bm25_indexed",          # manifest-aware load_text_index
+    "ann_ivf_pq_search_indexed",       # manifest-aware load_pq_index
+    "graph_pagerank_docs",             # unpersist + checkpointed return
+    "drift_event_type_psi",            # psi_report grew by= grouping
+    "drift_value_quantile_shift",      # _quantile_report_from grew by=
+    # ---- oldest-first refresh: the whole last-green<=r4 tail (30) --------
+    "text_language_id",                # r3
+    "train_split_assign",              # r3
+    "chunk_documents",
+    "corpus_boilerplate_ngrams",
+    "corpus_repetition_scores",
+    "corpus_tfidf_similar_pairs",
+    "corpus_tfidf_top_terms",
+    "corpus_unigram_surprisal",
+    "dedup_edit_distance_verify",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_props_typed",
+    "events_user_value_scd2",
+    "events_value_anomalies_zscore",
+    "events_value_histogram",
+    "events_weekly_change",
+    "merge_upsert_customers",
+    "mixture_sample_by_source",
+    "multimodal_png_resize",
+    "multimodal_video_frame_features",
+    "multimodal_wav_features",
+    "quality_weighted_sample",
+    "star_fk_integrity_audit",
+    "star_segment_contribution",
+    "stratified_fixed_n_sample",
+    "temporal_asof_next_click",
+    "text_pii_redaction",
+    "text_quality_scores",
+    "training_shard_assignment",
+    # ---- next-oldest refresh: 9 of the 44 last-green-r5 entries ----------
+    "agg_revenue_decimal_exact",
+    "ann_brute_force_topk",
+    "ann_ivf_build_kmeans",
+    "ann_ivf_cell_stats",
+    "ann_ivf_pq_search",
+    "ann_ivf_recall_report",
+    "ann_ivf_search",
+    "ann_pq_adc_topk",
+    "ann_recall_curve",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -549,7 +549,11 @@ def foreach_batch_hybrid_topk(
 
 
 def foreach_batch_adc_topk(
-    sf_dir: str, out_path: str, k: int = 10, codes_path: str | None = None
+    sf_dir: str,
+    out_path: str,
+    k: int = 10,
+    codes_path: str | None = None,
+    nprobe: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Online vector retrieval: a foreachBatch stage that scores each
     micro-batch of query embeddings against the STATIC PQ-compressed
@@ -570,19 +574,39 @@ def foreach_batch_adc_topk(
     happens to collide with a corpus vec_id must not silently drop that
     unrelated corpus vector from its candidates (round-4 advice).
 
+    ``nprobe`` (round 8, requires ``codes_path``): route the batch
+    through :func:`similarity.ivf_adc_topk_for_queries` — the IVF-probed
+    partition-pruned engine — so each micro-batch reads only its probed
+    cells' directories instead of ADC-scoring the whole codes table.
+    This was the retrieval tier's last per-batch full scan; at 100 TB
+    an exhaustive-ADC trigger pays the entire (compressed) corpus per
+    batch, while the probed plan pays |batch|·nprobe cells.  Left None,
+    the exhaustive path remains (exact-ADC recall, the right default
+    for small indexes).
+
     Micro-batch schema: (query_id, q_emb array<float>).  State: none —
     retrieval is embarrassingly replayable, so exactly-once comes from
     the same batch_id=N overwrite discipline as the other foreachBatch
     sinks here (a replayed batch rewrites its own directory).
     """
+    if nprobe is not None and codes_path is None:
+        raise ValueError("nprobe pruning requires a materialized codes_path")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.similarity import adc_topk_for_queries, load_pq_index
+        from ..operators.similarity import (
+            adc_topk_for_queries,
+            ivf_adc_topk_for_queries,
+            load_pq_index,
+        )
         from ..sources.readers import load_table
 
         spark = batch_df.sparkSession
         queries = batch_df.select("query_id", "q_emb")
-        if codes_path is not None:
+        if codes_path is not None and nprobe is not None:
+            result = ivf_adc_topk_for_queries(
+                spark, codes_path, queries, k, nprobe, exclude_self=False
+            )
+        elif codes_path is not None:
             codes, cents = load_pq_index(spark, codes_path)
             result = adc_topk_for_queries(
                 None, queries, k, codes=codes.select("vec_id", "codes"),

@@ -33,20 +33,43 @@ def test_driver_window_priority():
     import json
     import os
 
+    import re
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ever_green = set()
+    last_green: dict[str, int] = {}
+    rounds = []
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        rounds.append(rnd)
         with open(p) as f:
             for name, row in json.load(f).items():
                 if row.get("rows_match") and row.get("schema_match"):
-                    ever_green.add(name)
+                    last_green[name] = max(last_green.get(name, 0), rnd)
     must_be_gated = {
         s.name
         for s in CATALOG
-        if s.oracle is not None and s.name not in ever_green
+        if s.oracle is not None and s.name not in last_green
     }
     missing = must_be_gated - window
     assert not missing, f"never-driver-gated entries outside window: {missing}"
+    # Rule 3, also derived from history (VERDICT r7 item 1): green rows
+    # AGE — the driver regenerates testdata each round, so a stale green
+    # can hide a real break (the r3 timestamp drift).  Every oracle-backed
+    # entry whose last green row is 3+ rounds old must be in the current
+    # window.  This is the refresh-debt forcing function: when a new
+    # round's CORRECTNESS file lands, the stale set recomputes and this
+    # assertion tells the next rotation exactly what it owes.
+    stale_cutoff = max(rounds) - 3
+    stale = {
+        s.name
+        for s in CATALOG
+        if s.oracle is not None and 0 < last_green.get(s.name, 0) <= stale_cutoff
+    }
+    overdue = stale - window
+    assert not overdue, (
+        f"entries last driver-green at r{stale_cutoff} or earlier are "
+        f"outside the window: {sorted(overdue)}"
+    )
     # the window must be exactly full: if non-tail entries exceed
     # DRIVER_WINDOW, whichever sorts last silently falls outside the
     # driver's evaluation — the failure mode this whole policy exists to

@@ -589,7 +589,11 @@ def test_broadcast_hint_policy():
         ("operators/retrieval.py", "qterms"): "batch-bounded (query_id, token) pairs",
         ("operators/retrieval.py", "fused"): "HYBRID_TOP_K-row fused shortlist",
         ("operators/star.py", "part"): "brand-filtered part dimension (3/25 of a dim table)",
+        ("operators/star.py", "supp"): "region-filtered supplier dimension (Q2/Q20 gates)",
+        ("operators/star.py", "parts"): "type-filtered part-key dimension (Q20 IN-list gate)",
         ("operators/graph.py", "n"): "1-row node-count scalar",
+        ("operators/profiling.py", "ref_counts"): "category-grain frozen reference profile",
+        ("operators/profiling.py", "rq"): "1-row reference quantile array",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     violations = []

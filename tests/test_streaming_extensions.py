@@ -506,6 +506,134 @@ def test_foreach_batch_adc_topk_reads_materialized_codes(spark, tmp_path):
     assert "embedding:" not in plan  # no raw-vector column in any ReadSchema
 
 
+def test_foreach_batch_adc_topk_nprobe_prunes_partitions(spark, tmp_path):
+    """The nprobe fast path (round 8 — the retrieval tier's last
+    per-batch full scan): (a) with nprobe = every cell, the pruned
+    engine must equal the exhaustive codes-backed ADC byte-for-byte
+    (probing everything changes nothing — the equivalence that proves
+    the gate is a prune, not a rescore); (b) with nprobe < cells, every
+    returned neighbor must lie in its query's probed cells and ranks
+    stay contiguous; (c) the per-batch plan must show the probed-cell
+    isin reaching the codes scan as PartitionFilters — unprobed cell
+    directories are never read; (d) the streaming handler routes
+    through the same engine."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        adc_topk_for_queries,
+        ivf_adc_topk_for_queries,
+        load_pq_index,
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "pq_index")
+    out = str(tmp_path / "retrieval")
+    materialize_pq_index(spark, sf, idx)
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    queries = spark.createDataFrame(
+        [
+            (r["vec_id"] + 10_000_000, [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id").isin(0, 5, 9)).collect()
+        ],
+        "query_id bigint, q_emb array<float>",
+    )
+    codes, cents = load_pq_index(spark, idx)
+    n_cells = codes.select("centroid_id").distinct().count()
+
+    # (a) probe-everything == exhaustive ADC
+    full_probe = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in ivf_adc_topk_for_queries(
+            spark, idx, queries, 10, n_cells, exclude_self=False
+        ).collect()
+    )
+    exhaustive = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in adc_topk_for_queries(
+            None, queries, 10, codes=codes.select("vec_id", "codes"),
+            cents=cents, exclude_self=False,
+        ).collect()
+    )
+    assert full_probe == exhaustive and full_probe
+
+    # (b) nprobe=2: results confined to probed cells, ranks contiguous
+    pruned_df = ivf_adc_topk_for_queries(
+        spark, idx, queries, 10, 2, exclude_self=False
+    )
+    pruned = pruned_df.collect()
+    cell_of = {
+        r["vec_id"]: r["centroid_id"]
+        for r in codes.select("vec_id", "centroid_id").collect()
+    }
+    cents_tbl = spark.read.parquet(f"{idx}/centroids")
+    import math
+
+    cvecs = {
+        r["centroid_id"]: [float(x) for x in r["c_emb"]]
+        for r in cents_tbl.collect()
+    }
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["q_emb"]]
+        for r in queries.collect()
+    }
+
+    def probed(qid):
+        d = {
+            cid: round(
+                math.fsum((a - b) ** 2 for a, b in zip(qvecs[qid], cv)) + 1e-8,
+                6,
+            )
+            for cid, cv in cvecs.items()
+        }
+        return {c for c, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:2]}
+
+    by_q: dict = {}
+    for r in pruned:
+        assert cell_of[r["vec_id"]] in probed(r["query_id"])
+        by_q.setdefault(r["query_id"], []).append(r["rk"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # (c) the probed-cell isin reaches the codes scan as a partition
+    # filter (directory pruning, not a post-scan filter)
+    plan = pruned_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    codes_scans = [
+        b
+        for b in plan.split("\n\n")
+        if "Scan parquet" in b and "codes" in b and "PartitionFilters" in b
+    ]
+    assert any(
+        "centroid_id" in b.split("PartitionFilters")[1].split("]")[0]
+        for b in codes_scans
+    ), plan[:2000]
+    assert "embeddings.parquet" not in plan
+
+    # (d) the streaming handler's nprobe route lands the same rows
+    apply_fn = foreach_batch_adc_topk(sf, out, codes_path=idx, nprobe=2)
+    apply_fn(queries, 0)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"])
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert got == sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"], r["rk"]) for r in pruned
+    )
+    # misconfiguration fails loudly at wrap time, not mid-stream
+    import pytest
+
+    with pytest.raises(ValueError):
+        foreach_batch_adc_topk(sf, out, nprobe=2)
+
+
 def test_streaming_classifier_gate_matches_batch(spark, tmp_path):
     """The model quality gate is a stateless projection, so the SAME
     operator code (quality_features → classify_documents) must compile
