@@ -412,6 +412,7 @@ def hybrid_rrf_for_queries(
     queries: DataFrame,
     k: int = HYBRID_TOP_K,
     depth: int = RRF_ARM_DEPTH,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval over an arbitrary (query_id, terms
     array<string>, q_emb array<float>) set against MATERIALIZED indexes
@@ -427,21 +428,44 @@ def hybrid_rrf_for_queries(
     fusion joins two ``depth``-row-per-query shortlists on (query_id,
     doc_id): batch-bounded, never corpus-sized.  Output: (query_id, rnk,
     doc_id, lex_rank, vec_rank, rrf_score) per query's top-``k``.
+
+    ``nprobe`` (round 8): route the vector arm through
+    similarity.ivf_adc_topk_for_queries so it reads only the batch's
+    probed cell directories — the same exhaustive-scan-vs-probed trade
+    as foreach_batch_adc_topk's nprobe, applied to the hybrid path
+    (the lexical arm is already isin-pruned by construction, so with
+    nprobe set NEITHER arm touches more than its query-bounded slice
+    of the index).
     """
-    from .similarity import adc_topk_for_queries, load_pq_index
+    from .similarity import (
+        adc_topk_for_queries,
+        ivf_adc_topk_for_queries,
+        load_pq_index,
+    )
 
     lex = bm25_topk_for_queries(
         spark, text_index_path, queries.select("query_id", "terms"), k=depth
     ).select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
-    codes, cents = load_pq_index(spark, pq_index_path)
-    vec = adc_topk_for_queries(
-        None,
-        queries.select("query_id", "q_emb"),
-        depth,
-        codes=codes.select("vec_id", "codes"),
-        cents=cents,
-        exclude_self=False,
-    ).select(
+    if nprobe is not None:
+        vec_adc = ivf_adc_topk_for_queries(
+            spark,
+            pq_index_path,
+            queries.select("query_id", "q_emb"),
+            depth,
+            nprobe,
+            exclude_self=False,
+        )
+    else:
+        codes, cents = load_pq_index(spark, pq_index_path)
+        vec_adc = adc_topk_for_queries(
+            None,
+            queries.select("query_id", "q_emb"),
+            depth,
+            codes=codes.select("vec_id", "codes"),
+            cents=cents,
+            exclude_self=False,
+        )
+    vec = vec_adc.select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rk").alias("vec_rank"),

@@ -1519,3 +1519,64 @@ def test_compact_band_store_preserves_dedup_authority(spark, tmp_path):
         d for d in os.listdir(store_a) if d.startswith("batch_id=")
     ) == [f"batch_id={live}"]
     assert band_rows(store_a) == band_rows(store_b)
+
+
+def test_hybrid_for_queries_nprobe_full_probe_equivalence(spark, tmp_path):
+    """hybrid_rrf_for_queries(nprobe=all cells) must equal the exhaustive
+    vector arm byte-for-byte (the adc-level probe-everything equivalence
+    composed through RRF), and a real nprobe keeps per-query ranks
+    contiguous with the lexical arm untouched."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.retrieval import (
+        _multi_queries_frame,
+        hybrid_rrf_for_queries,
+        materialize_text_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        load_pq_index,
+        materialize_pq_index,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tdir, pdir = str(tmp_path / "ti"), str(tmp_path / "pi")
+    materialize_text_index(spark, sf, tdir)
+    materialize_pq_index(spark, sf, pdir)
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    queries = _multi_queries_frame(spark).join(emb, "query_id")
+    codes, _ = load_pq_index(spark, pdir)
+    n_cells = codes.select("centroid_id").distinct().count()
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rnk, r.doc_id, r.lex_rank, r.vec_rank, r.rrf_score)
+            for r in df.collect()
+        )
+
+    base = rows(hybrid_rrf_for_queries(spark, tdir, pdir, queries))
+    full_probe = rows(
+        hybrid_rrf_for_queries(spark, tdir, pdir, queries, nprobe=n_cells)
+    )
+    assert base == full_probe and base
+
+    pruned = hybrid_rrf_for_queries(
+        spark, tdir, pdir, queries, nprobe=2
+    ).collect()
+    by_q: dict = {}
+    for r in pruned:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the lexical arm is probe-independent: its contribution is intact
+    lex_base = {(r[0], r[2]): r[3] for r in base if r[3] is not None}
+    lex_pruned = {
+        (r.query_id, r.doc_id): r.lex_rank
+        for r in pruned
+        if r.lex_rank is not None
+    }
+    for key, rank in lex_pruned.items():
+        assert lex_base.get(key, rank) == rank
