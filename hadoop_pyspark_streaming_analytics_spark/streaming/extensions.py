@@ -519,7 +519,11 @@ def foreach_batch_bm25_topk(
 
 
 def foreach_batch_hybrid_topk(
-    text_index_path: str, pq_index_path: str, out_path: str, k: int = 10
+    text_index_path: str,
+    pq_index_path: str,
+    out_path: str,
+    k: int = 10,
+    nprobe: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Online HYBRID retrieval: each micro-batch of (query_id, terms
     array<string>, q_emb array<float>) queries is ranked by BOTH
@@ -528,8 +532,11 @@ def foreach_batch_hybrid_topk(
     (operators/retrieval.py:hybrid_rrf_for_queries).  The streaming
     completion of VERDICT r6 item 4: lexical, vector, and hybrid serving
     all run as foreachBatch stages against build-once artifacts, while
-    sibling streams grow both indexes incrementally.  State: none; the
-    batch_id=N overwrite discipline carries exactly-once."""
+    sibling streams grow both indexes incrementally.  ``nprobe`` routes
+    the vector arm through the IVF-probed partition-pruned engine (the
+    foreach_batch_adc_topk trade — see SCALE.md's crossover note).
+    State: none; the batch_id=N overwrite discipline carries
+    exactly-once."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.retrieval import hybrid_rrf_for_queries
@@ -540,6 +547,7 @@ def foreach_batch_hybrid_topk(
             pq_index_path,
             batch_df.select("query_id", "terms", "q_emb"),
             k,
+            nprobe=nprobe,
         )
         result.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
