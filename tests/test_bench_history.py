@@ -112,3 +112,31 @@ def test_real_repo_has_r06_history_for_r07(tmp_path):
     assert d["core_total"] == 35.144
     assert d["calibration_scan_sec"] > 0
     assert len(d["queries"]) >= 37
+
+
+def test_regressions_require_both_raw_and_normalized_bases(
+    bench, tmp_path, monkeypatch
+):
+    """Round-8 rule: a calibration-yardstick swing between rounds (r8
+    observed 38%) inflates every single-basis normalized ratio — a query
+    that got FASTER in raw wall must not be flagged; a query slower on
+    both bases must be, with both ratios reported for auditability."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")  # round_id -> 7
+    bench._persist_summary(
+        _summary(core=10.0, cal=0.4, queries={"fast": 1.0, "slow": 1.0}), 6
+    )
+    out = bench._normalized_vs_prev(
+        {"fast": 0.95, "slow": 1.45},
+        core_total=10.0,
+        calibration={"calibration_scan_sec": 0.28},
+    )
+    # yardstick swing is surfaced (0.28 / 0.4)
+    assert out["calibration_swing"] == 0.7
+    # "fast" is 1.36x normalized (pure yardstick artifact) but 0.95x raw
+    assert "fast" not in out["normalized_regressions"]
+    # "slow" regressed on both bases -> flagged with both ratios
+    flagged = out["normalized_regressions"]["slow"]
+    assert flagged["raw"] == 1.45
+    assert flagged["normalized"] > 2.0  # 1.45x raw / 0.7 swing
+    assert "raw AND normalized" in out["regression_basis"]
