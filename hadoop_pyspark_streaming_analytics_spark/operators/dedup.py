@@ -893,3 +893,94 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def containment_pairs_from_shingles(
+    sh: DataFrame, df_cap: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs from a distinct (doc_id,
+    shingle) frame: pairs whose intersection covers >= ``threshold`` of
+    the SMALLER document's shingle set.
+
+    Why a separate operator: Jaccard |A∩B|/|A∪B| — and therefore the
+    MinHash-LSH bands tuned for it — is blind to sub-document duplication.
+    A short doc fully embedded in one 10x its size has containment 1.0 but
+    Jaccard ~0.1: below any useful Jaccard threshold, and its LSH band
+    collision probability collapses with the size ratio, so the banded
+    candidate generator rarely even pairs them.  Containment needs its own
+    candidate path.
+
+    Candidate generation here is a DOCUMENT-FREQUENCY-CAPPED inverted
+    index (the prefix-filtering idea from the AllPairs/PPJoin family):
+    only shingles appearing in <= ``df_cap`` documents propose pairs, so
+    per-shingle fan-out is <= df_cap^2 and the total candidate volume is
+    bounded by df_cap x |postings| — linear in corpus size, never
+    quadratic, no matter how hot the boilerplate shingles are.  Hot
+    shingles still COUNT toward the intersection (scoring runs over the
+    full shingle sets of candidate pairs only); they just don't propose.
+    Blind spot, stated: a pair sharing ONLY above-cap shingles is never
+    proposed — by construction those docs are made of boilerplate seen in
+    > df_cap other docs, exactly the pairs a near-dup pass should not
+    spend verification on.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    cand = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # Same no-broadcast-hint policy as ngram_jaccard_pairs: sizes is
+    # doc-grain (corpus-proportional); AQE decides.
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            "intersection",
+            F.round(
+                F.col("intersection") / F.least("size_a", "size_b") + F.lit(1e-8),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    df_cap: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Catalog face of :func:`containment_pairs_from_shingles` over the
+    documents table.  Same localCheckpoint rationale as
+    ngram_jaccard_pairs: the shingle frame feeds candidate generation,
+    intersection scoring, and sizes — without it the tokenize+explode
+    replays three times."""
+    sh = doc_shingles(load_table(spark, sf_dir, "documents"), n).localCheckpoint(
+        eager=True
+    )
+    return containment_pairs_from_shingles(sh, df_cap, threshold)

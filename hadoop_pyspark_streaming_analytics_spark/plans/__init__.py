@@ -19,7 +19,7 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
 # Round 8 pays down the refresh debt (VERDICT r7 item 1): after gating
-# the six round-8 NEW entries and re-gating the five entries whose
+# the eight round-8 NEW entries and re-gating the five entries whose
 # operator code changed this round (genstore manifest readers under
 # retrieval_bm25_indexed / ann_ivf_pq_search_indexed, the unpersist
 # rework under graph_pagerank_docs, the by=-generalized shared cores
@@ -43,6 +43,8 @@ _WINDOW = [
     "retrieval_hybrid_multi_query",    # batched hybrid RRF engine
     "star_min_cost_supplier",          # TPC-H Q2 decorrelated window-min
     "star_promo_part_suppliers",       # TPC-H Q20 half-sum semi-join chain
+    "events_interval_error_burst_join",  # binned non-equi interval join
+    "dedup_containment",               # DF-capped asymmetric containment
     # ---- changed-code re-gates (rule 2: outranks refresh) ----------------
     "retrieval_bm25_indexed",          # manifest-aware load_text_index
     "ann_ivf_pq_search_indexed",       # manifest-aware load_pq_index
@@ -80,7 +82,10 @@ _WINDOW = [
     "text_pii_redaction",
     "text_quality_scores",
     "training_shard_assignment",
-    # ---- next-oldest refresh: 9 of the 44 last-green-r5 entries ----------
+    # ---- next-oldest refresh: 7 of the 44 last-green-r5 entries ----------
+    # (was 9; two slots re-funded to the late-round-8 NEW entries above —
+    # never-gated outranks an r5 refresh, and r5 entries are not yet
+    # stale-overdue at cutoff r4)
     "agg_revenue_decimal_exact",
     "ann_brute_force_topk",
     "ann_ivf_build_kmeans",
@@ -88,8 +93,6 @@ _WINDOW = [
     "ann_ivf_pq_search",
     "ann_ivf_recall_report",
     "ann_ivf_search",
-    "ann_pq_adc_topk",
-    "ann_recall_curve",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

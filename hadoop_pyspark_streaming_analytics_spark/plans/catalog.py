@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
 from ..operators import (
+    intervals,
     nested,
     relational,
     setops,
@@ -947,6 +948,39 @@ SELECT event_id, user_id, ts,
 FROM sess""",
         headline=True,
         tags=("timeseries", "session", "attribution"),
+    ),
+    QuerySpec(
+        "events_interval_error_burst_join",
+        intervals.purchases_during_error_bursts,
+        """
+WITH err AS (
+  SELECT ts, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  SELECT ts, d,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_b
+  FROM err WINDOW w AS (PARTITION BY d ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_b) OVER (PARTITION BY d ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS bid
+  FROM flagged
+),
+bursts AS (
+  SELECT d, bid, min(ts) AS burst_start, max(ts) AS burst_end,
+         count(*) AS n_errors
+  FROM sess GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.value + 1e-6, 2) AS value,
+       b.burst_start, b.burst_end, b.n_errors
+FROM events p JOIN bursts b
+  ON p.ts BETWEEN b.burst_start - INTERVAL '10 minutes'
+              AND b.burst_end + INTERVAL '10 minutes'
+WHERE p.event_type = 'purchase'""",
+        headline=True,
+        tags=("temporal", "interval-join", "range-join"),
     ),
     QuerySpec(
         "events_props_typed",

@@ -706,6 +706,40 @@ SELECT * FROM jac WHERE jaccard >= 0.5""",
         tags=("llm", "dedup"),
     ),
     QuerySpec(
+        "dedup_containment",
+        dedup.containment_pairs,
+        f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS intersection
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, sa.n AS size_a, sb.n AS size_b, intersection,
+         round(intersection::DOUBLE / least(sa.n, sb.n) + 1e-8, 4)
+           AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM scored WHERE containment >= 0.8""",
+        headline=True,
+        tags=("llm", "dedup", "containment"),
+    ),
+    QuerySpec(
         "dedup_minhash_lsh",
         dedup.minhash_lsh_candidates,
         _minhash_lsh_sql(),
