@@ -172,7 +172,15 @@ def _persist_summary(summary: dict, round_id: int) -> str:
     )
     d = _bench_dir()
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"bench_r{round_id:02d}.json")
+    # The round-over-round history grain is (round, sf=0.1) — the SF the
+    # driver benches at.  A verification run at another SF (e.g. the
+    # sf0.01 smoke in .claude/skills/verify) must NOT clobber that
+    # history file (it did once, in round 8): off-default SFs land in an
+    # sf-suffixed file that _load_prev_summary's bench_r(\d+).json$
+    # pattern deliberately ignores.
+    sf = summary.get("sf")
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
+    path = os.path.join(d, f"bench_r{round_id:02d}{suffix}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(summary, f, indent=1)

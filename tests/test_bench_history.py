@@ -79,10 +79,20 @@ def test_prev_summary_skips_in_flight_round_and_other_sf(bench, tmp_path):
     # r7 in flight: its own file must NOT be the comparison target
     name, prev = bench._load_prev_summary(7, 0.1)
     assert name == "bench_r06.json" and prev["core_total"] == 5.0
-    # an SF mismatch disqualifies the candidate entirely
+    # an off-default-SF run lands in its own suffixed file (round-8 rule:
+    # it must not clobber the sf0.1 history), and prior-round selection
+    # ignores it — so the sf0.1 candidate survives and an sf0.01 lookup
+    # finds nothing.  If a same-round file DOES hold another SF (a
+    # pre-rule clobber), the SF filter still disqualifies it.
     bench._persist_summary(_summary(core=6.0, sf=0.01), 6)
+    name, prev = bench._load_prev_summary(7, 0.1)
+    assert name == "bench_r06.json" and prev["core_total"] == 5.0
+    assert bench._load_prev_summary(7, 0.01) is None
+    import json as _json
+
+    with open(tmp_path / ".benchmarks" / "bench_r06.json", "w") as f:
+        _json.dump(_summary(core=6.0, sf=0.01), f)
     assert bench._load_prev_summary(7, 0.1) is None
-    assert bench._load_prev_summary(7, 0.01)[1]["core_total"] == 6.0
 
 
 def test_prev_summary_prefers_local_history_over_driver_tail(bench, tmp_path):
@@ -140,3 +150,21 @@ def test_regressions_require_both_raw_and_normalized_bases(
     assert flagged["raw"] == 1.45
     assert flagged["normalized"] > 2.0  # 1.45x raw / 0.7 swing
     assert "raw AND normalized" in out["regression_basis"]
+
+
+def test_off_default_sf_run_never_clobbers_default_history(bench, tmp_path):
+    """A verification run at sf0.01 must not overwrite the same round's
+    sf0.1 history file (it did once, in round 8 — the verify-skill smoke
+    replaced the driver-grain numbers): off-default SFs persist to an
+    sf-suffixed file that prior-round selection deliberately ignores."""
+    p_main = bench._persist_summary(_summary(core=30.0, sf=0.1), 8)
+    p_smoke = bench._persist_summary(_summary(core=12.0, sf=0.01), 8)
+    assert p_main != p_smoke
+    assert p_main.endswith("bench_r08.json")
+    assert "sf0.01" in os.path.basename(p_smoke)
+    with open(p_main) as f:
+        assert json.load(f)["core_total"] == 30.0
+    # and the suffixed file never becomes a prior-round candidate
+    got = bench._load_prev_summary(current_round=9, this_sf=0.1)
+    assert got is not None and got[1]["core_total"] == 30.0
+    assert bench._load_prev_summary(current_round=9, this_sf=0.25) is None
