@@ -281,8 +281,20 @@ def append_text_index_batch(
     disjoint doc sets."""
     from pyspark.errors import AnalysisException
 
-    from ..sources.genstore import generation_filter, load_manifest
+    from ..sources.genstore import (
+        ensure_append_id_safe,
+        generation_filter,
+        load_manifest,
+    )
 
+    # A reused batch id (fresh checkpoint after a crash-interrupted fold)
+    # must finish that fold's GC-prune before any new data lands under it.
+    ensure_append_id_safe(
+        spark,
+        path,
+        [f"{path}/{part}" for part in ("postings", "doc_len", "stats")],
+        batch_id,
+    )
     docs = new_docs.select("doc_id", "text")
     try:
         existing = (
@@ -305,7 +317,9 @@ def append_text_index_batch(
     _write_text_index_generation(_term_freqs(docs), path, batch_id)
 
 
-def compact_text_index(spark: SparkSession, path: str) -> int:
+def compact_text_index(
+    spark: SparkSession, path: str, gc_immediately: bool = True
+) -> int:
     """Fold every appended ``batch_id=N`` generation back into a single
     base generation (token-clustered like a fresh build), returning the
     number of append generations folded (the base generation is not
@@ -339,6 +353,7 @@ def compact_text_index(spark: SparkSession, path: str) -> int:
         path,
         [f"{path}/{part}" for part in ("postings", "doc_len", "stats")],
         write_new_base,
+        gc_immediately=gc_immediately,
     )
 
 

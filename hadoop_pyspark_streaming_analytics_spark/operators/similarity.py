@@ -760,8 +760,15 @@ def append_pq_index_batch(
     # everything-is-a-dup self-erase).  A vec_id-only scan of the compact
     # codes; at 100 TB, front it with a vec_id Bloom of the index (the
     # scrubbing-tier pattern) and pay the exact anti-join on bloom hits.
-    from ..sources.genstore import generation_filter, load_manifest
+    from ..sources.genstore import (
+        ensure_append_id_safe,
+        generation_filter,
+        load_manifest,
+    )
 
+    # A reused batch id (fresh checkpoint after a crash-interrupted fold)
+    # must finish that fold's GC-prune before any new data lands under it.
+    ensure_append_id_safe(spark, f"{path}/codes", [f"{path}/codes"], batch_id)
     existing = (
         spark.read.parquet(f"{path}/codes")
         .filter(
@@ -1552,7 +1559,9 @@ def embedding_norm_audit(
     )
 
 
-def compact_pq_index(spark: SparkSession, path: str) -> int:
+def compact_pq_index(
+    spark: SparkSession, path: str, gc_immediately: bool = True
+) -> int:
     """Index-lifecycle step 3: fold every ``codes/batch_id=N`` append
     prefix back into a single base generation, returning the number of
     batch prefixes folded.  Per-micro-batch appends accumulate one
@@ -1593,7 +1602,10 @@ def compact_pq_index(spark: SparkSession, path: str) -> int:
     # Only true APPEND generations count toward the "prefixes folded"
     # return — the base is identified by its negative id, never folded
     # (ADVICE r6 off-by-one preserved under the manifest layout).
-    return fold_generations(spark, codes_dir, [codes_dir], write_new_base)
+    return fold_generations(
+        spark, codes_dir, [codes_dir], write_new_base,
+        gc_immediately=gc_immediately,
+    )
 
 
 #: Label predicate for the filtered-search catalog entry (shared with the

@@ -26,9 +26,11 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # under drift_event_type_psi / drift_value_quantile_shift), every
 # remaining slot refreshes oldest-first: the ENTIRE stale tail — all 30
 # entries whose last green driver row is <= r4 (2 at r3, 28 at r4, as
-# recomputed from CORRECTNESS_r01..r07) — plus the 9 alphabetically
-# first of the 44-entry r5 generation.  After a green r8, min(last-
-# green) across all oracle-backed entries is r5.
+# recomputed from CORRECTNESS_r01..r07) — plus the 7 alphabetically
+# first of the 44-entry r5 generation (was 9; two slots re-funded to
+# the late-round-8 interval-join/containment entries, which as
+# never-gated outrank any refresh).  8 + 5 + 30 + 7 = 50.  After a
+# green r8, min(last-green) across all oracle-backed entries is r5.
 # tests/test_catalog_oracle.py::test_driver_window_priority now DERIVES
 # both rules from the CORRECTNESS history (never-gated entries must be
 # in the window; so must every entry 3+ rounds stale) instead of

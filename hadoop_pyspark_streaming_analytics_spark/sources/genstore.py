@@ -39,6 +39,26 @@ Iceberg's metadata pointer use (public designs):
   before the manifest naming its replacement is durably committed —
   the ADVICE r7 crash-retry data-loss windows are gone by construction,
   not by recovery code.
+* **The folded blacklist is TRANSIENT** (round-8 self-review): an id
+  stays in ``folded`` only while its directory may still linger on
+  disk.  Once GC verifiably deletes the folded directories, a prune
+  commit retires the ids from the manifest again — so the blacklist
+  stays O(one fold cycle) instead of growing one entry per micro-batch
+  forever, and a fresh checkpoint's REUSED batch ids (the keep_latest=0
+  contract in compact_band_store) land as ordinary, fully visible
+  generations instead of being silently pruned and then destroyed by
+  the next GC.  Writers about to (re)create ``batch_id=N`` call
+  :func:`ensure_append_id_safe`, which closes the one crash window a
+  reused id could still hit (fold committed, GC never ran): it GCs the
+  lingering debris and prunes the blacklist BEFORE the new data exists,
+  so GC can never confuse the new generation with the old one.
+* **Manifest versions are allocated from the FILENAMES present**, torn
+  or not (:func:`_next_version`) — never from the newest *parseable*
+  manifest.  A torn ``v{K}.json`` therefore never collides with the
+  next commit's target name; this matters because
+  ``FileSystem.rename`` onto an existing destination returns false on
+  HDFS and S3A (only LocalFileSystem overwrites), which would otherwise
+  deadlock every future commit behind one torn write.
 * **All control-plane I/O goes through Hadoop's FileSystem API**
   (``Path.getFileSystem`` via the JVM gateway), so the same code drives
   ``file://``, ``hdfs://`` and ``s3a://`` stores; nothing in this module
@@ -49,13 +69,27 @@ before the base write → old manifest governs, retry overwrites the same
 ``live-1`` staging dir; after the base write but before the manifest →
 same (the half-published base is partition-filtered out by every
 reader); after the manifest but before GC → new state is live, the next
-compaction's :func:`gc_superseded` sweep removes the leftovers.
+compaction's (or the next append's) GC-and-prune removes the leftovers
+and retires the blacklist; after GC but before the prune commit → the
+blacklist names only already-deleted directories, harmless to readers,
+retired by the next prune.
+
+Retention caveat (single-writer, MULTI-reader deployments): GC runs
+synchronously after the commit by default, which assumes readers resolve
+the manifest per query and no query is mid-scan across the commit.  A
+reader that listed files under the PREVIOUS manifest can hit
+FileNotFoundException if GC deletes them mid-scan — the exact window
+Delta/Iceberg close with retention periods (``VACUUM ... RETAIN``).
+Deployments with long-running concurrent readers should pass
+``gc_immediately=False`` to the compactors and run :func:`gc_superseded`
++ the prune later, after their longest query duration.
 """
 
 from __future__ import annotations
 
 import json
 import uuid
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -180,13 +214,28 @@ def load_manifest(spark: SparkSession, store: str) -> dict:
     return dict(DEFAULT_MANIFEST, folded=[])
 
 
+def _next_version(spark: SparkSession, store: str) -> int:
+    """The next manifest version to write: one past the highest version
+    NUMBER present under ``_manifests`` — including torn/unparseable
+    files, whose names still occupy their version slot.  Allocating from
+    ``load_manifest`` (newest *parseable*) instead would re-target a torn
+    file's name, and ``FileSystem.rename`` onto an existing destination
+    fails on HDFS/S3A — permanently, since nothing cleans the torn file."""
+    names = list_names(spark, f"{store}/{MANIFEST_DIR}")
+    return max((_version_of(n) for n in names), default=0) + 1
+
+
 def commit_manifest(
     spark: SparkSession, store: str, live_base: int, folded: list[int], version: int
 ) -> None:
     """THE commit point: one small-file publish flips every reader to
     the new base + folded set simultaneously (for multi-artifact stores
     like the text index, atomically across all artifacts — the per-
-    artifact rename loop ADVICE r7 flagged cannot exist here)."""
+    artifact rename loop ADVICE r7 flagged cannot exist here).
+
+    Production paths obtain ``version`` from :func:`_next_version`
+    (filename-based, torn-slot-safe); the explicit parameter exists so
+    tests can construct exact historical states."""
     body = json.dumps(
         {
             "version": int(version),
@@ -261,12 +310,86 @@ def gc_superseded(spark: SparkSession, gen_dirs: list[str], manifest: dict) -> N
                 delete_path(spark, f"{gen_dir}/batch_id={n}")
 
 
+def _prune_folded(
+    spark: SparkSession, store: str, gen_dirs: list[str], manifest: dict
+) -> dict:
+    """Retire verifiably-GC'd ids from the manifest's folded blacklist:
+    any folded id with NO ``batch_id=N`` directory left in any artifact
+    is dropped via a fresh manifest commit.  Keeps ``folded`` O(one fold
+    cycle) instead of one-entry-per-micro-batch-forever, and returns the
+    id space to a fresh checkpoint (reused ids become ordinary visible
+    generations again).  Returns the governing manifest (the new one if
+    a prune committed, the input otherwise)."""
+    folded = [int(x) for x in manifest.get("folded", [])]
+    if not folded:
+        return manifest
+    folded_set = set(folded)
+    lingering: set[int] = set()
+    for gen_dir in gen_dirs:
+        for name in list_names(spark, gen_dir):
+            if not name.startswith("batch_id="):
+                continue
+            n = int(name.split("=", 1)[1])
+            if n in folded_set:
+                lingering.add(n)
+    remaining = sorted(lingering)
+    if remaining == folded:
+        return manifest
+    version = _next_version(spark, store)
+    commit_manifest(
+        spark,
+        store,
+        live_base=int(manifest["live_base"]),
+        folded=remaining,
+        version=version,
+    )
+    return {
+        "version": version,
+        "live_base": int(manifest["live_base"]),
+        "folded": remaining,
+    }
+
+
+def ensure_append_id_safe(
+    spark: SparkSession, store: str, gen_dirs: list[str], batch_id: int
+) -> None:
+    """Writer-side guard before (re)creating ``batch_id=N``: a no-op
+    unless N sits in the manifest's folded blacklist — reachable only
+    when a fresh checkpoint reuses ids after a fold crashed between its
+    commit and the GC-prune (the normal fold path leaves ``folded``
+    empty).  Writing into a blacklisted id would be catastrophic twice
+    over: readers prune the new generation (silent authority loss) and
+    the next GC deletes it (data destruction).  The guard finishes the
+    interrupted cleanup FIRST — GC the lingering superseded debris, then
+    prune the blacklist — so the id is ordinary again before any new
+    data lands under it."""
+    manifest = load_manifest(spark, store)
+    if int(batch_id) not in {int(x) for x in manifest.get("folded", [])}:
+        return
+    warnings.warn(
+        f"genstore: batch_id={batch_id} is folded in {store}'s manifest "
+        "(a fold committed but its GC never completed); finishing GC and "
+        "retiring the blacklist before the append proceeds.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    gc_superseded(spark, gen_dirs, manifest)
+    manifest = _prune_folded(spark, store, gen_dirs, manifest)
+    if int(batch_id) in {int(x) for x in manifest.get("folded", [])}:
+        raise IOError(
+            f"genstore: batch_id={batch_id} is still folded in {store} "
+            "after GC — a superseded directory could not be deleted; "
+            "appending would write data readers prune and GC destroys."
+        )
+
+
 def fold_generations(
     spark: SparkSession,
     store: str,
     gen_dirs: list[str],
     write_new_base: Callable[[Column, int], None],
     keep_latest: int = 0,
+    gc_immediately: bool = True,
 ) -> int:
     """The shared compaction driver behind compact_pq_index /
     compact_text_index / compact_band_store.
@@ -281,14 +404,23 @@ def fold_generations(
     overwritten by the retry.  ``keep_latest`` newest appends stay
     unfolded (streaming replay exclusion — see compact_band_store).
 
+    ``gc_immediately=False`` defers the post-commit GC-and-prune for
+    deployments with long-running CONCURRENT readers (see the module
+    retention caveat); the operator then runs :func:`gc_superseded` +
+    :func:`_prune_folded` after a retention delay.  The pre-fold GC of
+    debris superseded by EARLIER commits still runs — that debris has
+    already outlived at least one full compaction interval.
+
     Returns the number of append generations folded (0 = nothing to do;
     GC of previously superseded debris still runs)."""
     manifest = load_manifest(spark, store)
     # GC debris first: directories superseded by an already-committed
     # manifest (crash-before-GC leftovers) disappear before we list the
     # live appends, and a half-written new base from a crashed attempt
-    # is harmless (it is about to be overwritten below).
+    # is harmless (it is about to be overwritten below).  Then retire
+    # the now-dirless ids from the blacklist so it never compounds.
     gc_superseded(spark, gen_dirs, manifest)
+    manifest = _prune_folded(spark, store, gen_dirs, manifest)
     appends = append_ids(spark, gen_dirs[0], manifest)
     fold = appends[: len(appends) - keep_latest] if keep_latest else appends
     if not fold:
@@ -299,16 +431,20 @@ def fold_generations(
         [int(x) for x in fold]
     )
     write_new_base(live_filter, new_base)
+    folded_now = sorted(set(manifest.get("folded", [])) | set(fold))
+    new_manifest = {
+        "version": _next_version(spark, store),
+        "live_base": new_base,
+        "folded": folded_now,
+    }
     commit_manifest(
         spark,
         store,
         live_base=new_base,
-        folded=sorted(set(manifest.get("folded", [])) | set(fold)),
-        version=int(manifest["version"]) + 1,
+        folded=folded_now,
+        version=new_manifest["version"],
     )
-    gc_superseded(
-        spark,
-        gen_dirs,
-        {"live_base": new_base, "folded": set(manifest.get("folded", [])) | set(fold)},
-    )
+    if gc_immediately:
+        gc_superseded(spark, gen_dirs, new_manifest)
+        _prune_folded(spark, store, gen_dirs, new_manifest)
     return len(fold)

@@ -206,9 +206,18 @@ def _lsh_batch_victims(
     band store and re-runs both victim joins.
     """
     from ..operators.dedup import connected_components, lsh_band_buckets
-    from ..sources.genstore import generation_filter, load_manifest
+    from ..sources.genstore import (
+        ensure_append_id_safe,
+        generation_filter,
+        load_manifest,
+    )
 
     spark = docs.sparkSession
+    # The handler writes batch_id=N after this returns: a reused id
+    # (fresh checkpoint after a crash-interrupted keep_latest=0 fold)
+    # must finish that fold's GC-prune first or the new bands would be
+    # reader-invisible and GC-destroyed.
+    ensure_append_id_safe(spark, store_path, [store_path], batch_id)
     buckets = lsh_band_buckets(docs, n, bands, rows).localCheckpoint(eager=True)
     try:
         # Manifest-aware authority: the live base (any negative id — all
@@ -264,7 +273,7 @@ def _lsh_batch_victims(
 
 
 def compact_band_store(
-    spark, store_path: str, keep_latest: int = 1
+    spark, store_path: str, keep_latest: int = 1, gc_immediately: bool = True
 ) -> int:
     """Fold the LSH band store's per-micro-batch ``batch_id=N``
     generations into a fresh base generation — the band store's
@@ -314,7 +323,12 @@ def compact_band_store(
         )
 
     return fold_generations(
-        spark, store_path, [store_path], write_new_base, keep_latest=keep_latest
+        spark,
+        store_path,
+        [store_path],
+        write_new_base,
+        keep_latest=keep_latest,
+        gc_immediately=gc_immediately,
     )
 
 

@@ -64,7 +64,10 @@ def test_fold_commit_and_gc(spark, tmp_path):
 
     assert _fold(spark, store) == 2
     m = genstore.load_manifest(spark, store)
-    assert m["live_base"] == -2 and m["folded"] == [0, 1]
+    # the blacklist is TRANSIENT (round-8 self-review): once GC deleted
+    # the folded directories, the prune commit retired their ids — so a
+    # fresh checkpoint can reuse ids and the manifest never grows.
+    assert m["live_base"] == -2 and m["folded"] == []
     assert _live_vals(spark, store) == [1, 2, 3, 4]
     # GC removed every superseded directory
     assert sorted(
@@ -79,7 +82,7 @@ def test_fold_commit_and_gc(spark, tmp_path):
     assert _live_vals(spark, store) == [1, 2, 3, 4, 5]
     assert _fold(spark, store) == 1
     m2 = genstore.load_manifest(spark, store)
-    assert m2["live_base"] == -3 and m2["folded"] == [0, 1, 2]
+    assert m2["live_base"] == -3 and m2["folded"] == []
     assert _live_vals(spark, store) == [1, 2, 3, 4, 5]
 
 
@@ -89,7 +92,7 @@ def test_keep_latest_survives_fold(spark, tmp_path):
         _write_gen(spark, store, b, vals)
     assert _fold(spark, store, keep_latest=1) == 2
     m = genstore.load_manifest(spark, store)
-    assert m["folded"] == [0, 1]
+    assert m["folded"] == []  # pruned after GC; batch 2 was never folded
     assert sorted(
         d for d in os.listdir(store) if d.startswith("batch_id=")
     ) == ["batch_id=-2", "batch_id=2"]
@@ -148,12 +151,14 @@ def test_crash_after_commit_before_gc_never_double_counts(spark, tmp_path):
         d for d in os.listdir(store) if d.startswith("batch_id=")
     ) == ["batch_id=-1", "batch_id=-2", "batch_id=0"]
     assert _live_vals(spark, store) == [1, 2, 3]
-    # next fold (nothing new) still garbage-collects the debris
+    # next fold (nothing new) still garbage-collects the debris AND
+    # retires the now-dirless ids from the blacklist
     assert _fold(spark, store) == 0
     assert sorted(
         d for d in os.listdir(store) if d.startswith("batch_id=")
     ) == ["batch_id=-2"]
     assert _live_vals(spark, store) == [1, 2, 3]
+    assert genstore.load_manifest(spark, store)["folded"] == []
 
 
 def test_torn_manifest_falls_back_to_previous_version(spark, tmp_path):
@@ -210,3 +215,108 @@ def test_control_plane_is_posix_free():
         if isinstance(node, ast.ImportFrom) and node.module
     }
     assert "os" not in imported and "shutil" not in imported
+
+def test_fresh_checkpoint_reuses_ids_after_full_fold(spark, tmp_path):
+    """The keep_latest=0 contract (compact_band_store): fold EVERYTHING,
+    then point a NEW checkpoint at the store — its batch ids restart at
+    0.  The transient blacklist makes the reused id an ordinary, fully
+    visible generation; under the old grow-forever folded list it was
+    silently pruned by every reader and deleted by the next GC."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, 0, [1])
+    _write_gen(spark, store, 1, [2])
+    assert _fold(spark, store) == 2
+    assert genstore.load_manifest(spark, store)["folded"] == []
+    # fresh checkpoint: batch ids restart at 0 with NEW data
+    _write_gen(spark, store, 0, [9])
+    assert _live_vals(spark, store) == [1, 2, 9]
+    # and folding the new incarnation keeps it
+    assert _fold(spark, store) == 1
+    assert _live_vals(spark, store) == [1, 2, 9]
+
+
+def test_append_guard_recovers_interrupted_fold(spark, tmp_path):
+    """Crash window: fold committed (folded=[0]) but GC never ran, then a
+    fresh checkpoint reuses batch_id=0.  ensure_append_id_safe must
+    finish the GC and retire the blacklist BEFORE the new data lands —
+    writing first would leave the new generation reader-invisible and
+    GC-doomed."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1, 2])
+    _write_gen(spark, store, 0, [3])
+    (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter(F.col("batch_id").isin(-1, 0))
+        .select("v")
+        .write.mode("overwrite")
+        .parquet(f"{store}/batch_id=-2")
+    )
+    genstore.commit_manifest(spark, store, live_base=-2, folded=[0], version=1)
+    with pytest.warns(RuntimeWarning, match="finishing GC"):
+        genstore.ensure_append_id_safe(spark, store, [store], 0)
+    m = genstore.load_manifest(spark, store)
+    assert m["folded"] == [] and m["live_base"] == -2
+    # the old batch_id=0 debris is gone; the new incarnation's write is
+    # visible and survives the next fold's GC
+    _write_gen(spark, store, 0, [7])
+    assert _live_vals(spark, store) == [1, 2, 3, 7]
+    assert _fold(spark, store) == 1
+    assert _live_vals(spark, store) == [1, 2, 3, 7]
+    # a safe id is a no-op (no warning path): guard again post-fold
+    genstore.ensure_append_id_safe(spark, store, [store], 5)
+
+
+def test_torn_manifest_never_blocks_future_commits(spark, tmp_path):
+    """Version allocation is filename-based: a torn v2 must not make the
+    next commit target v2 again — FileSystem.rename onto an existing
+    destination fails on HDFS/S3A (only LocalFileSystem overwrites), so
+    re-targeting the torn name would deadlock every future fold."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    genstore.commit_manifest(spark, store, live_base=-1, folded=[], version=1)
+    genstore.write_small_text(
+        spark, f"{store}/{genstore.MANIFEST_DIR}/v00000002.json", '{"live_ba'
+    )
+    assert genstore._next_version(spark, store) == 3  # past the torn slot
+    _write_gen(spark, store, 0, [2])
+    assert _fold(spark, store) == 1  # would raise IOError under v2 reuse
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -2 and _live_vals(spark, store) == [1, 2]
+
+
+def test_folded_blacklist_stays_bounded_over_many_cycles(spark, tmp_path):
+    """The advertised regime is thousands of micro-batches with periodic
+    folds; the manifest must stay O(1), not accumulate one folded id per
+    batch forever (every reader builds a NOT-IN literal from it)."""
+    store = str(tmp_path / "s")
+    nxt = 0
+    for cycle in range(3):
+        for _ in range(2):
+            _write_gen(spark, store, nxt, [nxt])
+            nxt += 1
+        assert _fold(spark, store) == 2
+        assert genstore.load_manifest(spark, store)["folded"] == []
+    assert _live_vals(spark, store) == list(range(6))
+
+
+def test_deferred_gc_keeps_superseded_dirs_for_readers(spark, tmp_path):
+    """gc_immediately=False: the commit flips readers, but superseded
+    directories stay on disk for the operator's retention window (the
+    Delta/Iceberg VACUUM pattern); a later fold cleans them up."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    _write_gen(spark, store, 0, [2])
+    assert _fold(spark, store, gc_immediately=False) == 1
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -2 and m["folded"] == [0]
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-1", "batch_id=-2", "batch_id=0"]
+    assert _live_vals(spark, store) == [1, 2]  # readers already pruned
+    # retention over: the next fold GCs and retires the blacklist
+    assert _fold(spark, store) == 0
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2"]
+    assert genstore.load_manifest(spark, store)["folded"] == []
