@@ -318,7 +318,10 @@ def append_text_index_batch(
 
 
 def compact_text_index(
-    spark: SparkSession, path: str, gc_immediately: bool = True
+    spark: SparkSession,
+    path: str,
+    gc_immediately: bool = True,
+    unique_base_id: bool = False,
 ) -> int:
     """Fold every appended ``batch_id=N`` generation back into a single
     base generation (token-clustered like a fresh build), returning the
@@ -354,6 +357,7 @@ def compact_text_index(
         [f"{path}/{part}" for part in ("postings", "doc_len", "stats")],
         write_new_base,
         gc_immediately=gc_immediately,
+        unique_base_id=unique_base_id,
     )
 
 

@@ -1560,7 +1560,10 @@ def embedding_norm_audit(
 
 
 def compact_pq_index(
-    spark: SparkSession, path: str, gc_immediately: bool = True
+    spark: SparkSession,
+    path: str,
+    gc_immediately: bool = True,
+    unique_base_id: bool = False,
 ) -> int:
     """Index-lifecycle step 3: fold every ``codes/batch_id=N`` append
     prefix back into a single base generation, returning the number of
@@ -1605,6 +1608,7 @@ def compact_pq_index(
     return fold_generations(
         spark, codes_dir, [codes_dir], write_new_base,
         gc_immediately=gc_immediately,
+        unique_base_id=unique_base_id,
     )
 
 

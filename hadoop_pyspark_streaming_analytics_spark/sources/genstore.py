@@ -83,6 +83,32 @@ Delta/Iceberg close with retention periods (``VACUUM ... RETAIN``).
 Deployments with long-running concurrent readers should pass
 ``gc_immediately=False`` to the compactors and run :func:`gc_superseded`
 + the prune later, after their longest query duration.
+
+Concurrent WRITERS (round 8, second pass): the supported operating mode
+is still one compactor per store, but a violated rule must fail loudly,
+never silently last-wins.  Commits are therefore CAS (compare-and-swap):
+:func:`commit_manifest` creates its version file EXCLUSIVELY
+(``FileSystem.create(path, overwrite=false)`` — O_EXCL atomic on local
+disk and HDFS, the same primitive Delta's HDFSLogStore builds on), so
+two committers that both derived state from manifest ``v{K}`` and both
+target ``v{K+1}`` cannot both win — the loser gets
+:class:`ManifestConflictError`, reloads, and either retries from the
+fresh snapshot (compatible interleaving: a prune, or a fold that left
+``live_base`` unchanged) or aborts (another FOLD won — its commit
+already governs, and retrying against it needs a fresh base write).
+Post-commit GC always re-loads the manifest and sweeps against the
+FRESHEST version, so a committer that lost a race it never noticed
+cannot delete directories a newer manifest still references — the
+stale-snapshot clobber that silently destroyed data under last-wins.
+Two concurrent FOLDS additionally contend on the staging directory
+itself (both target ``batch_id=live-1``); pass ``unique_base_id=True``
+to draw the new base id from a uuid instead, which removes the shared
+directory entirely (the loser's abort then deletes only its own
+debris).  Honest residual, same as Delta's published S3 story: the
+exclusive-create primitive is check-then-act on S3A (no O_EXCL), so on
+raw S3 the CAS narrows the race to milliseconds but only HDFS/local
+make it atomic — multi-writer S3 deployments need an external
+coordination service, exactly as Delta requires a LogStore there.
 """
 
 from __future__ import annotations
@@ -100,6 +126,13 @@ MANIFEST_DIR = "_manifests"
 #: Manifest of a store that has never been compacted (the append-only
 #: layout materialize_* and append_*_batch produce).
 DEFAULT_MANIFEST = {"version": 0, "live_base": -1, "folded": []}
+
+
+class ManifestConflictError(IOError):
+    """A CAS commit lost its race: the target version slot was created
+    by another committer between this writer's manifest read and its
+    commit.  The store is NOT corrupted — the other commit governs; the
+    loser reloads the manifest and retries or aborts."""
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +210,36 @@ def write_small_text(spark: SparkSession, path: str, content: str) -> None:
         raise IOError(f"manifest rename failed: {tmp} -> {dst}")
 
 
+def create_small_text_exclusive(
+    spark: SparkSession, path: str, content: str
+) -> None:
+    """CAS publish of a small control file: ``FileSystem.create(path,
+    overwrite=false)`` fails if the name exists — O_EXCL-atomic on local
+    disk and HDFS, so a version slot can be won by exactly one committer
+    (check-then-act on S3A; see the module concurrency note).  A crash
+    between create and close leaves a TORN file at the final name; both
+    torn-tolerance paths already cover that (readers fall back one
+    version, :func:`_next_version` allocates past the occupied slot)."""
+    from py4j.protocol import Py4JJavaError
+
+    fs, dst = _fs_path(spark, path)
+    try:
+        out = fs.create(dst, False)
+    except Py4JJavaError as exc:
+        java_exc = exc.java_exception
+        cls = java_exc.getClass().getName() if java_exc is not None else ""
+        if "AlreadyExists" in cls or "already exists" in str(exc):
+            raise ManifestConflictError(
+                f"CAS commit lost: {path} was created by another "
+                "committer; reload the manifest and retry or abort."
+            ) from None
+        raise
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 # ---------------------------------------------------------------------------
 # Manifest layer
 # ---------------------------------------------------------------------------
@@ -235,7 +298,13 @@ def commit_manifest(
 
     Production paths obtain ``version`` from :func:`_next_version`
     (filename-based, torn-slot-safe); the explicit parameter exists so
-    tests can construct exact historical states."""
+    tests can construct exact historical states.
+
+    The publish is CAS (exclusive create): if another committer already
+    created this version slot, :class:`ManifestConflictError` is raised
+    and NOTHING was written — the caller reloads the manifest and
+    recomputes.  This is what turns a violated single-compactor rule
+    into a detected conflict instead of a silent last-wins clobber."""
     body = json.dumps(
         {
             "version": int(version),
@@ -243,9 +312,44 @@ def commit_manifest(
             "folded": sorted(int(x) for x in folded),
         }
     )
-    write_small_text(
+    create_small_text_exclusive(
         spark, f"{store}/{MANIFEST_DIR}/v{int(version):08d}.json", body
     )
+
+
+def commit_next(
+    spark: SparkSession,
+    store: str,
+    snapshot: dict,
+    live_base: int,
+    folded: list[int],
+) -> int:
+    """Commit state DERIVED FROM ``snapshot`` as the next manifest
+    version, refusing if the snapshot is no longer current.  This is
+    the linearization rule that makes the CAS meaningful: a committer
+    may only publish at a slot it can prove follows the snapshot it
+    read — targeting "whatever slot is free" would let a stale writer
+    land on top of a commit it never saw (the last-wins clobber).
+
+    The target slot is ``snapshot.version + 1``, bumped past any HIGHER
+    occupied filename only when those occupants are torn (unparseable —
+    a parseable newer manifest means the snapshot is stale, which raises
+    :class:`ManifestConflictError` instead).  The final arbiter is the
+    exclusive create in :func:`commit_manifest`: two racers from the
+    same snapshot compute the same target and exactly one wins.
+    Returns the committed version."""
+    snapshot_version = int(snapshot["version"])
+    fresh = load_manifest(spark, store)
+    if int(fresh["version"]) > snapshot_version:
+        raise ManifestConflictError(
+            f"stale snapshot of {store}: read v{snapshot_version}, "
+            f"but v{fresh['version']} is already committed."
+        )
+    target = max(snapshot_version + 1, _next_version(spark, store))
+    commit_manifest(
+        spark, store, live_base=live_base, folded=folded, version=target
+    )
+    return target
 
 
 def generation_filter(manifest: dict) -> Column:
@@ -319,35 +423,46 @@ def _prune_folded(
     cycle) instead of one-entry-per-micro-batch-forever, and returns the
     id space to a fresh checkpoint (reused ids become ordinary visible
     generations again).  Returns the governing manifest (the new one if
-    a prune committed, the input otherwise)."""
-    folded = [int(x) for x in manifest.get("folded", [])]
-    if not folded:
-        return manifest
-    folded_set = set(folded)
-    lingering: set[int] = set()
-    for gen_dir in gen_dirs:
-        for name in list_names(spark, gen_dir):
-            if not name.startswith("batch_id="):
-                continue
-            n = int(name.split("=", 1)[1])
-            if n in folded_set:
-                lingering.add(n)
-    remaining = sorted(lingering)
-    if remaining == folded:
-        return manifest
-    version = _next_version(spark, store)
-    commit_manifest(
-        spark,
-        store,
-        live_base=int(manifest["live_base"]),
-        folded=remaining,
-        version=version,
-    )
-    return {
-        "version": version,
-        "live_base": int(manifest["live_base"]),
-        "folded": remaining,
-    }
+    a prune committed, the input otherwise).
+
+    A lost CAS race reloads and recomputes (the prune is pure hygiene —
+    derived entirely from the governing manifest plus what is on disk,
+    so recomputing from the fresh snapshot is always valid); after a few
+    losses it returns the fresh manifest unpruned and lets the next
+    cycle retire the blacklist."""
+    for _ in range(3):
+        folded = [int(x) for x in manifest.get("folded", [])]
+        if not folded:
+            return manifest
+        folded_set = set(folded)
+        lingering: set[int] = set()
+        for gen_dir in gen_dirs:
+            for name in list_names(spark, gen_dir):
+                if not name.startswith("batch_id="):
+                    continue
+                n = int(name.split("=", 1)[1])
+                if n in folded_set:
+                    lingering.add(n)
+        remaining = sorted(lingering)
+        if remaining == folded:
+            return manifest
+        try:
+            version = commit_next(
+                spark,
+                store,
+                manifest,
+                live_base=int(manifest["live_base"]),
+                folded=remaining,
+            )
+        except ManifestConflictError:
+            manifest = load_manifest(spark, store)
+            continue
+        return {
+            "version": version,
+            "live_base": int(manifest["live_base"]),
+            "folded": remaining,
+        }
+    return manifest
 
 
 def ensure_append_id_safe(
@@ -383,6 +498,29 @@ def ensure_append_id_safe(
         )
 
 
+def _allocate_base_id(
+    spark: SparkSession, gen_dirs: list[str], live: int, unique: bool
+) -> int:
+    """The id of the base generation a fold is about to stage.  Default:
+    ``live - 1`` — deterministic and auditable under the supported
+    single-compactor-per-store rule.  ``unique=True`` draws a uuid-
+    derived negative id instead (collision-checked against every
+    artifact), so two compactors racing on one store can never write
+    into the SAME staging directory — the loser's abort then deletes
+    only its own debris (see the module concurrency note)."""
+    if not unique:
+        return live - 1
+    while True:
+        candidate = -(2 + uuid.uuid4().int % (1 << 40))
+        if candidate == live:
+            continue
+        if any(
+            path_exists(spark, f"{d}/batch_id={candidate}") for d in gen_dirs
+        ):
+            continue
+        return candidate
+
+
 def fold_generations(
     spark: SparkSession,
     store: str,
@@ -390,6 +528,7 @@ def fold_generations(
     write_new_base: Callable[[Column, int], None],
     keep_latest: int = 0,
     gc_immediately: bool = True,
+    unique_base_id: bool = False,
 ) -> int:
     """The shared compaction driver behind compact_pq_index /
     compact_text_index / compact_band_store.
@@ -411,6 +550,20 @@ def fold_generations(
     debris superseded by EARLIER commits still runs — that debris has
     already outlived at least one full compaction interval.
 
+    Concurrency: the commit is CAS.  A lost race against a COMPATIBLE
+    interleaving (``live_base`` unchanged — a blacklist prune, or an
+    append-id guard's cleanup) recomputes the folded set against the
+    fresh manifest and retries; the staged base stays valid because it
+    derives only from the live base (unchanged) plus the fold set, and
+    appends are immutable once written.  A lost race against another
+    FOLD (``live_base`` moved) aborts with
+    :class:`ManifestConflictError` — the winner's commit governs, and
+    under ``unique_base_id=True`` the loser first deletes its own
+    staging directory (under deterministic ids the directory is SHARED
+    with the winner and is left alone; its contents are suspect, which
+    is exactly why concurrent compactors should pass
+    ``unique_base_id=True`` or, better, not exist).
+
     Returns the number of append generations folded (0 = nothing to do;
     GC of previously superseded debris still runs)."""
     manifest = load_manifest(spark, store)
@@ -426,25 +579,56 @@ def fold_generations(
     if not fold:
         return 0
     live = int(manifest["live_base"])
-    new_base = live - 1
+    new_base = _allocate_base_id(spark, gen_dirs, live, unique_base_id)
     live_filter = (F.col("batch_id") == F.lit(live)) | F.col("batch_id").isin(
         [int(x) for x in fold]
     )
     write_new_base(live_filter, new_base)
-    folded_now = sorted(set(manifest.get("folded", [])) | set(fold))
-    new_manifest = {
-        "version": _next_version(spark, store),
-        "live_base": new_base,
-        "folded": folded_now,
-    }
-    commit_manifest(
-        spark,
-        store,
-        live_base=new_base,
-        folded=folded_now,
-        version=new_manifest["version"],
-    )
+    committed = False
+    for _ in range(3):
+        folded_now = sorted(set(manifest.get("folded", [])) | set(fold))
+        try:
+            commit_next(
+                spark,
+                store,
+                manifest,
+                live_base=new_base,
+                folded=folded_now,
+            )
+            committed = True
+            break
+        except ManifestConflictError:
+            fresh = load_manifest(spark, store)
+            if int(fresh["live_base"]) != live:
+                # Another fold won the store.  Its commit governs; this
+                # attempt's staged base is stale debris — removable only
+                # when provably ours alone (unique ids), left in place
+                # when the id is shared (the winner references it).
+                if unique_base_id and int(fresh["live_base"]) != new_base:
+                    for gen_dir in gen_dirs:
+                        delete_path(spark, f"{gen_dir}/batch_id={new_base}")
+                raise ManifestConflictError(
+                    f"genstore: concurrent fold committed {store} to "
+                    f"live_base={fresh['live_base']} while this fold "
+                    f"staged batch_id={new_base}; the supported mode is "
+                    "one compactor per store — if concurrent compaction "
+                    "is intended, pass unique_base_id=True so racers "
+                    "never share a staging directory."
+                ) from None
+            manifest = fresh  # compatible: recompute blacklist, retry
+    if not committed:
+        raise ManifestConflictError(
+            f"genstore: fold of {store} lost 3 consecutive commit races "
+            f"(live_base={live} unchanged each time — a prune storm); "
+            f"the staged base batch_id={new_base} is intact, re-run the "
+            "compactor."
+        )
     if gc_immediately:
-        gc_superseded(spark, gen_dirs, new_manifest)
-        _prune_folded(spark, store, gen_dirs, new_manifest)
+        # Sweep against the FRESHEST manifest, never this fold's private
+        # view: if an even newer commit landed, deleting what OUR
+        # snapshot superseded could destroy directories the governing
+        # manifest still references.
+        fresh = load_manifest(spark, store)
+        gc_superseded(spark, gen_dirs, fresh)
+        _prune_folded(spark, store, gen_dirs, fresh)
     return len(fold)

@@ -273,7 +273,11 @@ def _lsh_batch_victims(
 
 
 def compact_band_store(
-    spark, store_path: str, keep_latest: int = 1, gc_immediately: bool = True
+    spark,
+    store_path: str,
+    keep_latest: int = 1,
+    gc_immediately: bool = True,
+    unique_base_id: bool = False,
 ) -> int:
     """Fold the LSH band store's per-micro-batch ``batch_id=N``
     generations into a fresh base generation — the band store's
@@ -329,6 +333,7 @@ def compact_band_store(
         write_new_base,
         keep_latest=keep_latest,
         gc_immediately=gc_immediately,
+        unique_base_id=unique_base_id,
     )
 
 

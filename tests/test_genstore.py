@@ -320,3 +320,158 @@ def test_deferred_gc_keeps_superseded_dirs_for_readers(spark, tmp_path):
         d for d in os.listdir(store) if d.startswith("batch_id=")
     ) == ["batch_id=-2"]
     assert genstore.load_manifest(spark, store)["folded"] == []
+
+
+def test_cas_commit_refuses_taken_slot(spark, tmp_path):
+    """The commit point is compare-and-swap: a version slot can be won
+    by exactly one committer (exclusive create), so a violated single-
+    compactor rule surfaces as ManifestConflictError instead of a
+    silent last-wins clobber."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    genstore.commit_manifest(spark, store, live_base=-1, folded=[], version=1)
+    with pytest.raises(genstore.ManifestConflictError):
+        genstore.commit_manifest(
+            spark, store, live_base=-9, folded=[], version=1
+        )
+    # the loser wrote NOTHING: the slot still holds the winner's state
+    assert genstore.load_manifest(spark, store)["live_base"] == -1
+
+
+def test_commit_next_refuses_stale_snapshot(spark, tmp_path):
+    """A committer may only publish state derived from the CURRENT
+    manifest: if a newer parseable version exists, commit_next refuses
+    outright — the linearization rule that stops a stale writer landing
+    on top of a commit (and a GC) it never saw."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    genstore.commit_manifest(spark, store, live_base=-1, folded=[], version=1)
+    snap = genstore.load_manifest(spark, store)
+    genstore.commit_manifest(spark, store, live_base=-2, folded=[], version=2)
+    with pytest.raises(genstore.ManifestConflictError, match="stale snapshot"):
+        genstore.commit_next(spark, store, snap, live_base=-1, folded=[])
+    assert genstore.load_manifest(spark, store)["live_base"] == -2
+
+
+def test_fold_retries_past_concurrent_compatible_commit(spark, tmp_path):
+    """A fold that loses its commit race to a COMPATIBLE interleaving
+    (live_base unchanged — e.g. a blacklist prune from an append guard)
+    retries from the fresh snapshot and succeeds: the staged base derives
+    only from the unchanged live base plus immutable appends."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1, 2])
+    _write_gen(spark, store, 0, [3])
+
+    def write_and_race(live_filter, new_base: int) -> None:
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+        # concurrent committer lands between the base write and the
+        # fold's commit, leaving live_base untouched
+        snap = genstore.load_manifest(spark, store)
+        genstore.commit_next(
+            spark, store, snap, live_base=int(snap["live_base"]), folded=[]
+        )
+
+    assert genstore.fold_generations(
+        spark, store, [store], write_and_race
+    ) == 1
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -2 and m["folded"] == []
+    assert _live_vals(spark, store) == [1, 2, 3]
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2"]
+
+
+def test_fold_aborts_when_concurrent_fold_wins(spark, tmp_path):
+    """Two compactors racing on one store: the commit CAS picks exactly
+    one winner; the loser aborts LOUDLY with the winner's state fully
+    governing — under deterministic base ids nothing is deleted (the
+    staging id may be shared), so no data is ever lost to the race."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    _write_gen(spark, store, 0, [2])
+
+    def write_and_lose(live_filter, new_base: int) -> None:
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+        # a competing fold from the same snapshot commits first, with
+        # its own base generation
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(F.col("batch_id").isin(-1, 0))
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id=-5")
+        )
+        snap = genstore.load_manifest(spark, store)
+        genstore.commit_next(spark, store, snap, live_base=-5, folded=[0])
+
+    with pytest.raises(genstore.ManifestConflictError, match="concurrent fold"):
+        genstore.fold_generations(spark, store, [store], write_and_lose)
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -5
+    assert _live_vals(spark, store) == [1, 2]
+
+
+def test_unique_base_id_fold_and_loser_cleanup(spark, tmp_path):
+    """unique_base_id=True removes the one resource two racing folds
+    still share under deterministic ids — the staging directory: the
+    winner's base is untouchable by the loser, and the loser's abort
+    deletes its own debris (provably private, so safe)."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    _write_gen(spark, store, 0, [2])
+    assert _fold(spark, store, unique_base_id=True) == 1
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] < -1 and m["live_base"] != -2  # uuid-derived
+    assert _live_vals(spark, store) == [1, 2]
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == [f"batch_id={m['live_base']}"]
+
+    # loser cleanup on abort: its private staging dir is removed
+    _write_gen(spark, store, 0, [3])
+    staged = []
+
+    def write_and_lose(live_filter, new_base: int) -> None:
+        staged.append(new_base)
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id=-7")
+        )
+        snap = genstore.load_manifest(spark, store)
+        genstore.commit_next(spark, store, snap, live_base=-7, folded=[0])
+
+    with pytest.raises(genstore.ManifestConflictError, match="concurrent fold"):
+        genstore.fold_generations(
+            spark, store, [store], write_and_lose, unique_base_id=True
+        )
+    assert not genstore.path_exists(spark, f"{store}/batch_id={staged[0]}")
+    assert genstore.load_manifest(spark, store)["live_base"] == -7
+    assert _live_vals(spark, store) == [1, 2, 3]
