@@ -666,10 +666,13 @@ def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed filter, and the quantity envelope (the union of branch
     ranges) reaches the lineitem scan as pushed bounds — so the join
     input is pre-reduced on BOTH sides even though no single branch can
-    be applied alone.  Part stays a broadcast dimension; branch
-    assignment is one codegen CASE over the joined rows feeding a
-    map-side-combined 3-group aggregate.  Plan-asserted in
-    tests/test_plan_shapes.py."""
+    be applied alone.  Part carries NO broadcast hint — it is
+    SF-proportional (SF·200k rows; a brand-filtered slice is still tens
+    of millions of rows at the 100 TB regime), so AQE's size-based
+    choice decides: broadcast at test scale, shuffle join at 100×
+    (SCALE.md's hint policy).  Branch assignment is one codegen CASE
+    over the joined rows feeding a map-side-combined 3-group aggregate.
+    Plan-asserted in tests/test_plan_shapes.py."""
     brands = [b for b, *_ in DISJ_BRANCHES]
     qty_lo = min(lo for *_, lo, _ in DISJ_BRANCHES)
     qty_hi = max(hi for *_, hi in DISJ_BRANCHES)
@@ -694,7 +697,7 @@ def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         branch = F.when(cond, i) if branch is None else branch.when(cond, i)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             branch.cast("int").alias("branch"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -735,8 +738,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part minimum is a window min over that already-aggregated
     bounded grain — never a re-scan per part.
 
-    Plan shape (asserted): exactly one lineitem scan;
-    part/supplier/nation/region all broadcast; the only shuffles are the
+    Plan shape (asserted): exactly one lineitem scan; nation/region are
+    hinted broadcasts (25/5 rows, SF-invariant); part and supplier carry
+    NO hint — both are SF-proportional (SF·200k / SF·10k rows), so AQE's
+    size-based choice decides (broadcast at test scale, shuffle join at
+    100 TB — SCALE.md's hint policy).  The dim ATTRIBUTES (p_brand,
+    s_name, s_acctbal, n_name) ride the gate joins and the aggregate
+    (max() over a functionally-dependent column — every row of a
+    (part, supplier) group carries the same value), so there is NO
+    post-window re-join: the only shuffles after the gates are the
     (part, supplier) aggregate and the part-grain window; final ranking
     ORDER BY + LIMIT → TakeOrderedAndProject.  Ties at the minimum keep
     every supplier (Q2 semantics); the output order
@@ -773,15 +783,17 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     offers = (
-        li.join(F.broadcast(part.select("p_partkey")),
-                li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp.select("s_suppkey")),
-              li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             round4(
                 F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-            ).alias("min_cost")
+            ).alias("min_cost"),
+            F.max("p_brand").alias("p_brand"),
+            F.max("s_name").alias("s_name"),
+            F.max("s_acctbal").alias("s_acctbal"),
+            F.max("n_name").alias("n_name"),
         )
     )
     w = Window.partitionBy("l_partkey")
@@ -789,13 +801,11 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_min", F.min("min_cost").over(w)
     ).filter(F.col("min_cost") == F.col("part_min"))
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
-        .select(
+        best.select(
             round2(F.col("s_acctbal")).alias("s_acctbal"),
             "s_name",
             "n_name",
-            "p_partkey",
+            F.col("l_partkey").alias("p_partkey"),
             "p_brand",
             "min_cost",
         )
@@ -817,12 +827,16 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers in one region leaning into promo-type
     parts — TPC-H's nested IN/EXISTS chain (``s_suppkey IN (... WHERE
     ps_partkey IN (...) AND ps_availqty > 0.5 * (SELECT sum(l_quantity)
-    ...))``), DECORRELATED: the part IN-list is a broadcast semi-join
-    gate on the single lineitem scan; the correlated half-sum threshold
+    ...))``), DECORRELATED: the part IN-list and the region-filtered
+    supplier set are equi-join gates on the single lineitem scan (no
+    hints — both are SF-proportional, AQE picks broadcast at test scale
+    and a shuffle join at 100 TB); the correlated half-sum threshold
     — two aggregates of the same fact at different scopes — computes in
     ONE grouped pass with conditional sums (recent window vs all time)
-    per (supplier, part); qualifying pairs collapse per supplier; the
-    region gate is a broadcast dim chain on the bounded supplier grain.
+    per (supplier, part); qualifying pairs collapse per supplier.  The
+    supplier ATTRIBUTES (s_name, s_acctbal, n_name) ride the gate join
+    and both aggregates (max() over functionally-dependent columns), so
+    no post-aggregate re-join is needed.
 
     Plan shape (asserted): exactly one lineitem scan, no per-row
     subquery, no second pass for the inner SUM; output is supplier-grain
@@ -859,28 +873,31 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp"
     )
     per_pair = (
-        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        li.join(parts, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(recent, F.col("l_quantity")).otherwise(0.0)).alias(
                 "recent_qty"
             ),
             F.sum("l_quantity").alias("total_qty"),
+            F.max("s_name").alias("s_name"),
+            F.max("s_acctbal").alias("s_acctbal"),
+            F.max("n_name").alias("n_name"),
         )
         .filter(F.col("recent_qty") > 0.5 * F.col("total_qty"))
     )
     qual = per_pair.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).cast("int").alias("n_promo_parts"),
         round2(F.sum("recent_qty")).alias("recent_qty"),
+        F.max("s_name").alias("s_name"),
+        F.max("s_acctbal").alias("s_acctbal"),
+        F.max("n_name").alias("n_name"),
     )
-    return (
-        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
-        .select(
-            "s_name",
-            "n_name",
-            round2(F.col("s_acctbal")).alias("s_acctbal"),
-            "n_promo_parts",
-            "recent_qty",
-        )
-        .orderBy("s_name")
-    )
+    return qual.select(
+        "s_name",
+        "n_name",
+        round2(F.col("s_acctbal")).alias("s_acctbal"),
+        "n_promo_parts",
+        "recent_qty",
+    ).orderBy("s_name")

@@ -344,9 +344,14 @@ def test_locf_resample_windows_per_user(spark, sf_dir):
 
 def final_plan_of(df: DataFrame) -> str:
     """Execute the query and return the FINAL adaptive plan — the one AQE
-    actually ran, after runtime size-based join re-planning."""
+    actually ran, after runtime size-based join re-planning.  The
+    ``== Initial Plan ==`` section Spark appends is stripped: it shows the
+    static plan AQE replaced (e.g. a SortMergeJoin later converted to
+    broadcast), so assertions about what actually executed must not see
+    it."""
     df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def test_merge_upsert_is_anti_probe_aqe_broadcast(spark, sf_dir):
@@ -588,9 +593,6 @@ def test_broadcast_hint_policy():
         ("operators/retrieval.py", "sel"): "<=k selected MMR rows",
         ("operators/retrieval.py", "qterms"): "batch-bounded (query_id, token) pairs",
         ("operators/retrieval.py", "fused"): "HYBRID_TOP_K-row fused shortlist",
-        ("operators/star.py", "part"): "brand-filtered part dimension (3/25 of a dim table)",
-        ("operators/star.py", "supp"): "region-filtered supplier dimension (Q2/Q20 gates)",
-        ("operators/star.py", "parts"): "type-filtered part-key dimension (Q20 IN-list gate)",
         ("operators/graph.py", "n"): "1-row node-count scalar",
         ("operators/profiling.py", "ref_counts"): "category-grain frozen reference profile",
         ("operators/profiling.py", "rq"): "1-row reference quantile array",
@@ -806,8 +808,9 @@ def test_q19_disjunctive_branch_revenue_shape(spark, sf_dir):
     """Q19's plan lesson: the OR-of-conjunctions still yields per-table
     prunes — the brand IN set must reach the part scan and the quantity
     envelope must reach the lineitem scan as pushed filters — while the
-    filtered part side broadcasts (never a shuffle join against a
-    dimension) and the branch CASE runs post-join in codegen."""
+    branch CASE runs post-join in codegen.  part carries NO broadcast
+    hint (SF-proportional — SCALE.md policy); Spark's size stats pick
+    broadcast at test scale and are free to shuffle at 100 TB."""
     from hadoop_pyspark_streaming_analytics_spark.operators.star import (
         disjunctive_branch_revenue,
     )
@@ -898,17 +901,24 @@ def test_vocab_coverage_scalable_no_vocab_grain_single_partition(
 def test_q2_min_cost_supplier_shape(spark, sf_dir):
     """Q2's plan lesson: the correlated scalar MIN subquery decorrelates
     into a window min over the already-aggregated (part, supplier) offer
-    grain — exactly ONE lineitem scan (no per-part re-scan), every
-    dimension broadcast, type/size/region filters pushed to the dim
-    scans, and the final ranking TakeOrderedAndProject."""
+    grain — exactly ONE lineitem scan (no per-part re-scan),
+    type/size/region filters pushed to the dim scans, and the final
+    ranking TakeOrderedAndProject.  part/supplier carry NO broadcast
+    hint (SF-proportional — SCALE.md policy), so the broadcast
+    assertion runs on the AQE-FINAL executed plan: at test scale AQE
+    must still converge on broadcast joins; at 100 TB it is free to
+    shuffle instead of OOMing a forced build side."""
     from hadoop_pyspark_streaming_analytics_spark.operators.star import (
         min_cost_supplier,
     )
 
-    plan = plan_of(min_cost_supplier(spark, sf_dir))
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    df = min_cost_supplier(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+    executed = final_plan_of(df)
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
     blocks = plan.split("\n\n")
     li_scans = [
         b for b in blocks if "lineitem.parquet" in b and "Scan parquet" in b
@@ -933,17 +943,22 @@ def test_q2_min_cost_supplier_shape(spark, sf_dir):
 
 def test_q20_promo_part_suppliers_shape(spark, sf_dir):
     """Q20's plan lesson: the nested IN/EXISTS chain with a correlated
-    half-sum threshold decorrelates into ONE lineitem scan — the part
-    gate a broadcast join, both sum scopes as conditional aggregates of
-    the same grouped pass (never a second pass for the inner SUM), the
-    region gate broadcast on the bounded supplier grain."""
+    half-sum threshold decorrelates into ONE lineitem scan — both sum
+    scopes as conditional aggregates of the same grouped pass (never a
+    second pass for the inner SUM).  The part gate and the supplier
+    attach carry NO broadcast hint (SF-proportional — SCALE.md policy);
+    AQE must still converge on broadcast joins in the executed plan at
+    test scale."""
     from hadoop_pyspark_streaming_analytics_spark.operators.star import (
         promo_part_suppliers,
     )
 
-    plan = plan_of(promo_part_suppliers(spark, sf_dir))
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    df = promo_part_suppliers(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    executed = final_plan_of(df)
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin" not in executed
     blocks = plan.split("\n\n")
     li_scans = [
         b for b in blocks if "lineitem.parquet" in b and "Scan parquet" in b
