@@ -23,7 +23,7 @@ it — unlike the NLJ spelling, whose skew is the whole plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round2
@@ -76,9 +76,10 @@ def error_bursts(
     ev: DataFrame, gap: str = "5 minutes"
 ) -> DataFrame:
     """Gap-sessionize the GLOBAL error stream into bursts:
-    (burst_start, burst_end, n_errors), where consecutive errors less than
-    ``gap`` apart merge (native ``session_window``; an error exactly
-    ``gap`` later starts a new burst — session ranges are [start, end)).
+    (burst_start, burst_end, n_errors), where consecutive errors at most
+    ``gap`` apart merge (native ``session_window`` merges ADJACENT
+    ranges: next_start <= prev_last + gap — an error exactly ``gap``
+    later still continues the burst; verified empirically, Spark 4.1).
 
     The stream is keyless, so a naive session_window would merge on a
     single partition — the vocab-ranking trap (VERDICT r7 item 3).
@@ -86,9 +87,10 @@ def error_bursts(
     by ``to_date(ts)`` alongside the session window), so sessionization
     hash-partitions by date and stays parallel at any scale.  A burst
     spanning midnight splits in two — acceptable for burst monitoring,
-    and the split rule is explicit in the oracle.  (An exact cross-
-    midnight merge needs the two-phase boundary-merge pattern; not worth
-    its complexity here.)
+    and the split rule is explicit in the oracle.
+    :func:`error_bursts_merged` is the exact twin: the two-phase
+    boundary-merge repairs the midnight splits and equals GLOBAL
+    sessionization (its oracle IS the global spelling).
     """
     return (
         ev.filter(F.col("event_type") == "error")
@@ -100,6 +102,89 @@ def error_bursts(
         )
         .select("burst_start", "burst_end", "n_errors")
     )
+
+
+def error_bursts_merged(ev: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Exact GLOBAL gap-sessionization of the keyless error stream via the
+    two-phase boundary-merge (VERDICT r8 item 6) — bit-equal to a single
+    global session window, without ever shuffling error-grain rows to one
+    partition:
+
+    1. day-local bursts (:func:`error_bursts`'s parallel spelling — the
+       session_window hash-partitions on ``to_date(ts)``);
+    2. only bursts TOUCHING a midnight (start within ``gap`` after their
+       day's start, or end within ``gap`` before the next) can merge with
+       a neighbor-day burst — everything else passes through untouched.
+       Candidates are <= 2 per calendar day, so they are TIME-SPAN-bound
+       (~730 rows/year), never corpus-proportional; the chain-merge runs
+       one ordered window over that bounded frame (gaps-and-islands:
+       break when start > prev_end + gap, matching session_window's
+       matching session_window's adjacent-range merge, where exactly gap
+       apart still merges).
+
+    Why the phases compose exactly: day-local sessionization only ever
+    SPLITS global bursts (at midnights), never merges across a >= gap
+    silence; two same-day bursts are >= gap apart by construction, and an
+    interior burst is > gap from any neighbor-day burst (it starts/ends
+    > gap from both midnights) — so midnight-adjacent candidate chains
+    are the only repairs needed.  The catalog oracle for this function is
+    the GLOBAL single-window SQL spelling, so the equivalence is
+    differentially verified, not argued."""
+    gap_iv = F.expr(f"INTERVAL {gap}")
+    bursts = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("d"), F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .select("burst_start", "burst_end", "n_errors")
+    )
+    day_start = F.date_trunc("day", F.col("burst_start"))
+    next_midnight = day_start + F.expr("INTERVAL 1 DAY")
+    # backward-mergeable: some prev-day error (strictly before midnight)
+    # could satisfy start <= prev_end + gap  =>  start < day_start + gap;
+    # forward-mergeable: some next-day error (at or after midnight) could
+    # satisfy next_start <= end + gap  =>  end + gap >= next_midnight
+    # (>= : an error exactly AT midnight belongs to the next day and
+    # still merges when end + gap lands exactly on it).
+    touches = (F.col("burst_start") < day_start + gap_iv) | (
+        F.col("burst_end") + gap_iv >= next_midnight
+    )
+    interior = bursts.filter(~touches)
+    boundary = bursts.filter(touches)
+    w = Window.orderBy("burst_start")
+    chained = (
+        boundary.withColumn("prev_end", F.lag("burst_end").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("burst_start") > F.col("prev_end") + gap_iv),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "chain",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    merged = chained.groupBy("chain").agg(
+        F.min("burst_start").alias("burst_start"),
+        F.max("burst_end").alias("burst_end"),
+        F.sum("n_errors").cast("bigint").alias("n_errors"),
+    )
+    return interior.unionByName(
+        merged.select("burst_start", "burst_end", "n_errors")
+    ).orderBy("burst_start")
+
+
+def global_error_bursts(
+    spark: SparkSession, sf_dir: str, gap: str = "5 minutes"
+) -> DataFrame:
+    """Catalog face of :func:`error_bursts_merged` over the events table."""
+    return error_bursts_merged(load_events(spark, sf_dir), gap)
 
 
 def purchases_during_error_bursts(

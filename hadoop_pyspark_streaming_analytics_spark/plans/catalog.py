@@ -983,6 +983,34 @@ WHERE p.event_type = 'purchase'""",
         tags=("temporal", "interval-join", "range-join"),
     ),
     QuerySpec(
+        "events_error_bursts_midnight_merged",
+        intervals.global_error_bursts,
+        # The oracle is deliberately the GLOBAL single-window spelling —
+        # the Spark side computes the same result via day-partitioned
+        # sessions + the bounded two-phase boundary-merge, so this diff
+        # verifies the merge equivalence, not just the numbers.
+        """
+WITH err AS (
+  SELECT ts FROM events WHERE event_type = 'error'
+),
+flagged AS (
+  -- strictly-greater: Spark's session_window merges ADJACENT ranges
+  -- (an event exactly gap after the last still continues the session)
+  SELECT ts,
+         CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (ORDER BY ts) > INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_b
+  FROM err
+),
+sess AS (
+  SELECT ts, sum(new_b) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS bid
+  FROM flagged
+)
+SELECT min(ts) AS burst_start, max(ts) AS burst_end, count(*) AS n_errors
+FROM sess GROUP BY bid""",
+        tags=("temporal", "session", "boundary-merge"),
+    ),
+    QuerySpec(
         "events_props_typed",
         timeseries.props_typed_extract,
         """
