@@ -18,83 +18,81 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 8 pays down the refresh debt (VERDICT r7 item 1): after gating
-# the eight round-8 NEW entries and re-gating the five entries whose
-# operator code changed this round (genstore manifest readers under
-# retrieval_bm25_indexed / ann_ivf_pq_search_indexed, the unpersist
-# rework under graph_pagerank_docs, the by=-generalized shared cores
-# under drift_event_type_psi / drift_value_quantile_shift), every
-# remaining slot refreshes oldest-first: the ENTIRE stale tail — all 30
-# entries whose last green driver row is <= r4 (2 at r3, 28 at r4, as
-# recomputed from CORRECTNESS_r01..r07) — plus the 7 alphabetically
-# first of the 44-entry r5 generation (was 9; two slots re-funded to
-# the late-round-8 interval-join/containment entries, which as
-# never-gated outrank any refresh).  8 + 5 + 30 + 7 = 50.  After a
-# green r8, min(last-green) across all oracle-backed entries is r5.
-# tests/test_catalog_oracle.py::test_driver_window_priority now DERIVES
-# both rules from the CORRECTNESS history (never-gated entries must be
-# in the window; so must every entry 3+ rounds stale) instead of
-# hand-listing them.  Everything outside the window stays oracle-diffed
-# per round by tests/test_catalog_oracle.py at sf0.001 and
+# Round 9 rotation (the r8 failing test named the debt): ONE never-gated
+# round-9 entry (the midnight boundary-merge twin), the changed-code
+# re-gates — now DERIVED from plans/entry_hashes.json source
+# fingerprints (scripts/update_entry_hashes.py; VERDICT r8 item 5)
+# instead of this comment: the r9 changed set is the three star shapes
+# (broadcast-hint removal + attribute-carrying rewrite), the four
+# genstore-reading retrieval/ANN entries (content_bytes/vacuum_store
+# landed in genstore.py), and the binned interval join (intervals.py
+# grew the merge twin) — then the ENTIRE 37-entry last-green-r5 stale
+# tail (the r8 verdict's rotation debt), then oldest-first refresh: the
+# 4 alphabetically first of the 49-entry r6 generation.
+# 1 + 8 + 37 + 4 = 50.  After a green r9, min(last-green) across all
+# oracle-backed entries rises to r6.
+# tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
+# rules 1 and 3 from the CORRECTNESS history (never-gated entries must
+# be in the window; so must every entry 3+ rounds stale);
+# test_changed_operator_code_regates derives rule 2 from the recorded
+# fingerprints.  Everything outside the window stays oracle-diffed per
+# round by tests/test_catalog_oracle.py at sf0.001 and
 # scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
 _WINDOW = [
-    # ---- round-8 NEW entries (never gated) -------------------------------
-    "monitor_alert_rollup",            # composed alerting over report stores
-    "corpus_vocab_coverage_scalable",  # histogram-grain Zipf head coverage
-    "retrieval_bm25_multi_query",      # batched BM25 engine, 3-query batch
-    "retrieval_hybrid_multi_query",    # batched hybrid RRF engine
-    "star_min_cost_supplier",          # TPC-H Q2 decorrelated window-min
-    "star_promo_part_suppliers",       # TPC-H Q20 half-sum semi-join chain
-    "events_interval_error_burst_join",  # binned non-equi interval join
-    "dedup_containment",               # DF-capped asymmetric containment
-    # ---- changed-code re-gates (rule 2: outranks refresh) ----------------
-    "retrieval_bm25_indexed",          # manifest-aware load_text_index
-    "ann_ivf_pq_search_indexed",       # manifest-aware load_pq_index
-    "graph_pagerank_docs",             # unpersist + checkpointed return
-    "drift_event_type_psi",            # psi_report grew by= grouping
-    "drift_value_quantile_shift",      # _quantile_report_from grew by=
-    # ---- oldest-first refresh: the whole last-green<=r4 tail (30) --------
-    "text_language_id",                # r3
-    "train_split_assign",              # r3
-    "chunk_documents",
-    "corpus_boilerplate_ngrams",
-    "corpus_repetition_scores",
-    "corpus_tfidf_similar_pairs",
-    "corpus_tfidf_top_terms",
-    "corpus_unigram_surprisal",
-    "dedup_edit_distance_verify",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "events_cohort_retention",
-    "events_props_typed",
-    "events_user_value_scd2",
-    "events_value_anomalies_zscore",
-    "events_value_histogram",
-    "events_weekly_change",
-    "merge_upsert_customers",
-    "mixture_sample_by_source",
-    "multimodal_png_resize",
-    "multimodal_video_frame_features",
-    "multimodal_wav_features",
-    "quality_weighted_sample",
-    "star_fk_integrity_audit",
-    "star_segment_contribution",
-    "stratified_fixed_n_sample",
-    "temporal_asof_next_click",
-    "text_pii_redaction",
-    "text_quality_scores",
-    "training_shard_assignment",
-    # ---- next-oldest refresh: 7 of the 44 last-green-r5 entries ----------
-    # (was 9; two slots re-funded to the late-round-8 NEW entries above —
-    # never-gated outranks an r5 refresh, and r5 entries are not yet
-    # stale-overdue at cutoff r4)
-    "agg_revenue_decimal_exact",
-    "ann_brute_force_topk",
-    "ann_ivf_build_kmeans",
-    "ann_ivf_cell_stats",
-    "ann_ivf_pq_search",
-    "ann_ivf_recall_report",
-    "ann_ivf_search",
+    # ---- round-9 NEW entry (never gated) ---------------------------------
+    "events_error_bursts_midnight_merged",  # two-phase boundary merge
+    # ---- changed-code re-gates (rule 2, fingerprint-derived) -------------
+    "star_min_cost_supplier",          # hint removal + attr-carrying agg
+    "star_promo_part_suppliers",       # hint removal + attr-carrying agg
+    "star_disjunctive_branch_revenue",  # hint removal
+    "retrieval_bm25_indexed",          # genstore grew content_bytes/vacuum
+    "ann_ivf_pq_search_indexed",       # genstore grew content_bytes/vacuum
+    "retrieval_bm25_multi_query",      # genstore-reading engine
+    "retrieval_hybrid_multi_query",    # genstore-reading engine
+    "events_interval_error_burst_join",  # intervals.py grew the twin
+    # ---- oldest-first refresh: the whole last-green-r5 tail (37) ---------
+    "ann_pq_adc_topk",
+    "ann_recall_curve",
+    "bonus_inner_join",
+    "chunk_documents_udtf",
+    "corpus_bigram_surprisal",
+    "corpus_difficulty_bins",
+    "corpus_language_mixture",
+    "corpus_select_token_budget",
+    "corpus_source_report",
+    "dedup_cluster_histogram",
+    "dedup_components",
+    "dedup_cross_source_matrix",
+    "dedup_exact_substring",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_quality",
+    "dedup_keep_canonical",
+    "dedup_minhash_estimate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_split_leakage",
+    "embedding_cluster_balanced_sample",
+    "embedding_near_duplicates_lsh",
+    "embedding_norm_audit",
+    "events_funnel_conversion",
+    "events_key_skew_report",
+    "events_profile_columns",
+    "events_session_attribution",
+    "multimodal_png_features",
+    "pipeline_curated_modern",
+    "q2_spend_deciles_scalable",
+    "q2b_avg_days_between_orders",
+    "q3b_customer_brand_unpivot",
+    "quality_score_calibration",
+    "sketch_count_min_heavy_hitters",
+    "text_contamination_check",
+    "text_language_audit",
+    "text_quality_classifier",
+    # ---- next-oldest refresh: 4 of the 49-entry r6 generation ------------
+    "agg_order_baskets",
+    "ann_ivf_assign",
+    "ann_partitioned_topk",
+    "bonus_categorize_pandas_udf",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -94,6 +94,63 @@ def test_driver_window_priority():
     assert not slotless, f"oracle-less entries occupy driver slots: {slotless}"
 
 
+def test_changed_operator_code_regates():
+    """Rule 2 of the window policy, DERIVED instead of hand-listed
+    (VERDICT r8 item 5): an oracle-backed entry whose source fingerprint
+    (builder + oracle + every transitively-referenced package function
+    and constant — plans/fingerprint.py) changed must re-gate.  Two
+    enforcement halves:
+
+    1. the recorded fingerprint must match the current source — else
+       someone changed operator code without running
+       ``python scripts/update_entry_hashes.py`` (which stamps the
+       changed entries with regate_round = next driver round);
+    2. every entry whose stamped regate_round exceeds its last green
+       driver row must sit INSIDE the current driver window — the change
+       has not been driver-verified, and a rotation that omits it would
+       ship unverified code past the gate."""
+    from hadoop_pyspark_streaming_analytics_spark.plans import DRIVER_WINDOW
+    from hadoop_pyspark_streaming_analytics_spark.plans import (
+        fingerprint as fp,
+    )
+
+    recorded = fp.load_recorded()
+    assert recorded, (
+        "plans/entry_hashes.json missing — run "
+        "scripts/update_entry_hashes.py"
+    )
+    stale_hash = []
+    unrecorded = []
+    for spec in CATALOG:  # oracle-less entries carry rows-only re-gates
+        rec = recorded.get(spec.name)
+        if rec is None:
+            unrecorded.append(spec.name)
+        elif rec["hash"] != fp.entry_fingerprint(spec):
+            stale_hash.append(spec.name)
+    assert not unrecorded and not stale_hash, (
+        "entry source changed without re-recording its fingerprint — "
+        "run `python scripts/update_entry_hashes.py` "
+        f"(unrecorded: {unrecorded}, changed: {stale_hash})"
+    )
+    greens = fp.last_green_rounds()
+    window = {s.name for s in CATALOG[:DRIVER_WINDOW]}
+    # the in-window obligation applies to oracle-backed entries (plus the
+    # reviewed rows-only exception): oracle-less entries may not occupy
+    # driver slots (the slotless rule in test_driver_window_priority) —
+    # their re-gate signal is the local pytest suite instead.
+    eligible = {s.name for s in SPECS} | {"sketch_daily_user_hll"}
+    owed = {
+        name
+        for name, rec in recorded.items()
+        if name in eligible and rec["regate_round"] > greens.get(name, 0)
+    }
+    outside = owed - window
+    assert not outside, (
+        "entries with driver-unverified source changes sit outside the "
+        f"window: {sorted(outside)}"
+    )
+
+
 def test_oracle_no_hugeint_columns(sf_dir):
     """DuckDB sum() over integers yields HUGEINT, which the driver's value
     hash renders differently from Spark's bigint (3.0 vs 3) — the exact
