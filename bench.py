@@ -63,27 +63,31 @@ def main() -> None:
     # fixed per-query job overhead dominates down there, so two samples
     # can both land on the same scheduler hiccup and flag a phantom
     # normalized regression — the r6 events_sliding/hourly 1.30x case.
+    # Samples are taken ROUND-ROBIN (pass 1 over every query, then pass
+    # 2) rather than back-to-back (round 9): within-run drift — GC debt,
+    # block-manager pressure, page-cache churn accumulating through the
+    # run — hits ADJACENT samples equally, so back-to-back min-of-2
+    # couldn't cancel it (observed: two same-code runs flagged DISJOINT
+    # ~7-query "regression" sets at 1.3-2.5x raw).  Interleaving puts a
+    # whole run between a query's samples, so min-of-2 sees two
+    # independent draws of the run-level noise.
     # Raw per-query samples are reported so variance is auditable.
-    timings: dict[str, float] = {}
-    timings_raw: dict[str, list[float]] = {}
-    for spec in specs:
-        samples: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-            del df
-            gc.collect()
-        if min(samples) < 1.0:
-            t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-            del df
-            gc.collect()
-        timings_raw[spec.name] = samples
-        timings[spec.name] = min(samples)
+    timings_raw: dict[str, list[float]] = {spec.name: [] for spec in specs}
+
+    def _sample(spec) -> None:
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings_raw[spec.name].append(round(time.perf_counter() - t0, 3))
+        gc.collect()
+
+    for _pass in range(2):
+        for spec in specs:
+            _sample(spec)
+    for spec in specs:  # third draw for overhead-dominated fast queries
+        if min(timings_raw[spec.name]) < 1.0:
+            _sample(spec)
+    timings = {name: min(s) for name, s in timings_raw.items()}
 
     # Tier hygiene: the batch tier leaves cached relations, checkpoint
     # blocks, and GC debt in the shared JVM — observed inflating the
@@ -115,6 +119,7 @@ def main() -> None:
         **streaming,
         **calibration,
         **calibration_pre,
+        **_host_identity(),
         **_normalized_vs_prev(timings, core_total, calibration),
     }
     # Persist BEFORE printing (VERDICT r6 item 2): the driver's tail
@@ -235,6 +240,30 @@ def _load_prev_summary(current_round: int, this_sf: float) -> tuple[str, dict] |
     return name, d
 
 
+def _host_identity() -> dict:
+    """Anonymous host fingerprint (VERDICT r8 item 8): rounds that ran on
+    different hosts need no manual adjudication once the summary says so.
+    The hostname is hashed (an identity, not a leak); cpu count and
+    memory are the capacity facts a reader needs to judge comparability."""
+    import hashlib
+    import platform
+
+    mem_kb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    mem_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    return {
+        "host_id": hashlib.sha256(platform.node().encode()).hexdigest()[:8],
+        "host_cpus": os.cpu_count(),
+        "host_mem_gb": round(mem_kb / 1048576, 1),
+    }
+
+
 def _normalized_vs_prev(
     timings: dict[str, float], core_total: float, calibration: dict
 ) -> dict:
@@ -281,16 +310,46 @@ def _normalized_vs_prev(
     # yardstick swing).  A real engine regression shows on both; each
     # failure mode of one basis is cancelled by the other.
     out["calibration_swing"] = round(cal / prev_cal, 4)
-    out["regression_basis"] = "raw AND normalized ratios > 1.3"
+    if prev.get("host_id"):
+        out["same_host_as_prev"] = (
+            prev["host_id"] == _host_identity()["host_id"]
+        )
+    # Round 9 (VERDICT r8 item 8): the scan/cpu yardstick under-corrects
+    # across hosts (r8 saw +23% "normalized" on untouched queries while
+    # the drift was uniform).  The robust fix is SELF-RELATIVE: estimate
+    # host drift as the MEDIAN raw ratio over all queries common to both
+    # rounds — a uniform host change moves every query, so the median IS
+    # the drift; a real regression moves few queries, so the median is
+    # immune to it.  A query is flagged only when it regressed on BOTH
+    # bases: raw wall > 1.3 (immune to yardstick drift) AND
+    # drift-adjusted raw/median > 1.3 (immune to uniform host drift).
+    # The scan-calibration normalized ratio stays reported for history
+    # continuity but no longer gates.
     prev_q = prev.get("queries") or {}
+    common = [
+        (name, t, prev_q[name])
+        for name, t in timings.items()
+        if prev_q.get(name)
+    ]
+    import statistics
+
+    ratios = [t / pt for _, t, pt in common]
+    drift = statistics.median(ratios) if ratios else 1.0
+    out["host_drift_median_raw_ratio"] = round(drift, 4)
+    out["regression_basis"] = (
+        "raw > 1.3 AND raw/median_drift > 1.3 (median raw ratio over "
+        f"{len(ratios)} common queries estimates uniform host drift)"
+    )
     regressions = {}
-    for name, t in timings.items():
-        pt = prev_q.get(name)
-        if pt:
-            norm_ratio = round((t / cal) / (pt / prev_cal), 4)
-            raw_ratio = round(t / pt, 4)
-            if norm_ratio > 1.3 and raw_ratio > 1.3:
-                regressions[name] = {"normalized": norm_ratio, "raw": raw_ratio}
+    for name, t, pt in common:
+        raw_ratio = round(t / pt, 4)
+        adj_ratio = round(raw_ratio / drift, 4)
+        if raw_ratio > 1.3 and adj_ratio > 1.3:
+            regressions[name] = {
+                "raw": raw_ratio,
+                "drift_adjusted": adj_ratio,
+                "scan_normalized": round((t / cal) / (pt / prev_cal), 4),
+            }
     out["normalized_regressions"] = regressions
     return out
 
@@ -606,13 +665,20 @@ def _bench_streaming_curation_multibatch(
     where the prior-batches authority semi-join pays per-generation
     listing/footer overhead forever.  Two runs over identical input:
     without compaction, and with ``compact_every=3`` auto-folding from
-    inside the handler (keep_latest=1, the replay contract).  Reported:
-    total wall for the drain and the LAST batch's lsh_dedup split — the
-    last batch faces the most prior generations (9 tiny ones uncompacted
-    vs ≤2 + the folded base), so it isolates the accumulation effect the
-    compactor exists to cap.  Single run per mode: the curation path is
-    already JVM-warm from _bench_streaming_curation, and the two modes
-    share input so the comparison is paired."""
+    inside the handler (keep_latest=1, the replay contract; since the
+    BENCH_r08 regression the trigger is also size-gated — appends must
+    match the base's bytes before a fold fires, so 10 batches see at
+    most ~2 folds and each byte is rewritten O(log N) times, not
+    N/3 times).  Reported: total wall for the drain and the LAST
+    batch's lsh_dedup split — the last batch faces the most prior
+    generations, so it isolates the accumulation effect the compactor
+    exists to cap.  At 10 batches the honest expectation is parity
+    (compaction's crossover is thousands of generations — see
+    SCALE.md's auto-compaction note); the figure exists so a regressing
+    compactor is VISIBLE, not to showcase a win this small.  Single run
+    per mode: the curation path is already JVM-warm from
+    _bench_streaming_curation, and the two modes share input so the
+    comparison is paired."""
     import json as _json
     import shutil
     import tempfile
@@ -670,6 +736,39 @@ def _bench_streaming_curation_multibatch(
                 return round(time.perf_counter() - t0, 3), stages
             finally:
                 shutil.rmtree(work, ignore_errors=True)
+
+        # Untimed warmup: one 2-batch drain so neither timed arm pays
+        # first-use codegen/classloading for the curation path — without
+        # it the FIRST arm absorbs a 5-50 s cold penalty and the paired
+        # comparison measures JVM state, not compaction (observed while
+        # chasing the r8 "compaction regresses" figure: the same arms
+        # measured 87.8/39.7 cold-first vs 35.3/31.3 warm).
+        warm = tempfile.mkdtemp(prefix="bench_curation_mb_warm_")
+        try:
+            for i in range(2):
+                os.link(f"{watch}/b{i:02d}.json", f"{warm}/b{i:02d}.json")
+            run_once_dir = warm
+            work = tempfile.mkdtemp(prefix="bench_curation_mb_w_")
+            try:
+                q = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(run_once_dir)
+                    .writeStream.foreachBatch(
+                        foreach_batch_curation(
+                            f"{work}/bands", f"{work}/out", merges,
+                            compact_every=2,
+                        )
+                    )
+                    .option("checkpointLocation", f"{work}/ckpt")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        finally:
+            shutil.rmtree(warm, ignore_errors=True)
 
         plain_wall, plain_stages = run_once(None)
         auto_wall, auto_stages = run_once(3)

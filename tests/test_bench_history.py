@@ -124,32 +124,52 @@ def test_real_repo_has_r06_history_for_r07(tmp_path):
     assert len(d["queries"]) >= 37
 
 
-def test_regressions_require_both_raw_and_normalized_bases(
+def test_regressions_require_both_raw_and_drift_adjusted_bases(
     bench, tmp_path, monkeypatch
 ):
-    """Round-8 rule: a calibration-yardstick swing between rounds (r8
-    observed 38%) inflates every single-basis normalized ratio — a query
-    that got FASTER in raw wall must not be flagged; a query slower on
-    both bases must be, with both ratios reported for auditability."""
+    """Round-9 rule (VERDICT r8 item 8): host drift is estimated as the
+    MEDIAN raw ratio over common queries — a query faster in raw wall is
+    never flagged; a query slower on both the raw and the drift-adjusted
+    basis is, with all three ratios reported; and a UNIFORM slowdown
+    (every query 1.4x — the r8 cross-host phantom) flags nothing because
+    the median absorbs it."""
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
     (tmp_path / "CORRECTNESS_r06.json").write_text("{}")  # round_id -> 7
     bench._persist_summary(
-        _summary(core=10.0, cal=0.4, queries={"fast": 1.0, "slow": 1.0}), 6
+        _summary(
+            core=10.0,
+            cal=0.4,
+            queries={"fast": 1.0, "mid": 1.0, "slow": 1.0},
+        ),
+        6,
     )
     out = bench._normalized_vs_prev(
-        {"fast": 0.95, "slow": 1.45},
+        {"fast": 0.95, "mid": 1.0, "slow": 1.45},
         core_total=10.0,
         calibration={"calibration_scan_sec": 0.28},
     )
-    # yardstick swing is surfaced (0.28 / 0.4)
+    # yardstick swing is still surfaced (0.28 / 0.4)
     assert out["calibration_swing"] == 0.7
-    # "fast" is 1.36x normalized (pure yardstick artifact) but 0.95x raw
+    assert out["host_drift_median_raw_ratio"] == 1.0
+    # "fast" is faster raw (and 1.36x scan-normalized — a pure yardstick
+    # artifact): never flagged
     assert "fast" not in out["normalized_regressions"]
-    # "slow" regressed on both bases -> flagged with both ratios
+    # "slow" regressed on both bases -> flagged with all ratios
     flagged = out["normalized_regressions"]["slow"]
     assert flagged["raw"] == 1.45
-    assert flagged["normalized"] > 2.0  # 1.45x raw / 0.7 swing
-    assert "raw AND normalized" in out["regression_basis"]
+    assert flagged["drift_adjusted"] == 1.45  # median drift 1.0
+    assert flagged["scan_normalized"] > 2.0  # 1.45 / 0.7 swing, reported
+    assert "median_drift" in out["regression_basis"]
+
+    # uniform host slowdown: every query 1.4x raw -> median drift 1.4,
+    # drift-adjusted ~1.0 everywhere, nothing flagged
+    out = bench._normalized_vs_prev(
+        {"fast": 1.4, "mid": 1.4, "slow": 1.4},
+        core_total=14.0,
+        calibration={"calibration_scan_sec": 0.4},
+    )
+    assert out["host_drift_median_raw_ratio"] == 1.4
+    assert out["normalized_regressions"] == {}
 
 
 def test_off_default_sf_run_never_clobbers_default_history(bench, tmp_path):
