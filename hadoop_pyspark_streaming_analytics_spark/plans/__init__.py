@@ -31,6 +31,12 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # 4 alphabetically first of the 49-entry r6 generation.
 # 1 + 8 + 37 + 4 = 50.  After a green r9, min(last-green) across all
 # oracle-backed entries rises to r6.
+# ROUND-10 BUDGET WARNING (written r9): once CORRECTNESS_r09 lands, the
+# staleness cutoff moves to r6 and the remaining 45 r6-generation
+# entries all come due — 45 + re-gates + new leaves at most ~5 slots.
+# Round 10 should therefore add at most 1-2 never-gated entries and
+# keep operator-code churn surgical, or the window cannot satisfy its
+# own invariants (the forcing test will say so loudly).
 # tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
 # rules 1 and 3 from the CORRECTNESS history (never-gated entries must
 # be in the window; so must every entry 3+ rounds stale);
