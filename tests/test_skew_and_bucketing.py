@@ -188,3 +188,50 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """session.py enables runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) as a 100 TB lever:
+    on a selective fact-dim join the optimizer builds a bloom filter
+    from the dim side and injects a might-contain probe into the FACT
+    scan, skipping shuffle input that can never match.  At toy scale the
+    size thresholds suppress it, so — like the AQE skew pin above —
+    scale the thresholds down and assert the rewrite actually fires:
+    bloom_filter_agg on the build side, BloomFilterMightContain (or the
+    equivalent probe) filtering the fact side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # keep the join a shuffle join so the bloom probe has a shuffle
+        # to prune (a broadcast join gets runtime DPP-ish pruning free)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan or "BloomFilterMightContain" in plan, (
+            plan[:2000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
