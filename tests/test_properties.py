@@ -454,3 +454,70 @@ def test_zorder_wide_column_list_stays_in_63_bits(spark):
 
     with pytest.raises(ValueError):
         zorder_value(df, [f"c{i}" for i in range(64)])
+
+
+# Error timestamps clustered around midnights (the boundary-merge's hard
+# region), drawn at minute granularity over 3 days so exact-gap ties,
+# multi-midnight chains, and empty days all occur.
+_midnight = dt.datetime(2024, 1, 2, 0, 0)
+error_times = st.lists(
+    st.one_of(
+        # dense near the two midnights: ±15 minutes in whole minutes
+        st.integers(min_value=-15, max_value=15).map(
+            lambda m: _midnight + dt.timedelta(minutes=m)
+        ),
+        st.integers(min_value=-15, max_value=15).map(
+            lambda m: _midnight + dt.timedelta(days=1, minutes=m)
+        ),
+        # sparse elsewhere in the 3-day span, 5-minute grid (gap-sized
+        # steps manufacture exactly-gap adjacency ties)
+        st.integers(min_value=0, max_value=3 * 288).map(
+            lambda i: _midnight
+            - dt.timedelta(days=1)
+            + dt.timedelta(minutes=5 * i)
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+def _global_bursts_reference(times, gap_minutes=5):
+    """Plain-python global gap-sessionization with Spark session_window's
+    ADJACENT-merge semantics: an event exactly gap after the previous one
+    CONTINUES the burst (merge while diff <= gap)."""
+    gap = dt.timedelta(minutes=gap_minutes)
+    out = []
+    for t in sorted(times):
+        if out and t - out[-1][1] <= gap:
+            start, _, n = out[-1]
+            out[-1] = (start, t, n + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+@given(error_times)
+@SETTINGS
+def test_error_bursts_merged_equals_global_reference(spark, times):
+    """The two-phase boundary-merge must equal GLOBAL sessionization for
+    ALL inputs — midnight straddles, exactly-gap ties at and across the
+    boundary, chains through consecutive midnights, singleton days."""
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.intervals import (
+        error_bursts_merged,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=t, event_type="error", user_id=1, value=1.0)
+            for i, t in enumerate(times)
+        ]
+    )
+    got = sorted(
+        (r.burst_start, r.burst_end, r.n_errors)
+        for r in error_bursts_merged(ev, gap="5 minutes").collect()
+    )
+    assert got == _global_bursts_reference(times)
