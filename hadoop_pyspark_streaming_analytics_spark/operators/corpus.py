@@ -304,6 +304,60 @@ def select_corpus_token_budget(
     )
 
 
+#: Per-source sample size of :func:`priority_sample` — one definition
+#: shared with the catalog oracle's literal (the SKEW_REPORT_TOP / ADVICE
+#: r5 discipline: engine default and oracle cannot silently diverge).
+PRIORITY_SAMPLE_K = 50
+
+
+def priority_sample(
+    spark: SparkSession, sf_dir: str, k: int = PRIORITY_SAMPLE_K
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement per source —
+    Efraimidis-Spirakis exponential keys: each doc draws
+    ``key = -ln(u) / w`` and the ``k`` SMALLEST keys per stratum win,
+    which is exactly weighted sampling without replacement with weight
+    ``w`` (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — the one-pass/mergeable formulation reservoir samplers
+    use).  Weight here is ``ln(1 + n_chars)`` (mild length preference);
+    any positive per-doc score (model quality, token count) slots in
+    unchanged.
+
+    Complements the existing sampling tier: ``quality_weighted_sample``
+    is BERNOULLI (keep-probability per doc, output size varies);
+    ``corpus_epoch_mixture`` is per-source fixed RATES.  This is the
+    fixed-BUDGET shape — "give me exactly k docs per source, length-
+    weighted" — the data-mixture recipe step that needs exact counts.
+
+    Determinism discipline: ``u`` derives from md5(doc_id) (the seedless
+    cross-engine hash every sampling op here uses), u = (h32 + 0.5) /
+    2^32 in (0, 1) — reproducible across runs, engines, partitionings.
+
+    Scale shape: one scan; hash/key are pure codegen expressions; the
+    per-source top-k is a row_number <= k filter, which Catalyst rewrites
+    to WindowGroupLimit — each map partition forwards at most k rows per
+    source into the window shuffle, so a handful of giant sources cost
+    k rows each, never corpus-proportional skew (the top_users_per_type
+    discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.log(F.lit(1.0) + F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round(key + F.lit(1e-8), 6).alias("priority"),
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def tfidf_similar_pairs(
     spark: SparkSession, sf_dir: str, k: int = 10, threshold: float = 0.5
 ) -> DataFrame:

@@ -119,8 +119,7 @@ def error_bursts_merged(ev: DataFrame, gap: str = "5 minutes") -> DataFrame:
        (~730 rows/year), never corpus-proportional; the chain-merge runs
        one ordered window over that bounded frame (gaps-and-islands:
        break when start > prev_end + gap, matching session_window's
-       matching session_window's adjacent-range merge, where exactly gap
-       apart still merges).
+       adjacent-range merge, where exactly gap apart still merges).
 
     Why the phases compose exactly: day-local sessionization only ever
     SPLITS global bursts (at midnights), never merges across a >= gap

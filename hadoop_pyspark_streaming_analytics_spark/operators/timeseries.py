@@ -368,9 +368,14 @@ def event_session_attribution(
     Native gaps-and-islands: lag → new-session flag → running cumsum →
     min(ts) per (user, session) — three windows, all partitioned per user
     over a TOTAL order (ts, event_id), so ties can't float between
-    engines.  Cross-checked against the session_window tier by test:
-    the distinct (user, session_start) pairs here must equal
-    user_sessions' rows exactly.
+    engines.  The split is STRICTLY-greater (gap > interval starts a new
+    session): ``session_window`` merges ADJACENT ranges — an event exactly
+    ``gap`` after the last still continues the session (pinned in
+    test_intervals.py) — so the lag spelling must merge exact-gap ties
+    too, or the documented cross-check below diverges on them (ADVICE
+    r9).  Cross-checked against the session_window tier by test: the
+    distinct (user, session_start) pairs here must equal user_sessions'
+    rows exactly.
     """
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -380,7 +385,7 @@ def event_session_attribution(
             F.lag("ts").over(w).isNull()
             | (
                 (F.col("ts") - F.lag("ts").over(w))
-                >= F.expr(f"INTERVAL {gap}")
+                > F.expr(f"INTERVAL {gap}")
             ),
             1,
         ).otherwise(0),

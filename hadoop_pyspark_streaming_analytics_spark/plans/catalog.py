@@ -511,8 +511,11 @@ FROM ev GROUP BY ROLLUP (event_type, hour)""",
         """
 WITH flagged AS (
   SELECT user_id, ts, value,
+         -- strictly-greater: Spark's session_window merges ADJACENT
+         -- ranges (an event exactly gap after the last still continues
+         -- the session — ADVICE r9; pinned in test_intervals.py)
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -933,8 +936,12 @@ SELECT 3, 'view>click>purchase', (SELECT count(*) FROM p),
         """
 WITH flagged AS (
   SELECT event_id, user_id, ts,
+         -- strictly-greater split, matching both the session_window tier
+         -- and the engine's lag spelling (aligned in r10 — ADVICE r9: the
+         -- documented cross-check vs user_sessions must hold on exact-gap
+         -- ties, which session_window MERGES)
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -958,8 +965,11 @@ WITH err AS (
 ),
 flagged AS (
   SELECT ts, d,
+         -- strictly-greater: the engine side is a native session_window,
+         -- which merges ADJACENT ranges (exactly gap apart still merges —
+         -- ADVICE r9, pinned in test_intervals.py)
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                   OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
               THEN 1 ELSE 0 END AS new_b
   FROM err WINDOW w AS (PARTITION BY d ORDER BY ts)
 ),

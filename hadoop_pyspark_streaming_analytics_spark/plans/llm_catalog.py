@@ -1278,6 +1278,32 @@ FROM hashed
 WHERE keep_hash < round(quality_score * 10000 + 1e-6, 0)""",
         tags=("llm", "sampling"),
     ),
+    # --- fixed-budget weighted sampling (operators/corpus.py) ---
+    # Efraimidis-Spirakis exponential keys: -ln(u)/w, k smallest per
+    # stratum = weighted sampling without replacement.  u is the seedless
+    # md5(doc_id) uniform; w = ln(1 + n_chars).  The oracle spells the
+    # identical arithmetic, so rank-order and the 6dp-rounded key must
+    # both match.
+    QuerySpec(
+        "corpus_priority_sample",
+        corpus.priority_sample,
+        f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0)
+           / ln(1.0 + n_chars) AS k
+  FROM documents
+)
+SELECT source, doc_id, n_chars,
+       round(k + 1e-8, 6) AS priority,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+            AS INTEGER) AS rnk
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+        <= {corpus.PRIORITY_SAMPLE_K}""",
+        tags=("llm", "sampling", "priority"),
+    ),
     # --- token-budget corpus selection (operators/corpus.py) ---
     # Oracle: the GLOBAL ordered cumulative sum the two-phase Spark plan is
     # provably equivalent to (buckets partition disjoint quality ranges).

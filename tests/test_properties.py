@@ -237,7 +237,9 @@ session_offsets = st.lists(
 def test_session_attribution_matches_pure_python(spark, offs_a, offs_b):
     """event_session_attribution must equal a direct per-user
     gaps-and-islands computation for arbitrary event spacings, including
-    exact 30-minute boundaries (gap >= 1800s starts a new session)."""
+    exact 30-minute boundaries (gap > 1800s starts a new session —
+    exactly 1800s CONTINUES it, matching session_window's adjacent-range
+    merge so the user_sessions cross-check holds on ties; ADVICE r9)."""
     from hadoop_pyspark_streaming_analytics_spark.operators import timeseries as t
 
     base = dt.datetime(2024, 3, 1)
@@ -268,7 +270,7 @@ def test_session_attribution_matches_pure_python(spark, offs_a, offs_b):
         start = None
         prev = None
         for eid_, _, ts in evs:
-            if prev is None or (ts - prev).total_seconds() >= 1800:
+            if prev is None or (ts - prev).total_seconds() > 1800:
                 start = ts
             expect[eid_] = start
             prev = ts
