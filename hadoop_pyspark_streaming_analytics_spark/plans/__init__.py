@@ -18,87 +18,95 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 9 rotation (the r8 failing test named the debt): ONE never-gated
-# round-9 entry (the midnight boundary-merge twin), the changed-code
-# re-gates — now DERIVED from plans/entry_hashes.json source
-# fingerprints (scripts/update_entry_hashes.py; VERDICT r8 item 5)
-# instead of this comment: the r9 changed set is the three star shapes
-# (broadcast-hint removal + attribute-carrying rewrite), the four
-# genstore-reading retrieval/ANN entries (content_bytes/vacuum_store
-# landed in genstore.py), and the binned interval join (intervals.py
-# grew the merge twin) — then the ENTIRE 37-entry last-green-r5 stale
-# tail (the r8 verdict's rotation debt), then oldest-first refresh: the
-# 4 alphabetically first of the 49-entry r6 generation.
-# 1 + 8 + 37 + 4 = 50.  After a green r9, min(last-green) across all
-# oracle-backed entries rises to r6.
-# ROUND-10 BUDGET WARNING (written r9): once CORRECTNESS_r09 lands, the
-# staleness cutoff moves to r6 and the remaining 45 r6-generation
-# entries all come due — 45 + re-gates + new leaves at most ~5 slots.
-# Round 10 should therefore add at most 1-2 never-gated entries and
-# keep operator-code churn surgical, or the window cannot satisfy its
-# own invariants (the forcing test will say so loudly).
+# Round 10 rotation — the refresh-dominated window the r9 verdict
+# prescribed: the ENTIRE 45-entry last-green-r6 generation (the debt the
+# r9 forcing test named), plus the fingerprint-derived changed set (the
+# four session-gap entries whose oracles/lag spelling moved to
+# strictly-greater splits — ADVICE r9 — including the intervals.py
+# docstring touch), plus ONE never-gated round-10 entry.
+# 1 + 4 + 45 = 50.  After a green r10, min(last-green) across all
+# oracle-backed entries rises to r7.
+#
+# STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
+# 4 rounds, not 3.  The arithmetic: 184 oracle-backed entries / 50
+# slots = a 3.7-round full refresh cycle at BEST (zero re-gates, zero
+# new entries) — a 3-round cutoff is arithmetically unsatisfiable at
+# this catalog size (round 10 proved it: the whole 45-entry r6
+# generation came due at once, leaving exactly the changed-set's 5
+# slots).  A 4-round cutoff needs ~46 refresh slots per round on
+# average, which holds as long as re-gates + new entries stay <= ~4 per
+# round.  The catalog is therefore held FLAT from here: new entries
+# only when a round's changed-set is small enough to leave slots, and
+# near-twin retirement before 184/(50 - typical churn) exceeds 4.
+STALENESS_ROUNDS = 4
+# The driver round this _WINDOW was rotated FOR (= max CORRECTNESS
+# round on disk at rotation time + 1).  While ROTATION_ROUND > that max,
+# the rotation is fresh and the forcing test asserts HARD; once the
+# round's CORRECTNESS file lands, the test downgrades the (recomputed,
+# now next-round) staleness debt to an xfail-with-owed-list so the suite
+# is green at every merged HEAD between rotations (ADVICE r9 item 1).
+ROTATION_ROUND = 10
 # tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
 # rules 1 and 3 from the CORRECTNESS history (never-gated entries must
-# be in the window; so must every entry 3+ rounds stale);
+# be in the window; so must every entry STALENESS_ROUNDS+ rounds stale);
 # test_changed_operator_code_regates derives rule 2 from the recorded
 # fingerprints.  Everything outside the window stays oracle-diffed per
 # round by tests/test_catalog_oracle.py at sf0.001 and
 # scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
 _WINDOW = [
-    # ---- round-9 NEW entry (never gated) ---------------------------------
-    "events_error_bursts_midnight_merged",  # two-phase boundary merge
+    # ---- round-10 NEW entry (never gated) --------------------------------
+    "corpus_priority_sample",  # E-S weighted sample w/o replacement
     # ---- changed-code re-gates (rule 2, fingerprint-derived) -------------
-    "star_min_cost_supplier",          # hint removal + attr-carrying agg
-    "star_promo_part_suppliers",       # hint removal + attr-carrying agg
-    "star_disjunctive_branch_revenue",  # hint removal
-    "retrieval_bm25_indexed",          # genstore grew content_bytes/vacuum
-    "ann_ivf_pq_search_indexed",       # genstore grew content_bytes/vacuum
-    "retrieval_bm25_multi_query",      # genstore-reading engine
-    "retrieval_hybrid_multi_query",    # genstore-reading engine
-    "events_interval_error_burst_join",  # intervals.py grew the twin
-    # ---- oldest-first refresh: the whole last-green-r5 tail (37) ---------
-    "ann_pq_adc_topk",
-    "ann_recall_curve",
-    "bonus_inner_join",
-    "chunk_documents_udtf",
-    "corpus_bigram_surprisal",
-    "corpus_difficulty_bins",
-    "corpus_language_mixture",
-    "corpus_select_token_budget",
-    "corpus_source_report",
-    "dedup_cluster_histogram",
-    "dedup_components",
-    "dedup_cross_source_matrix",
-    "dedup_exact_substring",
-    "dedup_incremental_ingest",
-    "dedup_keep_best_quality",
-    "dedup_keep_canonical",
-    "dedup_minhash_estimate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_split_leakage",
-    "embedding_cluster_balanced_sample",
-    "embedding_near_duplicates_lsh",
-    "embedding_norm_audit",
-    "events_funnel_conversion",
-    "events_key_skew_report",
-    "events_profile_columns",
-    "events_session_attribution",
-    "multimodal_png_features",
-    "pipeline_curated_modern",
-    "q2_spend_deciles_scalable",
-    "q2b_avg_days_between_orders",
-    "q3b_customer_brand_unpivot",
-    "quality_score_calibration",
-    "sketch_count_min_heavy_hitters",
-    "text_contamination_check",
-    "text_language_audit",
-    "text_quality_classifier",
-    # ---- next-oldest refresh: 4 of the 49-entry r6 generation ------------
-    "agg_order_baskets",
-    "ann_ivf_assign",
-    "ann_partitioned_topk",
-    "bonus_categorize_pandas_udf",
+    "events_user_sessions",           # oracle: strictly-greater gap split
+    "events_session_attribution",     # lag spelling + oracle aligned
+    "events_interval_error_burst_join",  # oracle: strictly-greater split
+    "events_error_bursts_midnight_merged",  # docstring dedup (intervals)
+    # ---- the whole last-green-r6 stale generation (45) -------------------
+    "bonus_categorize_python_udf",
+    "corpus_bpe_merges",
+    "corpus_bpe_segment",
+    "corpus_bpe_token_counts",
+    "corpus_bpe_vocab",
+    "corpus_epoch_mixture",
+    "corpus_truncation_report",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_near_duplicates",
+    "embedding_semdedup",
+    "events_ewma_per_user",
+    "events_hourly_rollup",
+    "events_props_avg_k",
+    "events_running_stats",
+    "events_scalar_features",
+    "events_sliding_10min_5min",
+    "events_top_users_per_type",
+    "events_tumbling_5min",
+    "events_type_hour_cube",
+    "events_type_percentiles",
+    "multimodal_decoded_metadata",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "pack_documents",
+    "pack_documents_bpe",
+    "pack_efficiency_report",
+    "pipeline_surviving_docs",
+    "q1_corpus_stats",
+    "q1_word_length_histogram",
+    "q2_order_count_thresholds",
+    "q2_spend_distribution",
+    "q2_top_customers_by_spend",
+    "q2a_customer_summary",
+    "set_except_buyers_without_events",
+    "set_intersect_buyers_with_events",
+    "set_union_active_users",
+    "skew_salted_count",
+    "star_anti_join_dormant_customers",
+    "star_semi_join_big_spenders",
+    "temporal_click_error_pairs",
+    "temporal_clicks_trailing_5min",
+    "text_document_fingerprints",
+    "text_token_counts",
+    "training_shard_manifest",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering
@@ -121,4 +129,10 @@ _TAIL = [s.name for s in CATALOG if s.name not in _window_set]
 
 DRIVER_WINDOW = 50  # observed driver evaluation cap (CORRECTNESS_r01.json)
 
-__all__ = ["CATALOG", "QuerySpec", "DRIVER_WINDOW"]
+__all__ = [
+    "CATALOG",
+    "QuerySpec",
+    "DRIVER_WINDOW",
+    "STALENESS_ROUNDS",
+    "ROTATION_ROUND",
+]

@@ -47,9 +47,19 @@ import inspect
 import json
 import os
 import re
+import sys
 import textwrap
 import types
 from collections.abc import Callable
+
+#: Fingerprints walk CPython bytecode (LOAD_GLOBAL/LOAD_ATTR pairing,
+#: IMPORT_NAME level consts), whose encoding shifts across minor versions
+#: (LOAD_METHOD removed in 3.12, ...) — so a hash recorded under one
+#: Python can spuriously mismatch under another with UNCHANGED source
+#: (ADVICE r9).  entry_hashes.json records the recording interpreter
+#: under ``__meta__``; consumers compare against this and treat a
+#: mismatch as environment drift, not a code change.
+PY_VERSION = f"{sys.version_info[0]}.{sys.version_info[1]}"
 
 _PKG = __name__.split(".")[0]
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -299,12 +309,17 @@ def entry_fingerprint(spec) -> str:
     return h.hexdigest()[:16]
 
 
-def load_recorded() -> dict[str, dict]:
+def load_recorded(with_meta: bool = False):
+    """Per-entry records from entry_hashes.json; ``__meta__`` (recording
+    environment — currently the Python minor version) is stripped from
+    the per-entry dict and returned separately when ``with_meta``."""
     try:
         with open(HASHES_PATH) as f:
-            return json.load(f)
+            data = json.load(f)
     except (OSError, ValueError):
-        return {}
+        data = {}
+    meta = data.pop("__meta__", {})
+    return (data, meta) if with_meta else data
 
 
 def correctness_rounds(repo: str = REPO_DIR) -> list[int]:
@@ -343,8 +358,22 @@ def refresh_hashes(specs) -> tuple[dict[str, dict], list[str]]:
     re-gate: if it already has a green driver row, the current source is
     presumed to be what was gated (regate_round = that round — the
     window's staleness rule covers old greens separately); a never-gated
-    entry is stamped next_round, which rule 1 forces in-window anyway."""
-    recorded = load_recorded()
+    entry is stamped next_round, which rule 1 forces in-window anyway.
+
+    When the file was recorded under a DIFFERENT Python minor version
+    (``__meta__.python`` != :data:`PY_VERSION`), hash mismatches are
+    bytecode-encoding drift, not code changes (ADVICE r9): every entry's
+    hash is re-recorded under the current interpreter with its existing
+    regate_round preserved.  Accepted blind spot, documented: a real
+    source edit made in the same breath as an interpreter switch is not
+    auto-detected — regenerate hashes on the interpreter you gate with
+    BEFORE editing."""
+    recorded, meta = load_recorded(with_meta=True)
+    # A file with records but no __meta__ predates version recording and
+    # was written on the interpreter this repo pins — treat as same-env
+    # (defaulting to mismatch would silently drop every pending re-gate
+    # stamp on the migration run).
+    same_env = meta.get("python", PY_VERSION) == PY_VERSION
     rounds = correctness_rounds()
     next_round = (rounds[-1] if rounds else 0) + 1
     greens = last_green_rounds()
@@ -357,9 +386,12 @@ def refresh_hashes(specs) -> tuple[dict[str, dict], list[str]]:
         old = recorded.get(spec.name)
         if old is not None and old.get("hash") == fp:
             out[spec.name] = old
+        elif old is not None and not same_env:
+            out[spec.name] = {"hash": fp, "regate_round": old["regate_round"]}
         elif old is None and spec.name in greens:
             out[spec.name] = {"hash": fp, "regate_round": greens[spec.name]}
         else:
             out[spec.name] = {"hash": fp, "regate_round": next_round}
             changed.append(spec.name)
+    out["__meta__"] = {"python": PY_VERSION}
     return out, changed

@@ -31,7 +31,8 @@ def main() -> None:
     with open(fp.HASHES_PATH, "w") as f:
         json.dump(records, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"{len(records)} entries recorded -> {fp.HASHES_PATH}")
+    n = len(records) - ("__meta__" in records)
+    print(f"{n} entries recorded (python {fp.PY_VERSION}) -> {fp.HASHES_PATH}")
     if changed:
         print(f"{len(changed)} changed (stamped regate_round="
               f"{records[changed[0]]['regate_round']}):")

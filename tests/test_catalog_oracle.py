@@ -55,17 +55,37 @@ def test_driver_window_priority():
     # Rule 3, also derived from history (VERDICT r7 item 1): green rows
     # AGE — the driver regenerates testdata each round, so a stale green
     # can hide a real break (the r3 timestamp drift).  Every oracle-backed
-    # entry whose last green row is 3+ rounds old must be in the current
-    # window.  This is the refresh-debt forcing function: when a new
-    # round's CORRECTNESS file lands, the stale set recomputes and this
-    # assertion tells the next rotation exactly what it owes.
-    stale_cutoff = max(rounds) - 3
+    # entry whose last green row is STALENESS_ROUNDS+ rounds old must be
+    # in the current window (cutoff widened 3 → 4 in round 10 with the
+    # cycle arithmetic documented at plans/__init__.py:STALENESS_ROUNDS —
+    # 184 oracle-backed entries / 50 slots can NOT cycle in 3 rounds).
+    # This is the refresh-debt forcing function: when a new round's
+    # CORRECTNESS file lands, the stale set recomputes and this check
+    # tells the next rotation exactly what it owes.
+    from hadoop_pyspark_streaming_analytics_spark.plans import (
+        ROTATION_ROUND,
+        STALENESS_ROUNDS,
+    )
+
+    stale_cutoff = max(rounds) - STALENESS_ROUNDS
     stale = {
         s.name
         for s in CATALOG
         if s.oracle is not None and 0 < last_green.get(s.name, 0) <= stale_cutoff
     }
     overdue = stale - window
+    if overdue and ROTATION_ROUND <= max(rounds):
+        # Between rotations (ADVICE r9 item 1): this window predates the
+        # newest driver run, so the recomputed debt is the NEXT rotation's
+        # work, not a regression at this HEAD.  Keep the debt loud (the
+        # owed list in the xfail reason) without turning every merged HEAD
+        # red; the moment plans/__init__.py claims a fresh rotation
+        # (ROTATION_ROUND > max round), the assert below is hard again.
+        pytest.xfail(
+            f"rotation debt for round {max(rounds) + 1} (window rotated "
+            f"for r{ROTATION_ROUND}): entries last driver-green at "
+            f"r{stale_cutoff} or earlier owed a slot: {sorted(overdue)}"
+        )
     assert not overdue, (
         f"entries last driver-green at r{stale_cutoff} or earlier are "
         f"outside the window: {sorted(overdue)}"
@@ -114,11 +134,18 @@ def test_changed_operator_code_regates():
         fingerprint as fp,
     )
 
-    recorded = fp.load_recorded()
+    recorded, meta = fp.load_recorded(with_meta=True)
     assert recorded, (
         "plans/entry_hashes.json missing — run "
         "scripts/update_entry_hashes.py"
     )
+    if meta.get("python", fp.PY_VERSION) != fp.PY_VERSION:
+        pytest.skip(
+            f"fingerprints recorded under Python {meta['python']}, "
+            f"running {fp.PY_VERSION}: bytecode-encoding drift is "
+            "indistinguishable from code changes (ADVICE r9) — "
+            "regenerate via scripts/update_entry_hashes.py"
+        )
     stale_hash = []
     unrecorded = []
     for spec in CATALOG:  # oracle-less entries carry rows-only re-gates

@@ -71,6 +71,36 @@ def test_recorded_hashes_cover_every_catalog_entry():
     assert not missing, f"run scripts/update_entry_hashes.py: {missing}"
 
 
+def test_version_mismatch_rerecords_without_regating(monkeypatch, tmp_path):
+    """ADVICE r9: fingerprints walk CPython bytecode, so a record made
+    under another minor version can mismatch with UNCHANGED source.  A
+    refresh under a different interpreter must re-record hashes WITHOUT
+    stamping a re-gate; the same mismatch under the SAME interpreter is
+    a real code change and must stamp one."""
+    import json
+
+    spec = _spec("star_min_cost_supplier")
+    path = tmp_path / "entry_hashes.json"
+    monkeypatch.setattr(fp, "HASHES_PATH", str(path))
+
+    path.write_text(json.dumps({
+        "__meta__": {"python": "3.9"},
+        spec.name: {"hash": "deadbeef", "regate_round": 5},
+    }))
+    records, changed = fp.refresh_hashes([spec])
+    assert spec.name not in changed  # environment drift, not a code change
+    assert records[spec.name]["regate_round"] == 5
+    assert records[spec.name]["hash"] == fp.entry_fingerprint(spec)
+    assert records["__meta__"]["python"] == fp.PY_VERSION
+
+    path.write_text(json.dumps({
+        "__meta__": {"python": fp.PY_VERSION},
+        spec.name: {"hash": "deadbeef", "regate_round": 5},
+    }))
+    records, changed = fp.refresh_hashes([spec])
+    assert spec.name in changed  # same interpreter: a real change
+
+
 def test_last_green_counts_rows_only_driver_rows():
     """The driver records oracle-less entries with null matches and
     err='no_oracle' — those rows are green for staleness purposes (the
