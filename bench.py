@@ -120,7 +120,7 @@ def main() -> None:
         **calibration,
         **calibration_pre,
         **_host_identity(),
-        **_normalized_vs_prev(timings, core_total, calibration),
+        **_normalized_vs_prev(timings, core_total, calibration, streaming),
     }
     # Persist BEFORE printing (VERDICT r6 item 2): the driver's tail
     # capture truncated BENCH_r06's single JSON line (parsed: null),
@@ -265,7 +265,10 @@ def _host_identity() -> dict:
 
 
 def _normalized_vs_prev(
-    timings: dict[str, float], core_total: float, calibration: dict
+    timings: dict[str, float],
+    core_total: float,
+    calibration: dict,
+    streaming: dict | None = None,
 ) -> dict:
     """Calibration-NORMALIZED round-over-round comparison (VERDICT r5
     item 3): divide this run's core_total (and per-query times) by the
@@ -351,6 +354,53 @@ def _normalized_vs_prev(
                 "scan_normalized": round((t / cal) / (pt / prev_cal), 4),
             }
     out["normalized_regressions"] = regressions
+    # The median-drift basis is blind to a UNIFORM regression on the
+    # SAME host (ADVICE r9 item 3): a change that slows every query
+    # 1.4x IS the median, drift_adjusted ~1.0 everywhere, nothing
+    # flags.  Arbiter: the calibration scan is engine-independent, so
+    # on the same host its swing bounds what the HOST can account for —
+    # when the median query drift exceeds the yardstick swing by the
+    # same 1.3 bar, the remainder is the code's.
+    if out.get("same_host_as_prev") and drift > 1.3:
+        vs_cal = round(drift / out["calibration_swing"], 4)
+        if vs_cal > 1.3:
+            out["whole_suite_regression"] = {
+                "median_raw_ratio": round(drift, 4),
+                "calibration_swing": out["calibration_swing"],
+                "drift_vs_calibration": vs_cal,
+                "basis": "same host, median query drift > 1.3 and > "
+                         "1.3x the engine-independent calibration swing",
+            }
+        else:
+            out["whole_suite_drift_attribution"] = (
+                f"median raw ratio {round(drift, 4)} on the same host, "
+                f"but the calibration scan swung {out['calibration_swing']} "
+                "— host state, not code (uniform-regression check passed)"
+            )
+    # Streaming splits under the SAME two-bar rule (VERDICT r9 item 5):
+    # the batch-query median estimates drift from 41 samples, streaming
+    # from ~7 — a noisier yardstick, so streaming gets its own median
+    # (streaming walls include state-store/sink costs batch queries
+    # never pay; one drift does not fit both tiers).
+    prev_s = prev.get("streaming_query_splits_sec") or {}
+    this_s = (streaming or {}).get("streaming_query_splits_sec") or {}
+    s_common = [
+        (name, t, prev_s[name]) for name, t in this_s.items()
+        if prev_s.get(name)
+    ]
+    if s_common:
+        s_ratios = [t / pt for _, t, pt in s_common]
+        s_drift = statistics.median(s_ratios)
+        out["streaming_drift_median_raw_ratio"] = round(s_drift, 4)
+        s_regressions = {}
+        for name, t, pt in s_common:
+            raw_ratio = round(t / pt, 4)
+            adj_ratio = round(raw_ratio / s_drift, 4)
+            if raw_ratio > 1.3 and adj_ratio > 1.3:
+                s_regressions[name] = {
+                    "raw": raw_ratio, "drift_adjusted": adj_ratio,
+                }
+        out["streaming_regressions"] = s_regressions
     return out
 
 
@@ -669,16 +719,35 @@ def _bench_streaming_curation_multibatch(
     BENCH_r08 regression the trigger is also size-gated — appends must
     match the base's bytes before a fold fires, so 10 batches see at
     most ~2 folds and each byte is rewritten O(log N) times, not
-    N/3 times).  Reported: total wall for the drain and the LAST
+    N/3 times).  Reported per arm: total wall for the drain, the LAST
     batch's lsh_dedup split — the last batch faces the most prior
     generations, so it isolates the accumulation effect the compactor
-    exists to cap.  At 10 batches the honest expectation is parity
-    (compaction's crossover is thousands of generations — see
-    SCALE.md's auto-compaction note); the figure exists so a regressing
-    compactor is VISIBLE, not to showcase a win this small.  Single run
-    per mode: the curation path is already JVM-warm from
-    _bench_streaming_curation, and the two modes share input so the
-    comparison is paired."""
+    exists to cap — and the fold's accumulated wall as its OWN figure
+    (VERDICT r9 item 2: a fold firing inside a batch must be visible as
+    fold time, not billed to the drain undifferentiated).  At 10
+    batches the honest expectation is parity (compaction's crossover is
+    thousands of generations — see SCALE.md's auto-compaction note);
+    the figure exists so a regressing compactor is VISIBLE, not to
+    showcase a win this small.
+
+    TWO samples per arm, interleaved, min reported (VERDICT r9 item 2:
+    BENCH_r09's single-run-per-arm figure showed +78% on one host and
+    -22% on another for the SAME code — single runs of this workload
+    measure host state; interleaving means within-run host drift cannot
+    hit both of one arm's samples, the round-robin rationale the batch
+    tier uses).  Raw pairs are reported alongside the min so the
+    variance is auditable.
+
+    A third VACUUM arm (VERDICT r9 item 6) gives the retention-GC path
+    a measured figure: same ingest, one DEFERRED-GC fold mid-drain
+    (``gc_immediately=False`` — superseded generations stay on disk for
+    concurrent readers), then ``vacuum_cadence`` fires two batches
+    later and physically GCs them; the vacuum's own wall is reported.
+    The fold/vacuum here are composed bench-side around the plain
+    handler — exactly how a maintenance stream composes them in
+    production (streaming/extensions.py:vacuum_cadence docstring) —
+    single sample: the figure prices a sub-second control-plane op,
+    not a paired claim."""
     import json as _json
     import shutil
     import tempfile
@@ -712,27 +781,60 @@ def _bench_streaming_curation_multibatch(
                         + "\n"
                     )
 
-        def run_once(compact_every) -> tuple[float, dict]:
+        def run_once(compact_every, vacuum: bool = False) -> tuple[float, dict]:
             work = tempfile.mkdtemp(prefix="bench_curation_mb_")
             stages: dict[str, float] = {}
+            inner = foreach_batch_curation(
+                f"{work}/bands", f"{work}/out", merges,
+                stage_times=stages,
+                compact_every=compact_every,
+            )
+            # Accumulate the fold stage across batches: the handler's
+            # stage_times holds only the LAST batch, but a fold can fire
+            # mid-drain — without the running total it lands in the wall
+            # undifferentiated (the BENCH_r09 attribution gap).
+            fold_total = [0.0]
+
+            def handler(batch_df, batch_id):
+                inner(batch_df, batch_id)
+                fold_total[0] += stages.pop("compact", 0.0)
+                if vacuum:
+                    # Maintenance composition (production shape): one
+                    # deferred-GC fold mid-drain, vacuumed 2 batches
+                    # later — any reader that resolved the pre-fold
+                    # manifest within that window finishes its scan.
+                    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
+                        vacuum_store,
+                    )
+                    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+                        compact_band_store,
+                    )
+
+                    if batch_id == 5:
+                        tc = time.perf_counter()
+                        compact_band_store(
+                            batch_df.sparkSession, f"{work}/bands",
+                            keep_latest=1, gc_immediately=False,
+                        )
+                        fold_total[0] += time.perf_counter() - tc
+                    elif batch_id == 7:
+                        tv = time.perf_counter()
+                        vacuum_store(batch_df.sparkSession, f"{work}/bands")
+                        stages["vacuum"] = round(time.perf_counter() - tv, 3)
+
             try:
                 t0 = time.perf_counter()
                 q = (
                     spark.readStream.schema("doc_id long, text string")
                     .option("maxFilesPerTrigger", 1)
                     .json(watch)
-                    .writeStream.foreachBatch(
-                        foreach_batch_curation(
-                            f"{work}/bands", f"{work}/out", merges,
-                            stage_times=stages,
-                            compact_every=compact_every,
-                        )
-                    )
+                    .writeStream.foreachBatch(handler)
                     .option("checkpointLocation", f"{work}/ckpt")
                     .start()
                 )
                 q.processAllAvailable()
                 q.stop()
+                stages["fold_total"] = round(fold_total[0], 3)
                 return round(time.perf_counter() - t0, 3), stages
             finally:
                 shutil.rmtree(work, ignore_errors=True)
@@ -770,19 +872,35 @@ def _bench_streaming_curation_multibatch(
         finally:
             shutil.rmtree(warm, ignore_errors=True)
 
-        plain_wall, plain_stages = run_once(None)
-        auto_wall, auto_stages = run_once(3)
+        # Interleaved 2 samples per paired arm; min is the headline,
+        # raw pairs recorded (the batch tier's round-robin protocol).
+        samples = {"no_compact": [], "auto_compact": []}
+        for _pass in range(2):
+            samples["no_compact"].append(run_once(None))
+            samples["auto_compact"].append(run_once(3))
+        best = {arm: min(runs, key=lambda r: r[0]) for arm, runs in samples.items()}
+        vac_wall, vac_stages = run_once(None, vacuum=True)
         return {
             "streaming_curation_multibatch_batches": n_batches,
             "streaming_curation_multibatch_wall_sec": {
-                "no_compact": plain_wall,
-                "auto_compact": auto_wall,
+                arm: best[arm][0] for arm in samples
+            } | {"vacuum_cadence": vac_wall},
+            "streaming_curation_multibatch_wall_raw_sec": {
+                arm: [r[0] for r in runs] for arm, runs in samples.items()
             },
             # stage_times holds the LAST processed batch's splits
             "streaming_curation_multibatch_last_lsh_sec": {
-                "no_compact": plain_stages.get("lsh_dedup"),
-                "auto_compact": auto_stages.get("lsh_dedup"),
+                arm: best[arm][1].get("lsh_dedup") for arm in samples
             },
+            # accumulated fold wall across the drain, its own stage
+            # (VERDICT r9 item 2) — for auto_compact this is the
+            # size-gated in-handler trigger incl. its control calls;
+            # for vacuum_cadence the one deferred-GC fold.
+            "streaming_curation_multibatch_fold_sec": {
+                arm: best[arm][1].get("fold_total") for arm in samples
+            } | {"vacuum_cadence": vac_stages.get("fold_total")},
+            # the retention-GC op itself (VERDICT r9 item 6)
+            "streaming_curation_multibatch_vacuum_sec": vac_stages.get("vacuum"),
         }
     finally:
         shutil.rmtree(watch, ignore_errors=True)

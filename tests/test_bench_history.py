@@ -172,6 +172,101 @@ def test_regressions_require_both_raw_and_drift_adjusted_bases(
     assert out["normalized_regressions"] == {}
 
 
+def test_uniform_same_host_regression_flags_whole_suite(
+    bench, tmp_path, monkeypatch
+):
+    """ADVICE r9 item 3: the median-drift basis absorbs a UNIFORM
+    regression on the SAME host (every query 1.4x -> drift 1.4,
+    adjusted ~1.0, nothing flags).  Arbiter: the engine-independent
+    calibration scan — same host + median drift > 1.3 + drift > 1.3x
+    the calibration swing = the code's fault, flagged whole-suite;
+    when the calibration swung comparably it is attributed to host
+    state instead (loud either way, never silent)."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    host = bench._host_identity()["host_id"]
+    prev = _summary(
+        core=10.0, cal=0.4, queries={"a": 1.0, "b": 1.0, "c": 1.0}
+    )
+    prev["host_id"] = host
+    bench._persist_summary(prev, 6)
+    # uniform 1.4x with a FLAT calibration scan: the host can't account
+    # for it -> whole-suite flag
+    out = bench._normalized_vs_prev(
+        {"a": 1.4, "b": 1.4, "c": 1.4},
+        core_total=14.0,
+        calibration={"calibration_scan_sec": 0.4},
+    )
+    assert out["same_host_as_prev"] is True
+    assert out["normalized_regressions"] == {}  # per-query basis blind
+    ws = out["whole_suite_regression"]
+    assert ws["median_raw_ratio"] == 1.4
+    assert ws["drift_vs_calibration"] == 1.4
+    # uniform 1.4x with the calibration ALSO 1.4x: host state, attributed
+    out = bench._normalized_vs_prev(
+        {"a": 1.4, "b": 1.4, "c": 1.4},
+        core_total=14.0,
+        calibration={"calibration_scan_sec": 0.56},
+    )
+    assert "whole_suite_regression" not in out
+    assert "host state" in out["whole_suite_drift_attribution"]
+    # a DIFFERENT host never trips the whole-suite arbiter (cross-host
+    # drift is expected; the host fingerprint is the adjudicator)
+    prev["host_id"] = "0" * 8
+    bench._persist_summary(prev, 6)
+    out = bench._normalized_vs_prev(
+        {"a": 1.4, "b": 1.4, "c": 1.4},
+        core_total=14.0,
+        calibration={"calibration_scan_sec": 0.4},
+    )
+    assert out["same_host_as_prev"] is False
+    assert "whole_suite_regression" not in out
+
+
+def test_streaming_splits_get_their_own_drift_basis(
+    bench, tmp_path, monkeypatch
+):
+    """VERDICT r9 item 5: streaming splits join the regression basis
+    under the same two-bar rule, with their OWN median (state-store /
+    sink costs drift independently of the batch tier).  A split slower
+    on both bases flags; a uniform streaming drift flags nothing."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    prev = _summary(core=10.0, cal=0.4, queries={"a": 1.0})
+    prev["streaming_query_splits_sec"] = {
+        "running": 1.0, "tumbling": 1.0, "sliding": 1.0, "curation": 1.0,
+    }
+    bench._persist_summary(prev, 6)
+    out = bench._normalized_vs_prev(
+        {"a": 1.0},
+        core_total=10.0,
+        calibration={"calibration_scan_sec": 0.4},
+        streaming={
+            "streaming_query_splits_sec": {
+                "running": 1.05, "tumbling": 0.95, "sliding": 1.0,
+                "curation": 1.8,
+            }
+        },
+    )
+    assert out["streaming_drift_median_raw_ratio"] < 1.1
+    assert list(out["streaming_regressions"]) == ["curation"]
+    assert out["streaming_regressions"]["curation"]["raw"] == 1.8
+    # uniform streaming drift (all 1.5x): its own median absorbs it
+    out = bench._normalized_vs_prev(
+        {"a": 1.0},
+        core_total=10.0,
+        calibration={"calibration_scan_sec": 0.4},
+        streaming={
+            "streaming_query_splits_sec": {
+                "running": 1.5, "tumbling": 1.5, "sliding": 1.5,
+                "curation": 1.5,
+            }
+        },
+    )
+    assert out["streaming_drift_median_raw_ratio"] == 1.5
+    assert out["streaming_regressions"] == {}
+
+
 def test_off_default_sf_run_never_clobbers_default_history(bench, tmp_path):
     """A verification run at sf0.01 must not overwrite the same round's
     sf0.1 history file (it did once, in round 8 — the verify-skill smoke
