@@ -333,6 +333,15 @@ def priority_sample(
     cross-engine hash every sampling op here uses), u = (h32 + 0.5) /
     2^32 in (0, 1) — reproducible across runs, engines, partitionings.
 
+    Zero-weight docs (``n_chars <= 0`` — empty documents exist in any
+    real crawl) take key = +inf EXPLICITLY: under ANSI mode (Spark 4's
+    default) the naive ``-ln(u) / ln(1+0)`` raises DIVIDE_BY_ZERO at
+    runtime (caught by the python-reference differential test).  +inf
+    is exact Efraimidis-Spirakis weight-0 semantics — the doc sorts
+    after every positive-weight doc and is drawn only when the stratum
+    cannot otherwise fill ``k``; corrupt negative ``n_chars`` (log of a
+    non-positive → NULL) funnels into the same branch.
+
     Scale shape: one scan; hash/key are pure codegen expressions; the
     per-source top-k is a row_number <= k filter, which Catalyst rewrites
     to WindowGroupLimit — each map partition forwards at most k rows per
@@ -344,7 +353,10 @@ def priority_sample(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double")
     u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
-    key = -F.log(u) / F.log(F.lit(1.0) + F.col("n_chars"))
+    w_log = F.log(F.lit(1.0) + F.col("n_chars"))
+    key = F.when(w_log > 0, -F.log(u) / w_log).otherwise(
+        F.lit(float("inf"))
+    )
     w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
     return (
         docs.select(

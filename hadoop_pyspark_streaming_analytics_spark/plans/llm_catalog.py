@@ -1283,16 +1283,21 @@ WHERE keep_hash < round(quality_score * 10000 + 1e-6, 0)""",
     # stratum = weighted sampling without replacement.  u is the seedless
     # md5(doc_id) uniform; w = ln(1 + n_chars).  The oracle spells the
     # identical arithmetic, so rank-order and the 6dp-rounded key must
-    # both match.
+    # both match — including the explicit weight-0 +inf branch (ANSI
+    # Spark raises DIVIDE_BY_ZERO and DuckDB yields NULL on the naive
+    # spelling; both sides guard identically so an n_chars=0 doc keys
+    # to +inf in each engine).
     QuerySpec(
         "corpus_priority_sample",
         corpus.priority_sample,
         f"""
 WITH keyed AS (
   SELECT source, doc_id, n_chars,
-         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-              + 0.5) / 4294967296.0)
-           / ln(1.0 + n_chars) AS k
+         CASE WHEN n_chars > 0 THEN
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0)
+             / ln(1.0 + n_chars)
+         ELSE 'infinity'::DOUBLE END AS k
   FROM documents
 )
 SELECT source, doc_id, n_chars,

@@ -2645,3 +2645,63 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
     # the synthetic corpus vocabulary is ~31 words: k=100 already covers all
     assert rows[-1].covered_occurrences == total
     assert abs(rows[-1].coverage_frac - 1.0) < 1e-6
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Efraimidis-Spirakis differential, third independent spelling
+    (Catalyst expressions vs plain-python math; the DuckDB oracle is the
+    second): per source, the k docs with SMALLEST key = -ln(u)/ln(1+n_chars)
+    win, u = (first-8-md5-hex-digits + 0.5) / 2^32.  Adversarial shapes:
+    a source smaller than k (everything selected), and an n_chars=0 doc
+    (weight 0 -> key +inf -> selected only when the source can't fill k
+    otherwise — exact zero-weight semantics, no NaN/crash)."""
+    import hashlib
+    import math
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus as c
+
+    rows = (
+        [("web", i, 100 + 37 * i) for i in range(10)]
+        + [("tiny", 100, 5), ("tiny", 101, 500)]
+        + [("zero", 200, 0), ("zero", 201, 50), ("zero", 202, 7),
+           ("zero", 203, 9), ("zero", 204, 11)]
+    )
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_chars int")
+
+    def key_of(doc_id, n_chars):
+        h32 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h32 + 0.5) / 2**32
+        w = math.log(1.0 + n_chars)
+        return (-math.log(u) / w) if w > 0 else math.inf
+
+    k = 3
+    expect = set()
+    by_source: dict[str, list] = {}
+    for s, d, n in rows:
+        by_source.setdefault(s, []).append((key_of(d, n), d))
+    for s, lst in by_source.items():
+        for rank, (_, d) in enumerate(sorted(lst), start=1):
+            if rank <= k:
+                expect.add((s, d))
+
+    orig = c.load_table
+    try:
+        c.load_table = lambda sp, dd, t: docs  # noqa: ARG005
+        got_rows = c.priority_sample(spark, "ignored", k=k).collect()
+    finally:
+        c.load_table = orig
+    got = {(r["source"], r["doc_id"]) for r in got_rows}
+    assert got == expect
+    assert len([r for r in got_rows if r["source"] == "tiny"]) == 2  # < k
+    # weight-0 doc never outranks a positive-weight doc
+    zero_sel = {r["doc_id"] for r in got_rows if r["source"] == "zero"}
+    assert 200 not in zero_sel and len(zero_sel) == k
+    # rnk is 1..k dense per source, ordered by the reported priority
+    for s in ("web", "zero"):
+        sel = sorted(
+            (r for r in got_rows if r["source"] == s), key=lambda r: r["rnk"]
+        )
+        assert [r["rnk"] for r in sel] == list(range(1, k + 1))
+        assert all(
+            a["priority"] <= b["priority"] for a, b in zip(sel, sel[1:])
+        )

@@ -291,6 +291,24 @@ def test_tfidf_broadcasts_stats_and_limits_window(spark, sf_dir):
     assert plan.count("regexp_extract_all") <= 1
 
 
+def test_priority_sample_window_group_limit_and_pruned_scan(spark, sf_dir):
+    """corpus.priority_sample's scale claims (round 10): the per-source
+    top-k by Efraimidis-Spirakis key must plan as WindowGroupLimit (each
+    map partition forwards at most k rows per source into the window
+    shuffle — a handful of giant sources cost k rows each, never a full
+    per-source sort of the corpus), over exactly ONE exchange, and the
+    documents scan must read only (source, doc_id, n_chars) — pulling
+    `text` here would read ~all the corpus bytes to sample ids."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.corpus import (
+        priority_sample,
+    )
+
+    plan = plan_of(priority_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange (") == 1
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
 def test_repetition_scores_map_side_combine(spark, sf_dir):
     """Both the token and bigram paths must partially aggregate before
     their exchanges — the shuffle carries (doc_id, gram, partial count),
