@@ -41,10 +41,13 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 STALENESS_ROUNDS = 4
 # The driver round this _WINDOW was rotated FOR (= max CORRECTNESS
 # round on disk at rotation time + 1).  While ROTATION_ROUND > that max,
-# the rotation is fresh and the forcing test asserts HARD; once the
-# round's CORRECTNESS file lands, the test downgrades the (recomputed,
-# now next-round) staleness debt to an xfail-with-owed-list so the suite
-# is green at every merged HEAD between rotations (ADVICE r9 item 1).
+# the rotation is fresh and the forcing test asserts HARD; once exactly
+# that round's CORRECTNESS file lands (ROTATION_ROUND == max), the test
+# downgrades the (recomputed, now next-round) staleness debt to an
+# xfail-with-owed-list so the suite is green at every merged HEAD
+# between rotations (ADVICE r9 item 1).  The downgrade is one round
+# wide: ROTATION_ROUND < max means a whole driver round ran on a window
+# never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 10
 # tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
 # rules 1 and 3 from the CORRECTNESS history (never-gated entries must

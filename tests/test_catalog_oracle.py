@@ -74,13 +74,18 @@ def test_driver_window_priority():
         if s.oracle is not None and 0 < last_green.get(s.name, 0) <= stale_cutoff
     }
     overdue = stale - window
-    if overdue and ROTATION_ROUND <= max(rounds):
-        # Between rotations (ADVICE r9 item 1): this window predates the
-        # newest driver run, so the recomputed debt is the NEXT rotation's
-        # work, not a regression at this HEAD.  Keep the debt loud (the
-        # owed list in the xfail reason) without turning every merged HEAD
-        # red; the moment plans/__init__.py claims a fresh rotation
-        # (ROTATION_ROUND > max round), the assert below is hard again.
+    if overdue and ROTATION_ROUND == max(rounds):
+        # Between rotations (ADVICE r9 item 1): EXACTLY the round this
+        # window was rotated for has landed, so the recomputed debt is
+        # the NEXT rotation's work, not a regression at this HEAD.  Keep
+        # the debt loud (the owed list in the xfail reason) without
+        # turning every merged HEAD red.  The downgrade is deliberately
+        # one-round-wide: a fresh rotation claim (ROTATION_ROUND > max
+        # round) asserts hard below, and so does ROTATION_ROUND < max
+        # round — that means an ENTIRE driver round ran on a window
+        # never rotated for it, which is the forgotten-rotation failure
+        # this forcing function exists to catch (an open-ended `<=`
+        # downgrade would stay politely yellow forever).
         pytest.xfail(
             f"rotation debt for round {max(rounds) + 1} (window rotated "
             f"for r{ROTATION_ROUND}): entries last driver-green at "
@@ -88,7 +93,8 @@ def test_driver_window_priority():
         )
     assert not overdue, (
         f"entries last driver-green at r{stale_cutoff} or earlier are "
-        f"outside the window: {sorted(overdue)}"
+        f"outside the window (window rotated for r{ROTATION_ROUND}, "
+        f"newest CORRECTNESS round r{max(rounds)}): {sorted(overdue)}"
     )
     # the window must be exactly full: if non-tail entries exceed
     # DRIVER_WINDOW, whichever sorts last silently falls outside the
