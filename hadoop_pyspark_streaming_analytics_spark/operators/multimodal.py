@@ -105,24 +105,42 @@ def decode_image_batch(stub: bool = True):
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (missing blob → null n_bytes/content) are
+            # valid rows at ingest scale; a single one must degrade to
+            # decode_status='missing', never crash the whole Arrow batch
+            # (the naive .astype('int64') raised IntCastingNaNError on
+            # the NaN a null n_bytes becomes — degenerate-corpus probe,
+            # round 10).
+            have = pdf["n_bytes"].notna()
             if stub:
-                n_bytes = pdf["n_bytes"].astype("int64")
+                n_bytes = pdf["n_bytes"].fillna(0).astype("int64")
+                width = (n_bytes % 64 + 16).astype("Int32").where(have)
+                height = (
+                    ((pdf["doc_id"].astype("int64") * 7) % 64 + 16)
+                    .astype("Int32")
+                    .where(have)
+                )
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
                         "n_bytes": pdf["n_bytes"],
                         "content_md5": pdf["content_md5"],
                         # deterministic fake "decode": dims from size/id
-                        "width": (n_bytes % 64 + 16).astype("int32"),
-                        "height": (
-                            (pdf["doc_id"].astype("int64") * 7) % 64 + 16
-                        ).astype("int32"),
-                        "channels": 3,
-                        "decode_status": "stub",
+                        "width": width,
+                        "height": height,
+                        "channels": pd.array(
+                            [3 if h else None for h in have], dtype="Int32"
+                        ),
+                        "decode_status": [
+                            "stub" if h else "missing" for h in have
+                        ],
                     }
                 )
                 continue
-            parsed = [parse_image_header(bytes(b)) for b in pdf["content"]]
+            parsed = [
+                parse_image_header(bytes(b)) if b is not None else None
+                for b in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -138,7 +156,9 @@ def decode_image_batch(stub: bool = True):
                         [p[2] if p else None for p in parsed], dtype="Int32"
                     ),
                     "decode_status": [
-                        "ok" if p else "not_an_image" for p in parsed
+                        "ok" if p
+                        else ("not_an_image" if h else "missing")
+                        for p, h in zip(parsed, have)
                     ],
                 }
             )

@@ -313,6 +313,35 @@ def test_multimodal_stub_and_real_decode_tiers(spark):
     assert row["width"] is None and row["height"] is None
 
 
+def test_decode_degrades_on_missing_payload(spark):
+    """A NULL payload (missing blob at ingest — valid at crawl scale) must
+    degrade to decode_status='missing' with null dims in BOTH tiers, never
+    crash the Arrow batch (the naive .astype('int64') raised
+    IntCastingNaNError on the NaN a null n_bytes becomes — caught by the
+    round-10 degenerate-corpus probe)."""
+    docs = spark.createDataFrame(
+        [(1, None, "en", "web", None), (2, "real text", "en", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = multimodal.load_table
+    try:
+        multimodal.load_table = lambda sp, d, t: docs  # noqa: ARG005
+        for stub, ok_status in ((True, "stub"), (False, "not_an_image")):
+            ingest = multimodal.binary_ingest(spark, "ignored")
+            out = {
+                r["doc_id"]: r
+                for r in ingest.mapInPandas(
+                    multimodal.decode_image_batch(stub=stub),
+                    schema=multimodal.DECODED_SCHEMA,
+                ).collect()
+            }
+            assert out[1]["decode_status"] == "missing"
+            assert out[1]["width"] is None and out[1]["channels"] is None
+            assert out[2]["decode_status"] == ok_status
+    finally:
+        multimodal.load_table = orig
+
+
 def test_parse_image_header_real_formats():
     """The header parser reads true bytes for all three formats and rejects
     garbage: a generated 23x41 PNG parses to exactly (23, 41, 3)."""
