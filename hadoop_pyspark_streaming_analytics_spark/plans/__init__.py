@@ -49,6 +49,24 @@ STALENESS_ROUNDS = 4
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 10
+# ROUND-11 ROTATION PLAN (written r10, measured arithmetic): the
+# degenerate-input probe (scripts/degenerate_probe.py) found the
+# cosine/ANN tier fails loudly on contract-violating zero/NULL-norm
+# embeddings (SCALE.md "Degenerate-input behavior").  The fix — the
+# nullif cosine spelling + oracle twins — re-fingerprints 19 entries,
+# only 4 of which overlap the 45-entry r7-generation staleness debt
+# round 11 owes: 45 + 15 = 60 > 50 slots.  Round 11 must therefore
+# FIRST retire ~10 near-twin entries (measured candidates, each pair
+# shares an oracle family or differs only exact-vs-scalable/indexed:
+# corpus_vocab_coverage vs _scalable; ann_ivf_pq_search vs
+# _search_indexed; ann_recall_curve vs ann_ivf_recall_report;
+# q2_spend_distribution vs q2_spend_deciles_scalable;
+# dedup_minhash_estimate vs dedup_minhash_lsh;
+# retrieval_bm25_rank vs retrieval_bm25_indexed — retire the
+# non-scalable/non-indexed twin, keep the 100 TB shape), preferring
+# retirements inside the r7 debt or the 19-entry blast so both sides
+# shrink, THEN land the cosine fix and rotate: remaining debt +
+# remaining re-gates + 0-1 new <= 50.
 # tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
 # rules 1 and 3 from the CORRECTNESS history (never-gated entries must
 # be in the window; so must every entry STALENESS_ROUNDS+ rounds stale);

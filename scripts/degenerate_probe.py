@@ -1,0 +1,177 @@
+"""Degenerate-input robustness probe: run EVERY catalog builder against
+adversarial table variants and report which crash.
+
+Spark 4 runs with ANSI mode on, so an unguarded division by a zero
+denominator, an int cast of a NaN inside an Arrow batch, or a bytes(None)
+in a python kernel is a RUNTIME CRASH, not a quiet NULL — and at 100 TB
+a single degenerate row must degrade per-row, never kill the job.  This
+probe is how the round-10 fixes were found (priority_sample's
+DIVIDE_BY_ZERO on an empty document; the multimodal decode tiers'
+IntCastingNaNError on a missing payload).
+
+Three variant suites, each swapped in via the operator modules'
+``load_table``/``load_events`` seams (the same monkeypatch seam the unit
+tests use):
+
+* documents — empty text, whitespace-only, single word, NULL text +
+  NULL n_chars;
+* embeddings — an all-zeros vector, a NULL embedding, a NULL label
+  (NOTE: zero/NULL vectors violate the embedding tier's documented
+  unit-norm CONTRACT — see SCALE.md "Degenerate-input behavior"; the
+  cosine/ANN family fails loudly on them BY CURRENT DESIGN, with
+  embedding_norm_audit as the operational pre-gate.  Expected failures
+  are listed below so the probe reports only NEW breakage);
+* events — ten events on one identical timestamp (tie storm), a
+  single-event user, NULL value/props, zero-variance values.
+
+Usage:  python scripts/degenerate_probe.py [documents|embeddings|events]
+(default: all three).  Exit code 1 if any UNEXPECTED failure.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import importlib
+import pkgutil
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+#: cosine/ANN entries that fail on contract-violating (zero/NULL-norm)
+#: embeddings under ANSI — the documented, scheduled remediation is the
+#: nullif cosine spelling (plans/__init__.py round-11 note); until it
+#: lands these are EXPECTED under the embeddings suite only.
+EXPECTED_EMBEDDING_FAILURES = {
+    "ann_brute_force_topk", "ann_filtered_search", "ann_ivf_assign",
+    "ann_ivf_build_kmeans", "ann_ivf_cell_stats", "ann_ivf_pq_search",
+    "ann_ivf_pq_search_indexed", "ann_ivf_recall_report", "ann_ivf_search",
+    "ann_partitioned_topk", "ann_pq_adc_topk", "ann_recall_curve",
+    "embedding_cluster_balanced_sample", "embedding_near_duplicates",
+    "embedding_near_duplicates_lsh", "embedding_semdedup",
+    "retrieval_hybrid_mmr_pipeline", "retrieval_hybrid_multi_query",
+    "retrieval_hybrid_rrf", "retrieval_mmr_rerank",
+}
+
+SF = "/root/testdata/sf0.001"
+
+
+def degenerate_documents(spark):
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "   ", "en", "web", 3),
+        (3, "solo", "en", "web", 4),
+        (4, None, "en", "books", None),
+        (5, "the quick brown fox jumps over the lazy dog", "en", "books", 44),
+        (6, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
+        (7, "one two three four five six seven eight nine ten", "de", "wiki", 49),
+        (8, "data data data data data data data data", "en", "wiki", 39),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def degenerate_embeddings(spark):
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(64)], i % 10)
+        for i in range(20)
+    ]
+    rows += [
+        (100, [0.0] * 64, 3),   # zero norm: cosine denominator 0
+        (101, None, 2),          # NULL vector: python-kernel stack input
+        (102, [random.uniform(-1, 1) for _ in range(64)], None),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def degenerate_events(spark):
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for i in range(10):  # tie storm: one shared timestamp
+        rows.append((eid, base, 1, "click" if i % 2 else "error", 1.0, '{"k":1}'))
+        eid += 1
+    rows.append((eid, base, 2, "purchase", 5.0, None))  # single-event user
+    eid += 1
+    for i in range(5):  # NULL value/props, zero variance
+        rows.append((eid, base + dt.timedelta(minutes=i), 3, "view", None, None))
+        eid += 1
+    for i in range(30):
+        rows.append((
+            eid, base + dt.timedelta(minutes=7 * i), 4,
+            ["click", "view", "error", "purchase"][i % 4], float(i), '{"k":2}',
+        ))
+        eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def run_suite(spark, suite: str, catalog) -> list[str]:
+    import hadoop_pyspark_streaming_analytics_spark.operators as ops_pkg
+
+    table = {
+        "documents": degenerate_documents,
+        "embeddings": degenerate_embeddings,
+        "events": degenerate_events,
+    }[suite](spark)
+    originals: list[tuple] = []
+    for m in pkgutil.iter_modules(ops_pkg.__path__):
+        mod = importlib.import_module(f"{ops_pkg.__name__}.{m.name}")
+        if hasattr(mod, "load_table"):
+            orig = mod.load_table
+
+            def fake(sp, d, t, _o=orig):
+                if t == suite:
+                    return table
+                return _o(sp, SF, t)
+
+            originals.append((mod, "load_table", orig))
+            mod.load_table = fake
+        if suite == "events" and hasattr(mod, "load_events"):
+            originals.append((mod, "load_events", mod.load_events))
+            mod.load_events = lambda sp, d: table
+    unexpected = []
+    try:
+        for spec in catalog:
+            try:
+                spec.builder(spark, SF).limit(200).collect()
+            except Exception as e:  # noqa: BLE001 — probe, report everything
+                if suite == "embeddings" and spec.name in EXPECTED_EMBEDDING_FAILURES:
+                    continue
+                unexpected.append(
+                    f"{spec.name}: {type(e).__name__}: "
+                    f"{str(e).splitlines()[0][:140]}"
+                )
+    finally:
+        for mod, attr, orig in originals:
+            setattr(mod, attr, orig)
+    return unexpected
+
+
+def main() -> int:
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+    from hadoop_pyspark_streaming_analytics_spark.session import get_spark
+
+    suites = sys.argv[1:] or ["documents", "embeddings", "events"]
+    spark = get_spark(
+        app_name="degenerate_probe", master="local[4]", shuffle_partitions=4
+    )
+    bad = []
+    for suite in suites:
+        fails = run_suite(spark, suite, CATALOG)
+        print(f"{suite}: {len(fails)} unexpected failures")
+        for f in fails:
+            print(f"  {f}")
+        bad.extend(fails)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
