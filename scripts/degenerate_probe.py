@@ -22,10 +22,16 @@ tests use):
   embedding_norm_audit as the operational pre-gate.  Expected failures
   are listed below so the probe reports only NEW breakage);
 * events — ten events on one identical timestamp (tie storm), a
-  single-event user, NULL value/props, zero-variance values.
+  single-event user, NULL value/props, zero-variance values, and NULL
+  event-time / user-key / group-key rows;
+* tpch — the real sf0.001 orders/lineitem with appended dirty rows
+  (zero/negative/NULL quantity, NULL price/discount/shipdate, NULL
+  orderdate/status/custkey) — exactly the dirty-data contract the
+  cleaning tier (operators/cleaning.py) filters, so every query must
+  absorb them.
 
-Usage:  python scripts/degenerate_probe.py [documents|embeddings|events]
-(default: all three).  Exit code 1 if any UNEXPECTED failure.
+Usage:  python scripts/degenerate_probe.py [documents|embeddings|events|tpch]
+(default: all four).  Exit code 1 if any UNEXPECTED failure.
 """
 from __future__ import annotations
 
@@ -105,6 +111,12 @@ def degenerate_events(spark):
             ["click", "view", "error", "purchase"][i % 4], float(i), '{"k":2}',
         ))
         eid += 1
+    rows.append((eid, None, 5, "click", 1.0, "{}"))       # NULL event time
+    eid += 1
+    rows.append((eid, base, None, "view", 2.0, "{}"))     # NULL user key
+    eid += 1
+    rows.append((eid, base, 6, None, 3.0, "{}"))          # NULL group key
+    eid += 1
     return spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -112,14 +124,56 @@ def degenerate_events(spark):
     )
 
 
+def degenerate_tpch(spark):
+    """Real sf0.001 orders/lineitem plus dirty rows mutated one field at
+    a time from a real row — {table_name: DataFrame}."""
+    import copy
+
+    out = {}
+    for name, key_col, muts in (
+        (
+            "orders",
+            "o_orderkey",
+            (
+                {"o_totalprice": None}, {"o_orderdate": None},
+                {"o_orderstatus": None}, {"o_custkey": None},
+            ),
+        ),
+        (
+            "lineitem",
+            "l_orderkey",
+            (
+                {"l_quantity": 0.0}, {"l_quantity": -1.0},
+                {"l_quantity": None}, {"l_extendedprice": None},
+                {"l_discount": None}, {"l_shipdate": None},
+            ),
+        ),
+    ):
+        real = spark.read.parquet(f"{SF}/{name}.parquet")
+        seed = real.limit(1).collect()[0].asDict()
+        dirty = []
+        for i, mut in enumerate(muts):
+            d = copy.deepcopy(seed)
+            d[key_col] = 90_000_000 + i
+            d.update(mut)
+            dirty.append(d)
+        out[name] = real.unionByName(spark.createDataFrame(dirty, real.schema))
+    return out
+
+
 def run_suite(spark, suite: str, catalog) -> list[str]:
     import hadoop_pyspark_streaming_analytics_spark.operators as ops_pkg
 
-    table = {
-        "documents": degenerate_documents,
-        "embeddings": degenerate_embeddings,
-        "events": degenerate_events,
-    }[suite](spark)
+    if suite == "tpch":
+        tables = degenerate_tpch(spark)
+    else:
+        tables = {
+            suite: {
+                "documents": degenerate_documents,
+                "embeddings": degenerate_embeddings,
+                "events": degenerate_events,
+            }[suite](spark)
+        }
     originals: list[tuple] = []
     for m in pkgutil.iter_modules(ops_pkg.__path__):
         mod = importlib.import_module(f"{ops_pkg.__name__}.{m.name}")
@@ -127,15 +181,15 @@ def run_suite(spark, suite: str, catalog) -> list[str]:
             orig = mod.load_table
 
             def fake(sp, d, t, _o=orig):
-                if t == suite:
-                    return table
+                if t in tables:
+                    return tables[t]
                 return _o(sp, SF, t)
 
             originals.append((mod, "load_table", orig))
             mod.load_table = fake
         if suite == "events" and hasattr(mod, "load_events"):
             originals.append((mod, "load_events", mod.load_events))
-            mod.load_events = lambda sp, d: table
+            mod.load_events = lambda sp, d: tables["events"]
     unexpected = []
     try:
         for spec in catalog:
@@ -158,7 +212,7 @@ def main() -> int:
     from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
     from hadoop_pyspark_streaming_analytics_spark.session import get_spark
 
-    suites = sys.argv[1:] or ["documents", "embeddings", "events"]
+    suites = sys.argv[1:] or ["documents", "embeddings", "events", "tpch"]
     spark = get_spark(
         app_name="degenerate_probe", master="local[4]", shuffle_partitions=4
     )
