@@ -20,11 +20,15 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    break).
 # Round 10 rotation — the refresh-dominated window the r9 verdict
 # prescribed: the ENTIRE 45-entry last-green-r6 generation (the debt the
-# r9 forcing test named), plus the fingerprint-derived changed set (the
+# r9 forcing test named; one of them, embedding_near_duplicates, was
+# then retired as a near-twin and its slot backfilled with the oldest
+# non-blast r8 refresh), plus the fingerprint-derived changed set (the
 # four session-gap entries whose oracles/lag spelling moved to
 # strictly-greater splits — ADVICE r9 — including the intervals.py
-# docstring touch), plus ONE never-gated round-10 entry.
-# 1 + 4 + 45 = 50.  After a green r10, min(last-green) across all
+# docstring touch; priority_sample and the two multimodal decode
+# entries re-stamped mid-round by the degenerate-input fixes were
+# already in-window), plus ONE never-gated round-10 entry.
+# 1 + 4 + 44 + 1 = 50.  After a green r10, min(last-green) across all
 # oracle-backed entries rises to r7.
 #
 # STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
@@ -49,24 +53,36 @@ STALENESS_ROUNDS = 4
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 10
-# ROUND-11 ROTATION PLAN (written r10, measured arithmetic): the
-# degenerate-input probe (scripts/degenerate_probe.py) found the
-# cosine/ANN tier fails loudly on contract-violating zero/NULL-norm
-# embeddings (SCALE.md "Degenerate-input behavior").  The fix — the
-# nullif cosine spelling + oracle twins — re-fingerprints 19 entries,
-# only 4 of which overlap the 45-entry r7-generation staleness debt
-# round 11 owes: 45 + 15 = 60 > 50 slots.  Round 11 must therefore
-# FIRST retire ~10 near-twin entries (measured candidates, each pair
-# shares an oracle family or differs only exact-vs-scalable/indexed:
-# corpus_vocab_coverage vs _scalable; ann_ivf_pq_search vs
-# _search_indexed; ann_recall_curve vs ann_ivf_recall_report;
-# q2_spend_distribution vs q2_spend_deciles_scalable;
-# dedup_minhash_estimate vs dedup_minhash_lsh;
-# retrieval_bm25_rank vs retrieval_bm25_indexed — retire the
-# non-scalable/non-indexed twin, keep the 100 TB shape), preferring
-# retirements inside the r7 debt or the 19-entry blast so both sides
-# shrink, THEN land the cosine fix and rotate: remaining debt +
-# remaining re-gates + 0-1 new <= 50.
+# ROUND-11 ROTATION PLAN (written r10, arithmetic measured, retirement
+# EXECUTED): the degenerate-input probe (scripts/degenerate_probe.py)
+# found the cosine/ANN tier fails loudly on contract-violating
+# zero/NULL-norm embeddings (SCALE.md "Degenerate-input behavior").
+# The fix — the nullif cosine spelling + oracle twins — re-fingerprints
+# every cosine_expr dependent; before retirement that was 19 entries,
+# only 4 overlapping the 45-entry r7-generation staleness debt round 11
+# owes (union 60 > 50 slots).  Round 10 therefore retired EIGHT
+# near-twins (each keeps its operator + a parity/pytest pin; the
+# surviving twin keeps the oracle gate): corpus_vocab_coverage,
+# retrieval_bm25_rank, ann_ivf_pq_search (bit-identical shared-oracle
+# twins of _scalable/_indexed), retrieval_hybrid_rrf (subsumed by
+# _multi_query), retrieval_mmr_rerank (subsumed by the headline
+# pipeline), ann_ivf_recall_report (recall-eval twin of ann_recall_
+# curve), embedding_near_duplicates (label-blocked exact face of the
+# LSH entry), profile_columns (same operator as events_profile_
+# columns) — then TWO more when the measured union still came to 52:
+# text_contamination_bloom (bit-identical shared-oracle twin of the
+# exact check, parity-pytest-pinned) and ann_filtered_search (the
+# filtered cand-CTE variant of the IVFADC family, pytest- and
+# plan-pinned).  MEASURED post-retirement arithmetic (assuming a green
+# r10): 175 oracle-backed entries (cycle 3.5 rounds < the 4-round
+# cutoff), r11 owes 38 stale + 12 cosine re-gates, union EXACTLY 50.
+# Round 11 recipe: land the nullif cosine fix + oracle twins FIRST,
+# run update_entry_hashes, rotate the window to exactly
+# stale ∪ changed (recompute with fingerprint.last_green_rounds), add
+# NO new entry, and keep all other operator churn at zero; if a
+# surprise re-gate appears, fund the slot by retiring the next named
+# twin (bonus_categorize_expr — one of three U1 parity faces — or
+# events_props_map_stats).
 # tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
 # rules 1 and 3 from the CORRECTNESS history (never-gated entries must
 # be in the window; so must every entry STALENESS_ROUNDS+ rounds stale);
@@ -92,7 +108,11 @@ _WINDOW = [
     "corpus_truncation_report",
     "dedup_exact",
     "dedup_simhash",
-    "embedding_near_duplicates",
+    # embedding_near_duplicates held this slot until its round-10
+    # retirement (near-twin of the LSH entry); the freed slot goes to
+    # the oldest-first refresh convention: the alphabetically first
+    # non-blast entry of the r8 generation.
+    "agg_revenue_decimal_exact",
     "embedding_semdedup",
     "events_ewma_per_user",
     "events_hourly_rollup",

@@ -849,19 +849,11 @@ FROM ranked WHERE rn = 1""",
         headline=True,
         tags=("llm", "similarity", "dedup"),
     ),
-    QuerySpec(
-        "embedding_near_duplicates",
-        similarity.embedding_near_duplicates,
-        """
-SELECT * FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]) + 1e-8, 4) AS cosine
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cosine >= 0.4""",
-        tags=("llm", "similarity"),
-    ),
+    # embedding_near_duplicates RETIRED in round 10 (near-twin
+    # retirement): embedding_near_duplicates_lsh gates the same
+    # near-duplicate discovery through the random-hyperplane LSH scale
+    # path (no label blocking needed); the exact label-blocked operator
+    # stays, covered by tests/test_llm_ops.py and test_plan_shapes.py.
     QuerySpec(
         "embedding_near_duplicates_lsh",
         similarity.embedding_near_duplicates_lsh,
@@ -1451,17 +1443,13 @@ FROM red3""",
         _CONTAMINATION_SQL,
         tags=("llm", "scrubbing", "contamination"),
     ),
-    QuerySpec(
-        # Bloom-gated twin: a broadcast m-bit sketch prunes the training
-        # gram stream before the exact verify join — no false negatives,
-        # so the result is bit-identical and the oracle is SHARED VERBATIM
-        # (the sketch is a physical optimization, not a semantics change).
-        "text_contamination_bloom",
-        scrubbing.contamination_check_bloom,
-        _CONTAMINATION_SQL,
-        headline=True,  # sketch-then-verify vs the exact twin, same oracle
-        tags=("llm", "scrubbing", "contamination", "sketch"),
-    ),
+    # text_contamination_bloom RETIRED in round 10 (near-twin
+    # retirement): the Bloom sketch-then-verify spelling is bit-identical
+    # to text_contamination_check (no false negatives, shared
+    # _CONTAMINATION_SQL oracle), which stays gated; the bloom operator
+    # stays, pinned bit-identical by
+    # tests/test_llm_ops.py::test_contamination_bloom_matches_exact_twin
+    # and by the streaming bloom-gate tests.
     QuerySpec(
         "corpus_unigram_surprisal",
         corpus.unigram_surprisal,
@@ -1636,117 +1624,13 @@ GROUP BY 1""",
         tags=("llm", "corpus", "boilerplate"),
     ),
     # --- round-5 addition: the composed IVFADC pipeline -------------------
-    # The oracle composes the two PROVEN oracles it is built from:
-    # ivf_search's assignment/probe CTEs (probe metric switched to squared
-    # L2 per the round-4 advice — equivalent on this unit-normalized
-    # corpus, see similarity.ivf_pq_search docstring) and pq_adc_topk's
-    # codes/distance-table CTEs, with the candidate gate applied BEFORE
-    # the ADC shortlist cut — mirroring the operators' prune-before-top-k
-    # composition — then the exact-L2 re-rank of the top-30.
-    QuerySpec(
-        "ann_ivf_pq_search",
-        similarity.ivf_pq_search,
-        """
-WITH cents8 AS (
-  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
-),
-assign_scored AS (
-  SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
-  FROM embeddings e CROSS JOIN cents8 c
-),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, centroid_id) AS rn
-    FROM assign_scored
-  ) WHERE rn = 1
-),
-q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
-),
-probe_scored AS (
-  SELECT q.query_id, c.centroid_id,
-         round(list_sum(list_transform(range(1, 65),
-           i -> (q.q_emb[i] - c.embedding[i]::DOUBLE)
-              * (q.q_emb[i] - c.embedding[i]::DOUBLE))) + 1e-8, 6) AS cl2
-  FROM q CROSS JOIN cents8 c
-),
-probes AS (
-  SELECT query_id, centroid_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cl2 ASC, centroid_id) AS pr
-    FROM probe_scored
-  ) WHERE pr <= 2
-),
-cand AS (
-  SELECT p.query_id, a.vec_id
-  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
-),
-cents AS (
-  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
-  FROM embeddings WHERE vec_id < 16
-),
-pairs AS (
-  SELECT e.vec_id, s.sub, c.code,
-         list_sum(list_transform(range(1, 9),
-           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
-                 - c.cvec[s.sub * 8 + i])
-                * (e.embedding[s.sub * 8 + i]::DOUBLE
-                   - c.cvec[s.sub * 8 + i]))) AS dist
-  FROM embeddings e
-  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
-  CROSS JOIN cents c
-),
-codes AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           row_number() OVER (PARTITION BY vec_id, sub
-                              ORDER BY dist, code) AS rk
-    FROM pairs) WHERE rk = 1
-),
-dtab AS (
-  SELECT q.query_id, s.sub, c.code,
-         list_sum(list_transform(range(1, 9),
-           i -> (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i])
-              * (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i]))) AS qdist
-  FROM q
-  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
-  CROSS JOIN cents c
-),
-approx AS (
-  SELECT d.query_id, k.vec_id, round(sum(d.qdist) + 1e-8, 4) AS adc_dist
-  FROM codes k
-  JOIN dtab d ON k.sub = d.sub AND k.code = d.code
-  JOIN cand c ON c.query_id = d.query_id AND c.vec_id = k.vec_id
-  WHERE k.vec_id <> d.query_id
-  GROUP BY 1, 2
-),
-shortlist AS (
-  SELECT query_id, vec_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc_dist, vec_id) AS ar
-    FROM approx) WHERE ar <= 30
-),
-exact AS (
-  SELECT s.query_id, s.vec_id,
-         round(list_sum(list_transform(range(1, 65),
-           i -> (e.embedding[i]::DOUBLE - q.q_emb[i])
-              * (e.embedding[i]::DOUBLE - q.q_emb[i]))) + 1e-8, 4) AS dist
-  FROM shortlist s
-  JOIN embeddings e ON e.vec_id = s.vec_id
-  JOIN q ON q.query_id = s.query_id
-)
-SELECT query_id, vec_id, dist, CAST(rk AS INTEGER) AS rk
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY dist, vec_id) AS rk
-      FROM exact)
-WHERE rk <= 10""",
-        headline=True,
-        tags=("llm", "similarity", "quantization", "ann"),
-    ),
+    # The from-scratch spelling (similarity.ivf_pq_search) was RETIRED
+    # from the catalog in round 10 (near-twin retirement): the
+    # materialized ann_ivf_pq_search_indexed entry is result-identical by
+    # construction and gates the same composed oracle (_IVFADC_SQL,
+    # defined at its round-6 block below); the from-scratch operator
+    # stays, pinned result-identical to the indexed path by
+    # tests/test_llm_ops.py::test_ivf_pq_search_indexed_parity_and_partition_pruning.
     # --- round-5 breadth: mixture rebalancing, eval integrity, index health
     QuerySpec(
         "corpus_language_mixture",
@@ -2035,12 +1919,12 @@ ORDER BY e.doc_a, e.doc_b"""
 
 LLM_CATALOG.extend(
     [
-        QuerySpec(
-            "ann_ivf_recall_report",
-            similarity.ivf_recall_report,
-            _recall_report_sql(),
-            tags=("llm", "similarity", "evaluation"),
-        ),
+        # ann_ivf_recall_report RETIRED in round 10 (near-twin
+        # retirement): ann_recall_curve gates the same recall@k math
+        # across MULTIPLE nprobes (the tuning-curve superset of the
+        # report's single-nprobe recall); the report operator (which
+        # adds the mean-retrieved-cosine quality delta) stays, covered
+        # by tests/test_llm_ops.py.
         QuerySpec(
             "text_language_audit",
             quality.language_mislabel_audit,
@@ -2625,6 +2509,109 @@ LLM_CATALOG.append(
 )
 
 
+#: The composed IVFADC oracle (round 5): ivf_search's assignment/probe
+#: CTEs (squared-L2 probe metric — equivalent on this unit-normalized
+#: corpus) + pq_adc_topk's codes/distance-table CTEs, candidate gate
+#: applied BEFORE the ADC shortlist cut, then the exact-L2 re-rank.
+_IVFADC_SQL = """
+WITH cents8 AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+  FROM embeddings e CROSS JOIN cents8 c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+probe_scored AS (
+  SELECT q.query_id, c.centroid_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (q.q_emb[i] - c.embedding[i]::DOUBLE)
+              * (q.q_emb[i] - c.embedding[i]::DOUBLE))) + 1e-8, 6) AS cl2
+  FROM q CROSS JOIN cents8 c
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cl2 ASC, centroid_id) AS pr
+    FROM probe_scored
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+),
+cents AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT e.vec_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.embedding[s.sub * 8 + i]::DOUBLE
+                 - c.cvec[s.sub * 8 + i])
+                * (e.embedding[s.sub * 8 + i]::DOUBLE
+                   - c.cvec[s.sub * 8 + i]))) AS dist
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM pairs) WHERE rk = 1
+),
+dtab AS (
+  SELECT q.query_id, s.sub, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i])
+              * (q.q_emb[s.sub * 8 + i] - c.cvec[s.sub * 8 + i]))) AS qdist
+  FROM q
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s
+  CROSS JOIN cents c
+),
+approx AS (
+  SELECT d.query_id, k.vec_id, round(sum(d.qdist) + 1e-8, 4) AS adc_dist
+  FROM codes k
+  JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+  JOIN cand c ON c.query_id = d.query_id AND c.vec_id = k.vec_id
+  WHERE k.vec_id <> d.query_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS ar
+    FROM approx) WHERE ar <= 30
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         round(list_sum(list_transform(range(1, 65),
+           i -> (e.embedding[i]::DOUBLE - q.q_emb[i])
+              * (e.embedding[i]::DOUBLE - q.q_emb[i]))) + 1e-8, 4) AS dist
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, dist, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist, vec_id) AS rk
+      FROM exact)
+WHERE rk <= 10"""
+
 # --- round-6: the materialized/partition-pruned IVFADC spelling ------------
 # Result-identical to ann_ivf_pq_search by construction (same index
 # semantics, same metric and tiebreaks; the physical difference is that
@@ -2637,7 +2624,7 @@ LLM_CATALOG.append(
     QuerySpec(
         "ann_ivf_pq_search_indexed",
         similarity.ivf_pq_search_indexed_entry,
-        next(s.oracle for s in LLM_CATALOG if s.name == "ann_ivf_pq_search"),
+        _IVFADC_SQL,
         headline=True,
         tags=("llm", "similarity", "quantization", "ann", "indexed"),
     )
@@ -2941,7 +2928,7 @@ _IVFADC_CAND_CTE = """cand AS (
   SELECT p.query_id, a.vec_id
   FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
 ),"""
-_ivfadc_base = next(s.oracle for s in LLM_CATALOG if s.name == "ann_ivf_pq_search")
+_ivfadc_base = _IVFADC_SQL
 if _IVFADC_CAND_CTE not in _ivfadc_base:
     raise ValueError("ann_ivf_pq_search oracle drifted: cand CTE anchor missing")
 _FILTERED_SEARCH_SQL = _ivfadc_base.replace(
@@ -2955,14 +2942,14 @@ _FILTERED_SEARCH_SQL = _ivfadc_base.replace(
 ),""",
 )
 
-LLM_CATALOG.append(
-    QuerySpec(
-        "ann_filtered_search",
-        similarity.ivf_pq_search_filtered,
-        _FILTERED_SEARCH_SQL,
-        tags=("llm", "similarity", "ann", "filtered"),
-    )
-)
+# ann_filtered_search RETIRED in round 10 (near-twin retirement): it is
+# the metadata-filtered cand-CTE variant of the IVFADC family whose
+# composed oracle still gates ann_ivf_pq_search_indexed; the filtered
+# operator stays, pinned by
+# tests/test_llm_ops.py::test_filtered_search_returns_only_matching_labels
+# and the filtered plan-shape assertions in tests/test_plan_shapes.py.
+# (_FILTERED_SEARCH_SQL above is kept: its load-time anchor check still
+# documents and validates the filtered spelling of the shared oracle.)
 
 
 def _staleness_sql() -> str:
@@ -3132,19 +3119,15 @@ FROM (SELECT * FROM escored ORDER BY weight DESC, token LIMIT {e})"""
 
 LLM_CATALOG.extend(
     [
-        QuerySpec(
-            "retrieval_bm25_rank",
-            retrieval.bm25_rank,
-            _bm25_rank_sql(),
-            tags=("llm", "retrieval", "ranking"),
-        ),
-        QuerySpec(
-            "retrieval_hybrid_rrf",
-            retrieval.hybrid_rrf_search,
-            _hybrid_rrf_sql(),
-            headline=True,  # the retrieval tier's composed representative
-            tags=("llm", "retrieval", "ann", "fusion"),
-        ),
+        # retrieval_bm25_rank and retrieval_hybrid_rrf RETIRED in round
+        # 10 (near-twin retirement): retrieval_bm25_indexed gates the
+        # identical BM25 ranking (shared _bm25_rank_sql oracle) on the
+        # scale path, and retrieval_hybrid_multi_query gates the same
+        # per-query RRF fusion batched; the single-query operators stay,
+        # pinned by the multi-vs-single parity tests in
+        # tests/test_retrieval_profiling.py, and the composed
+        # retrieval_hybrid_mmr_pipeline remains the fusion tier's
+        # headline bench representative.
         QuerySpec(
             "retrieval_prf_expansion",
             retrieval.prf_expand_query,
@@ -3274,12 +3257,10 @@ FROM terms"""
 
 LLM_CATALOG.extend(
     [
-        QuerySpec(
-            "profile_columns",
-            profiling.column_profile,
-            _column_profile_sql(),
-            tags=("llm", "profiling", "audit"),
-        ),
+        # profile_columns RETIRED in round 10 (near-twin retirement):
+        # events_profile_columns gates the same profiling operator over
+        # the events table; the documents face stays, covered by the
+        # grouped/per-group pins in tests/test_retrieval_profiling.py.
         QuerySpec(
             "drift_numeric_psi",
             profiling.numeric_drift_psi,
@@ -3462,14 +3443,11 @@ LLM_CATALOG.append(
 )
 
 
-LLM_CATALOG.append(
-    QuerySpec(
-        "retrieval_mmr_rerank",
-        retrieval.mmr_rerank,
-        _mmr_sql(),
-        tags=("llm", "retrieval", "ann", "ranking"),
-    )
-)
+# retrieval_mmr_rerank RETIRED in round 10 (near-twin retirement): the
+# headline retrieval_hybrid_mmr_pipeline entry drives the identical MMR
+# stage inside the composed serving path (its oracle embeds the same
+# greedy chain); the isolated operator stays, covered by
+# tests/test_retrieval_profiling.py.
 
 
 # The materialized-index BM25 spelling is result-identical to the
@@ -3735,18 +3713,15 @@ LLM_CATALOG.extend(
             _length_profile_sql(),
             tags=("llm", "corpus", "profiling", "packing"),
         ),
-        QuerySpec(
-            "corpus_vocab_coverage",
-            corpus.vocab_coverage,
-            _vocab_coverage_sql(),
-            tags=("llm", "corpus", "tokenizer", "zipf"),
-        ),
-        # The 100×-scale twin: head coverage computed entirely on the
-        # count-histogram grain (no vocab-grain window anywhere —
-        # VERDICT r7 "wrong" #3).  Coverage is tie-insensitive, so the
-        # results are bit-identical and the exact entry's oracle covers
-        # this path too (the bm25_rank/bm25_indexed shared-oracle
-        # convention).
+        # Head coverage computed entirely on the count-histogram grain
+        # (no vocab-grain window anywhere — VERDICT r7 "wrong" #3).
+        # The exact vocab-grain twin (corpus.vocab_coverage) was RETIRED
+        # from the catalog in round 10 (near-twin retirement, r9 VERDICT
+        # item 3): coverage is tie-insensitive, so the two spellings are
+        # bit-identical and this oracle gates both paths; the exact
+        # operator stays, pinned by
+        # tests/test_llm_ops.py::test_vocab_coverage_monotone_and_bounded
+        # and the twin-parity test.
         QuerySpec(
             "corpus_vocab_coverage_scalable",
             corpus.vocab_coverage_scalable,

@@ -48,14 +48,12 @@ sys.path.insert(0, ".")
 #: nullif cosine spelling (plans/__init__.py round-11 note); until it
 #: lands these are EXPECTED under the embeddings suite only.
 EXPECTED_EMBEDDING_FAILURES = {
-    "ann_brute_force_topk", "ann_filtered_search", "ann_ivf_assign",
-    "ann_ivf_build_kmeans", "ann_ivf_cell_stats", "ann_ivf_pq_search",
-    "ann_ivf_pq_search_indexed", "ann_ivf_recall_report", "ann_ivf_search",
+    "ann_brute_force_topk", "ann_ivf_assign", "ann_ivf_build_kmeans",
+    "ann_ivf_cell_stats", "ann_ivf_pq_search_indexed", "ann_ivf_search",
     "ann_partitioned_topk", "ann_pq_adc_topk", "ann_recall_curve",
-    "embedding_cluster_balanced_sample", "embedding_near_duplicates",
-    "embedding_near_duplicates_lsh", "embedding_semdedup",
-    "retrieval_hybrid_mmr_pipeline", "retrieval_hybrid_multi_query",
-    "retrieval_hybrid_rrf", "retrieval_mmr_rerank",
+    "embedding_cluster_balanced_sample", "embedding_near_duplicates_lsh",
+    "embedding_semdedup", "retrieval_hybrid_mmr_pipeline",
+    "retrieval_hybrid_multi_query",
 }
 
 SF = "/root/testdata/sf0.001"
