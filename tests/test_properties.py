@@ -523,3 +523,96 @@ def test_error_bursts_merged_equals_global_reference(spark, times):
         for r in error_bursts_merged(ev, gap="5 minutes").collect()
     )
     assert got == _global_bursts_reference(times)
+
+
+# Tie-heavy funnel streams: timestamps on a 4-slot grid across 3 users
+# and 3 event types, so exact view/click/purchase timestamp collisions —
+# the boundary the strict `ts > previous step` chaining must hold at —
+# occur in most examples (the driver testdata is tie-sparse, so the
+# oracle diff rarely exercises them; the round-10 degenerate probe
+# checked crash-safety here, not values).
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=3),  # minute slot (ties likely)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _funnel_reference(events):
+    """Plain-python ordered funnel with STRICT after-previous-step
+    chaining: first view; first click strictly after it; first purchase
+    strictly after that — per user, then per-step user counts + the max
+    of the per-user first-times (the value-check column)."""
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    users: dict[int, dict[str, list]] = {}
+    for uid, etype, slot in events:
+        users.setdefault(uid, {}).setdefault(etype, []).append(
+            base + dt.timedelta(minutes=slot)
+        )
+    steps = {"view": [], "click": [], "purchase": []}
+    for per_type in users.values():
+        fv = min(per_type.get("view", []), default=None)
+        if fv is None:
+            continue
+        steps["view"].append(fv)
+        fc = min((t for t in per_type.get("click", []) if t > fv), default=None)
+        if fc is None:
+            continue
+        steps["click"].append(fc)
+        fp_ = min(
+            (t for t in per_type.get("purchase", []) if t > fc), default=None
+        )
+        if fp_ is not None:
+            steps["purchase"].append(fp_)
+    labels = {
+        "view": "view",
+        "click": "view>click",
+        "purchase": "view>click>purchase",
+    }
+    return {
+        labels[step]: (len(ts), max(ts)) for step, ts in steps.items() if ts
+    }
+
+
+@given(funnel_events)
+@SETTINGS
+def test_funnel_strict_ordering_matches_reference(spark, events):
+    """funnel_view_click_purchase's chained-min joins must implement the
+    STRICT ordered funnel for all inputs — especially exact-timestamp
+    ties between consecutive steps (a click at the instant of the first
+    view does NOT advance the funnel)."""
+    import datetime as dt_  # noqa: F401 — used via the module-level dt
+
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import temporal
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=base + dt.timedelta(minutes=slot),
+                user_id=uid,
+                event_type=etype,
+                value=1.0,
+                props="{}",
+            )
+            for i, (uid, etype, slot) in enumerate(events)
+        ]
+    )
+    orig = temporal.load_events
+    try:
+        temporal.load_events = lambda sp, d: df  # noqa: ARG005
+        got = {
+            r["step"]: (r["users"], r["latest_ts"])
+            for r in temporal.funnel_view_click_purchase(spark, "x").collect()
+            if r["users"] > 0
+        }
+    finally:
+        temporal.load_events = orig
+    assert got == _funnel_reference(events)
