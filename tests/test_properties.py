@@ -616,3 +616,59 @@ def test_funnel_strict_ordering_matches_reference(spark, events):
     finally:
         temporal.load_events = orig
     assert got == _funnel_reference(events)
+
+
+# Trailing-range-window streams: minute slots 0..7 so events land exactly
+# AT the 5-minute frame edge (rangeBetween is inclusive at both ends) and
+# on exact same-instant ties between a click and the anchoring event.
+trailing_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user_id
+        st.sampled_from(["view", "click"]),
+        st.integers(min_value=0, max_value=7),  # minute slot
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(trailing_events)
+@SETTINGS
+def test_trailing_range_window_matches_reference(spark, events):
+    """clicks_in_trailing_window's RANGE frame must count, per event, the
+    same user's clicks in [ts - 5 min, ts] — BOTH endpoints inclusive: a
+    click exactly 5 minutes ago counts, and a same-instant click counts
+    for every event sharing that timestamp (including itself)."""
+    from pyspark.sql import Row
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import temporal
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, uid, etype, base + dt.timedelta(minutes=slot))
+        for i, (uid, etype, slot) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(event_id=i, ts=ts, user_id=uid, event_type=etype,
+                value=1.0, props="{}")
+            for i, uid, etype, ts in rows
+        ]
+    )
+    orig = temporal.load_events
+    try:
+        temporal.load_events = lambda sp, d: df  # noqa: ARG005
+        got = {
+            r["event_id"]: r["clicks_trailing"]
+            for r in temporal.clicks_in_trailing_window(spark, "x").collect()
+        }
+    finally:
+        temporal.load_events = orig
+    win = dt.timedelta(minutes=5)
+    for i, uid, _etype, ts in rows:
+        want = sum(
+            1
+            for _j, u2, e2, t2 in rows
+            if u2 == uid and e2 == "click" and ts - win <= t2 <= ts
+        )
+        assert got[i] == want, (i, got[i], want)
