@@ -11,6 +11,7 @@ column and row; no driver collect, no result-size bias).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -120,7 +121,11 @@ def main() -> None:
         **calibration,
         **calibration_pre,
         **_host_identity(),
-        **_normalized_vs_prev(timings, core_total, calibration, streaming),
+        **_normalized_vs_prev(
+            timings, core_total, calibration, streaming,
+            calibration_pre=calibration_pre,
+            recalibrate=lambda: _bench_calibration(spark, sf_dir),
+        ),
     }
     # Persist BEFORE printing (VERDICT r6 item 2): the driver's tail
     # capture truncated BENCH_r06's single JSON line (parsed: null),
@@ -269,6 +274,8 @@ def _normalized_vs_prev(
     core_total: float,
     calibration: dict,
     streaming: dict | None = None,
+    calibration_pre: dict | None = None,
+    recalibrate=None,
 ) -> dict:
     """Calibration-NORMALIZED round-over-round comparison (VERDICT r5
     item 3): divide this run's core_total (and per-query times) by the
@@ -363,19 +370,50 @@ def _normalized_vs_prev(
     # same 1.3 bar, the remainder is the code's.
     if out.get("same_host_as_prev") and drift > 1.3:
         vs_cal = round(drift / out["calibration_swing"], 4)
+        swing = out["calibration_swing"]
+        # Near-miss hardening (VERDICT r10 item 4): r10's host-vs-code
+        # verdict rode on drift/swing = 1.299 against the 1.3 bar — a
+        # coin-flip margin when the swing rests on one end-of-run
+        # sample.  Within ±10% of the bar, take a THIRD calibration
+        # sample and re-judge on the median of pre/end/extra scans;
+        # the near-miss is recorded either way so a knife-edge verdict
+        # is visible in the artifact, not just in prose.
+        if recalibrate is not None and 1.3 / 1.1 <= vs_cal <= 1.3 * 1.1:
+            samples = [
+                s for s in (
+                    (calibration_pre or {}).get("calibration_scan_sec_pre"),
+                    cal,
+                    recalibrate().get("calibration_scan_sec"),
+                )
+                if s
+            ]
+            swing = round(statistics.median(samples) / prev_cal, 4)
+            refined = round(drift / swing, 4)
+            out["near_miss"] = {
+                "bar": 1.3,
+                "initial_drift_vs_calibration": vs_cal,
+                "calibration_samples_sec": [round(s, 3) for s in samples],
+                "calibration_swing_median3": swing,
+                "drift_vs_calibration_median3": refined,
+            }
+            vs_cal = refined
         if vs_cal > 1.3:
             out["whole_suite_regression"] = {
                 "median_raw_ratio": round(drift, 4),
-                "calibration_swing": out["calibration_swing"],
+                "calibration_swing": swing,
                 "drift_vs_calibration": vs_cal,
                 "basis": "same host, median query drift > 1.3 and > "
-                         "1.3x the engine-independent calibration swing",
+                         "1.3x the engine-independent calibration swing"
+                         + (" (median-3 near-miss basis)"
+                            if "near_miss" in out else ""),
             }
         else:
             out["whole_suite_drift_attribution"] = (
                 f"median raw ratio {round(drift, 4)} on the same host, "
-                f"but the calibration scan swung {out['calibration_swing']} "
-                "— host state, not code (uniform-regression check passed)"
+                f"but the calibration scan swung {swing} "
+                "— host state, not code (uniform-regression check passed"
+                + (", median-3 near-miss basis)" if "near_miss" in out
+                   else ")")
             )
     # Streaming splits under the SAME two-bar rule (VERDICT r9 item 5):
     # the batch-query median estimates drift from 41 samples, streaming
@@ -479,10 +517,13 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     to completion by all three queries concurrently.
 
     Measurement protocol (matched to the batch tier after the r3 2.3×
-    phantom regression, VERDICT r3 item 3): one small warm-up pass pays
-    state-store + memory-sink + file-listing init, then best-of-2 measured
-    passes at ``n_rows``; per-query processAllAvailable splits are reported
-    so a state-store or listing stall is attributable."""
+    phantom regression, VERDICT r3 item 3; interleaved since round 11,
+    VERDICT r10 item 2): one small warm-up pass pays state-store +
+    memory-sink + file-listing init, then TWO measured passes at
+    ``n_rows`` interleaved round-robin with the other streaming figures'
+    samples (min reported, raw wall pair recorded); per-query
+    processAllAvailable splits are reported so a state-store or listing
+    stall is attributable."""
     import datetime as dt
     import shutil
     import tempfile
@@ -532,48 +573,72 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
             shutil.rmtree(watch, ignore_errors=True)
         return wall, splits
 
-    run_once(2_000)  # warm-up: state-store / sink / listing init
-    wall1, splits1 = run_once(n_rows)
-    wall2, splits2 = run_once(n_rows)
-    wall, splits = (wall1, splits1) if wall1 <= wall2 else (wall2, splits2)
-    # Raw per-split pairs alongside the min (VERDICT r5 item 8): min-of-2
-    # is the headline, but variance needs both measurements recorded.
-    raw = {
-        q: [splits1[q], splits2[q]] for q in splits1 if q in splits2
-    }
-    adc1, adc2 = _bench_streaming_retrieval(spark)
-    splits["adc_retrieval"] = min(adc1, adc2)
-    raw["adc_retrieval"] = [adc1, adc2]
-    adp1, adp2 = _bench_streaming_retrieval(spark, nprobe=2)
-    splits["adc_retrieval_pruned"] = min(adp1, adp2)
-    raw["adc_retrieval_pruned"] = [adp1, adp2]
-    lex1, lex2 = _bench_streaming_lexical(spark)
-    splits["lexical_retrieval"] = min(lex1, lex2)
-    raw["lexical_retrieval"] = [lex1, lex2]
-    (cur1, stages1), (cur2, stages2) = _bench_streaming_curation(spark)
-    splits["curation"] = min(cur1, cur2)
-    raw["curation"] = [cur1, cur2]
+    # INTERLEAVED two-sample protocol (VERDICT r10 item 2): the 3-query
+    # headline was the last multi-second streaming figure still measured
+    # back-to-back best-of-2, and four same-code runs of it disagreed
+    # 4-5× (3.951 s driver r9 vs 16.1/21.7/16.9 s locally) — single-run
+    # or adjacent sampling of this workload measures host state.  Every
+    # figure's setup + warm-up is paid up front (the samplers yield a
+    # measured-sample callable), then samples run round-robin — 3query,
+    # adc, adc_pruned, lexical, curation, 3query, adc, ... — so a host
+    # stall window can hit at most ONE sample of each figure, the same
+    # rationale as the multibatch arms.  Min reported, raw pairs kept.
+    run_once(2_000)  # 3-query warm-up: state-store / sink / listing init
+    with (
+        _streaming_retrieval_sampler(spark) as adc,
+        _streaming_retrieval_sampler(spark, nprobe=2) as adcp,
+        _streaming_lexical_sampler(spark) as lex,
+        _streaming_curation_sampler(spark) as cur,
+    ):
+        walls, all_splits, curs, stages_by_run = [], [], [], []
+        raw: dict[str, list[float]] = {}
+        splits: dict[str, float] = {}
+        for _ in range(2):
+            w, s = run_once(n_rows)
+            walls.append(w)
+            all_splits.append(s)
+            raw.setdefault("adc_retrieval", []).append(adc())
+            raw.setdefault("adc_retrieval_pruned", []).append(adcp())
+            raw.setdefault("lexical_retrieval", []).append(lex())
+            cw, cs = cur()
+            curs.append(cw)
+            stages_by_run.append(cs)
+    wall = min(walls)
+    best = all_splits[walls.index(wall)]
+    splits.update(best)
+    for q in all_splits[0]:
+        raw[q] = [s[q] for s in all_splits]
+    for name in ("adc_retrieval", "adc_retrieval_pruned", "lexical_retrieval"):
+        splits[name] = min(raw[name])
+    splits["curation"] = min(curs)
+    raw["curation"] = curs
     multibatch = _bench_streaming_curation_multibatch(spark)
     return {
         "streaming_3query_rows": n_rows,
         "streaming_3query_wall_sec": wall,
+        # Raw wall pair for the ONE figure tied to the reference baseline
+        # (VERDICT r10 item 2: the r9↔r10 4× swing needs auditable pairs).
+        "streaming_3query_wall_raw_sec": walls,
+        "streaming_sample_protocol": "interleaved-2sample-roundrobin",
         "streaming_query_splits_sec": splits,
         "streaming_query_splits_raw_sec": raw,
         # per-stage attribution for the heaviest streaming split
         # (VERDICT r6 item 8): stages of the best measured curation run
-        "streaming_curation_stage_sec": stages1 if cur1 <= cur2 else stages2,
+        "streaming_curation_stage_sec": stages_by_run[curs.index(min(curs))],
         # generation-accumulation vs auto-compaction (VERDICT r7 item 5)
         **multibatch,
     }
 
 
-def _bench_streaming_lexical(spark, n_queries: int = 32) -> tuple[float, float]:
+@contextlib.contextmanager
+def _streaming_lexical_sampler(spark, n_queries: int = 32):
     """Online BM25 retrieval: one micro-batch of ``n_queries`` term
     queries scored against the MATERIALIZED inverted index via the
     foreachBatch lexical handler (build-once outside the timed window,
     the adc_retrieval convention).  Queries cycle through corpus-derived
     term triples so the isin-pruned postings scan does real work.
-    Warm-up + best-of-2, same protocol as the other streaming figures."""
+    Yields a measured-sample callable (setup + warm-up paid) for
+    _bench_streaming's interleaved round-robin."""
     import json as _json
     import shutil
     import tempfile
@@ -630,22 +695,22 @@ def _bench_streaming_lexical(spark, n_queries: int = 32) -> tuple[float, float]:
                 shutil.rmtree(work, ignore_errors=True)
 
         run_once()  # warm-up
-        return run_once(), run_once()
+        yield run_once
     finally:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(watch, ignore_errors=True)
 
 
-def _bench_streaming_curation(
-    spark, n_docs: int = 5_000
-) -> tuple[tuple[float, dict], tuple[float, dict]]:
+@contextlib.contextmanager
+def _streaming_curation_sampler(spark, n_docs: int = 5_000):
     """The streaming curation pipeline end-to-end (VERDICT r5 item 6): one
     micro-batch of ``n_docs`` raw documents through ingest → model quality
     gate → LSH near-dup dedup (fresh band store) → BPE tokenize → parquet,
     via the foreach_batch_curation handler under a real writeStream.  The
     tokenizer merge table is trained OUTSIDE the timed window (build-once
-    artifact, like the PQ index for adc_retrieval).  Warm-up + both
-    measured runs, same protocol as the other streaming figures."""
+    artifact, like the PQ index for adc_retrieval).  Yields a
+    measured-sample callable returning (wall, stage dict) — setup +
+    warm-up paid — for _bench_streaming's interleaved round-robin."""
     import json as _json
     import shutil
     import tempfile
@@ -701,7 +766,7 @@ def _bench_streaming_curation(
                 shutil.rmtree(work, ignore_errors=True)
 
         run_once()  # warm-up
-        return run_once(), run_once()
+        yield run_once
     finally:
         shutil.rmtree(watch, ignore_errors=True)
 
@@ -741,11 +806,14 @@ def _bench_streaming_curation_multibatch(
     A third VACUUM arm (VERDICT r9 item 6) gives the retention-GC path
     a measured figure: same ingest, one DEFERRED-GC fold mid-drain
     (``gc_immediately=False`` — superseded generations stay on disk for
-    concurrent readers), then ``vacuum_cadence`` fires two batches
-    later and physically GCs them; the vacuum's own wall is reported.
-    The fold/vacuum here are composed bench-side around the plain
-    handler — exactly how a maintenance stream composes them in
-    production (streaming/extensions.py:vacuum_cadence docstring) —
+    concurrent readers), with ``vacuum_cadence(every=7)`` composed into
+    the handler and called on EVERY batch (ADVICE r10: the arm now
+    drives the cadence wrapper itself, every-N gate included, not
+    vacuum_store directly) — its one firing lands two batches after the
+    fold and physically GCs the superseded directories; that firing's
+    wall is reported.  The fold/vacuum are composed bench-side around
+    the plain handler — exactly how a maintenance stream composes them
+    in production (streaming/extensions.py:vacuum_cadence docstring) —
     single sample: the figure prices a sub-second control-plane op,
     not a paired claim."""
     import json as _json
@@ -794,22 +862,26 @@ def _bench_streaming_curation_multibatch(
             # mid-drain — without the running total it lands in the wall
             # undifferentiated (the BENCH_r09 attribution gap).
             fold_total = [0.0]
+            if vacuum:
+                from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+                    compact_band_store,
+                    vacuum_cadence,
+                )
+
+                # The cadence wrapper IS the arm under test (ADVICE r10:
+                # the bench used to call vacuum_store directly, so the
+                # every-N gate was never exercised): every batch routes
+                # through it; with every=7 over a 10-batch drain it fires
+                # exactly once — two batches after the deferred-GC fold
+                # at batch 5, the production maintenance composition (any
+                # reader that resolved the pre-fold manifest within that
+                # window finishes its scan).
+                vac = vacuum_cadence(f"{work}/bands", every=7)
 
             def handler(batch_df, batch_id):
                 inner(batch_df, batch_id)
                 fold_total[0] += stages.pop("compact", 0.0)
                 if vacuum:
-                    # Maintenance composition (production shape): one
-                    # deferred-GC fold mid-drain, vacuumed 2 batches
-                    # later — any reader that resolved the pre-fold
-                    # manifest within that window finishes its scan.
-                    from hadoop_pyspark_streaming_analytics_spark.sources.genstore import (
-                        vacuum_store,
-                    )
-                    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
-                        compact_band_store,
-                    )
-
                     if batch_id == 5:
                         tc = time.perf_counter()
                         compact_band_store(
@@ -817,9 +889,9 @@ def _bench_streaming_curation_multibatch(
                             keep_latest=1, gc_immediately=False,
                         )
                         fold_total[0] += time.perf_counter() - tc
-                    elif batch_id == 7:
-                        tv = time.perf_counter()
-                        vacuum_store(batch_df.sparkSession, f"{work}/bands")
+                    tv = time.perf_counter()
+                    vac(batch_df, batch_id)
+                    if batch_id > 0 and batch_id % 7 == 0:
                         stages["vacuum"] = round(time.perf_counter() - tv, 3)
 
             try:
@@ -906,17 +978,20 @@ def _bench_streaming_curation_multibatch(
         shutil.rmtree(watch, ignore_errors=True)
 
 
-def _bench_streaming_retrieval(
+@contextlib.contextmanager
+def _streaming_retrieval_sampler(
     spark, n_queries: int = 32, nprobe: int | None = None
-) -> tuple[float, float]:
+):
     """Online ANN retrieval: one micro-batch of ``n_queries`` external
     query embeddings scored against the PQ-compressed corpus via the
     foreachBatch ADC handler, reading the MATERIALIZED codes table (built
     once, outside the timed window — the build-once/query-forever split
     that is the point of PQ at scale).  ``nprobe`` routes through the
     round-8 IVF-probed partition-pruned engine (the adc_retrieval_pruned
-    split) instead of the exhaustive codes scan.  Best-of-2 after a
-    warm-up, same protocol as the other streaming figures."""
+    split) instead of the exhaustive codes scan.  Yields a zero-arg
+    measured-sample callable (setup + warm-up already paid) so
+    _bench_streaming can interleave its samples with the other figures'
+    (round-robin, VERDICT r10 item 2)."""
     import json as _json
     import shutil
     import tempfile
@@ -971,13 +1046,13 @@ def _bench_streaming_retrieval(
                 )
                 q.processAllAvailable()
                 q.stop()
-                return time.perf_counter() - t0
+                return round(time.perf_counter() - t0, 3)
             finally:
                 shutil.rmtree(ckpt, ignore_errors=True)
                 shutil.rmtree(out, ignore_errors=True)
 
         run_once()  # warm-up
-        return round(run_once(), 3), round(run_once(), 3)
+        yield run_once
     finally:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(watch, ignore_errors=True)

@@ -40,15 +40,28 @@ except Exception:
 
 
 #: SQL expression templates (shared by builders; the DuckDB oracles use
-#: list_cosine_similarity, which computes the same double-precision value).
+#: an explicit dot/nullif(norm) spelling that computes the same
+#: double-precision value AND the same degenerate-row semantics).
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * x), 0D, (acc, v) -> acc + v))"
 
 
 def cosine_expr(a: str, b: str):
-    """cos(a,b) as a Catalyst column over two array<float> columns."""
+    """cos(a,b) as a Catalyst column over two array<float> columns.
+
+    Degenerate rows DEGRADE PER-ROW instead of killing the job: a
+    zero-norm vector makes the denominator ``nullif(norm_a*norm_b, 0)``
+    NULL (never an ANSI DIVIDE_BY_ZERO), and a NULL array propagates
+    NULL through ``aggregate``/``zip_with`` — so corrupt ingest scores
+    NULL and sorts last under ``cosine DESC`` (Spark default NULLS
+    LAST), while a NaN would have sorted FIRST (Spark treats NaN as
+    greater than any double).  The unit-norm contract is still pinned
+    (tests/test_llm_ops.py) and ``embedding_norm_audit`` remains the
+    operational pre-gate; this is the 100 TB default: one bad row must
+    not abort a thousand-executor scan."""
     return F.expr(
-        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(v=a)} * {_NORM.format(v=b)})"
+        f"{_DOT.format(a=a, b=b)}"
+        f" / nullif({_NORM.format(v=a)} * {_NORM.format(v=b)}, 0D)"
     )
 
 
@@ -69,12 +82,23 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:  # need a live sessio
     over 64 dims — the same order as semdedup's 6dp rounding half-step,
     so float32 scoring could flip a boundary pair against the
     double-precision JVM/DuckDB paths.  Casting first makes the
-    accumulation double everywhere, leaving ~1e-15 disagreement."""
-    A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-    B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-    num = np.einsum("ij,ij->i", A, B)
-    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-    return pd.Series(num / den)
+    accumulation double everywhere, leaving ~1e-15 disagreement.
+
+    Degenerate rows degrade per-row like :func:`cosine_expr`: NULL
+    vectors and zero norms yield a true NULL (masked Float64 batch, not
+    NaN — Spark sorts NaN above every real double, so NaN would rank
+    corrupt vectors FIRST under ``cosine DESC``)."""
+    valid = (a.notna() & b.notna()).to_numpy()
+    out = np.full(len(a), np.nan)
+    if valid.any():
+        A = np.stack(a[valid].to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b[valid].to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[valid] = np.where(den == 0.0, np.nan, num / den)
+    # Masked extension array → Arrow null, not float NaN.
+    return pd.Series(pd.array(np.where(np.isnan(out), None, out), dtype="Float64"))
 
 
 def _scored_pairs(
@@ -256,8 +280,16 @@ def kmeans_centroids(
       k-means pattern (MLlib does the same); lineage stays flat without
       checkpoints.  A cluster that loses all members drops out, exactly as
       in the SQL mirror.
+    * NULL embeddings are excluded up front (mirrored in the oracle's
+      CTEs): a corrupt vector can neither seed a centroid (the init
+      collect would hit a None array) nor vote in the per-dim means —
+      degrade-per-row, quantified separately by ``embedding_norm_audit``.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
     init_rows = (
         emb.withColumn("hk", F.md5(F.col("vec_id").cast("string")))
         .orderBy("hk", "vec_id")
@@ -671,13 +703,21 @@ def build_pq_codes_compact(emb: DataFrame, cents: DataFrame) -> DataFrame:
     over (subspace × code) runs inside a single codegen projection — one
     scan, zero shuffle.  The in-scan argmin walks the code-ordered array so
     strict-less keeps the smallest code on ties (== pq_codes'
-    min(struct(dist, code)) tiebreak)."""
+    min(struct(dist, code)) tiebreak).
+
+    A NULL embedding never fires the strict-less (NULL < d is NULL), so
+    its argmin stays at the -1 init sentinel; ``nullif(code, -1)`` turns
+    that into a NULL code, which NULL-propagates through the ADC sum
+    (``element_at`` with a NULL index is NULL) instead of indexing the
+    distance table at 0 and killing the scan with INVALID_INDEX_OF_ZERO
+    — the degrade-per-row contract (corrupt rows score NULL and sort
+    last under ``asc_nulls_last``)."""
     cb = cents.agg(
         F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cb")
     )
     codes_expr = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), sub ->"
-        "  CAST(aggregate(cb,"
+        "  CAST(nullif(aggregate(cb,"
         "    named_struct('d', CAST('Infinity' AS DOUBLE),"
         "                 'c', CAST(-1 AS BIGINT)),"
         "    (acc, e) -> CASE WHEN "
@@ -685,7 +725,7 @@ def build_pq_codes_compact(emb: DataFrame, cents: DataFrame) -> DataFrame:
         + " < acc.d THEN named_struct('d', "
         + _SUBSQ.format(a="embedding", b="e.cvec")
         + ", 'c', e.code) ELSE acc END,"
-        "    acc -> acc.c) AS INT))"
+        "    acc -> acc.c), -1) AS INT))"
     )
     return emb.crossJoin(F.broadcast(cb)).select(
         "vec_id", codes_expr.alias("codes")
@@ -896,8 +936,10 @@ def adc_topk_for_queries(
             4,
         ).alias("adc_dist"),
     )
+    # Spark ASC defaults to NULLS FIRST (DuckDB: last) — nulls_last keeps
+    # degenerate NULL-scored rows out of the top-k on both engines.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("vec_id").asc()
+        F.col("adc_dist").asc_nulls_last(), F.col("vec_id").asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -960,7 +1002,7 @@ def ivf_pq_search(
         "cl2", F.round(l2sq_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
     )
     wp = Window.partitionBy("query_id").orderBy(
-        F.col("cl2").asc(), F.col("centroid_id").asc()
+        F.col("cl2").asc_nulls_last(), F.col("centroid_id").asc()
     )
     probes = (
         probe_scored.withColumn("pr", F.row_number().over(wp))
@@ -1020,7 +1062,7 @@ def ivf_pq_search(
         )
     )
     we = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
+        F.col("dist").asc_nulls_last(), F.col("vec_id").asc()
     )
     return (
         exact.withColumn("rk", F.row_number().over(we).cast("int"))
@@ -1192,7 +1234,7 @@ def ivf_adc_topk_for_queries(
         "cl2", F.round(l2sq_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
     )
     wp = Window.partitionBy("query_id").orderBy(
-        F.col("cl2").asc(), F.col("centroid_id").asc()
+        F.col("cl2").asc_nulls_last(), F.col("centroid_id").asc()
     )
     probes = (
         probe_scored.withColumn("pr", F.row_number().over(wp))
@@ -1234,7 +1276,7 @@ def ivf_adc_topk_for_queries(
         )
     )
     we = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
+        F.col("dist").asc_nulls_last(), F.col("vec_id").asc()
     )
     return (
         exact.withColumn("rk", F.row_number().over(we).cast("int"))

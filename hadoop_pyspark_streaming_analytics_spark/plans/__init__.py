@@ -18,18 +18,18 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 10 rotation — the refresh-dominated window the r9 verdict
-# prescribed: the ENTIRE 45-entry last-green-r6 generation (the debt the
-# r9 forcing test named; one of them, embedding_near_duplicates, was
-# then retired as a near-twin and its slot backfilled with the oldest
-# non-blast r8 refresh), plus the fingerprint-derived changed set (the
-# four session-gap entries whose oracles/lag spelling moved to
-# strictly-greater splits — ADVICE r9 — including the intervals.py
-# docstring touch; priority_sample and the two multimodal decode
-# entries re-stamped mid-round by the degenerate-input fixes were
-# already in-window), plus ONE never-gated round-10 entry.
-# 1 + 4 + 44 + 1 = 50.  After a green r10, min(last-green) across all
-# oracle-backed entries rises to r7.
+# Round 11 rotation — the pre-computed cosine-fix recipe, executed: the
+# nullif cosine spelling + _duck_cos oracle twins + PQ code sentinel +
+# nulls-last rankings + kmeans NULL filter (the degrade-per-row
+# remediation for the probe-found zero/NULL-norm loud failure)
+# re-fingerprinted FOURTEEN surviving cosine/ANN/retrieval dependents
+# (the r10 plan estimated 12; the PQ/kmeans crash fixes pulled in
+# ann_pq_adc_topk and ann_ivf_build_kmeans's whole import chains), one
+# of which (retrieval_hybrid_mmr_pipeline, last green r7) overlaps the
+# 37-entry last-green-r7 staleness generation.  37 + 14 - 1 = exactly
+# 50 — the zero-slack round the r10 verdict predicted; NO new entry, no
+# retirement needed, all other operator churn held at zero.  After a
+# green r11, min(last-green) across oracle-backed entries rises to r8.
 #
 # STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
 # 4 rounds, not 3.  The arithmetic: 184 oracle-backed entries / 50
@@ -52,102 +52,85 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 10
-# ROUND-11 ROTATION PLAN (written r10, arithmetic measured, retirement
-# EXECUTED): the degenerate-input probe (scripts/degenerate_probe.py)
-# found the cosine/ANN tier fails loudly on contract-violating
-# zero/NULL-norm embeddings (SCALE.md "Degenerate-input behavior").
-# The fix — the nullif cosine spelling + oracle twins — re-fingerprints
-# every cosine_expr dependent; before retirement that was 19 entries,
-# only 4 overlapping the 45-entry r7-generation staleness debt round 11
-# owes (union 60 > 50 slots).  Round 10 therefore retired EIGHT
-# near-twins (each keeps its operator + a parity/pytest pin; the
-# surviving twin keeps the oracle gate): corpus_vocab_coverage,
-# retrieval_bm25_rank, ann_ivf_pq_search (bit-identical shared-oracle
-# twins of _scalable/_indexed), retrieval_hybrid_rrf (subsumed by
-# _multi_query), retrieval_mmr_rerank (subsumed by the headline
-# pipeline), ann_ivf_recall_report (recall-eval twin of ann_recall_
-# curve), embedding_near_duplicates (label-blocked exact face of the
-# LSH entry), profile_columns (same operator as events_profile_
-# columns) — then TWO more when the measured union still came to 52:
-# text_contamination_bloom (bit-identical shared-oracle twin of the
-# exact check, parity-pytest-pinned) and ann_filtered_search (the
-# filtered cand-CTE variant of the IVFADC family, pytest- and
-# plan-pinned).  MEASURED post-retirement arithmetic (assuming a green
-# r10): 175 oracle-backed entries (cycle 3.5 rounds < the 4-round
-# cutoff), r11 owes 38 stale + 12 cosine re-gates, union EXACTLY 50.
-# Round 11 recipe: land the nullif cosine fix + oracle twins FIRST,
-# run update_entry_hashes, rotate the window to exactly
-# stale ∪ changed (recompute with fingerprint.last_green_rounds), add
-# NO new entry, and keep all other operator churn at zero; if a
-# surprise re-gate appears, fund the slot by retiring the next named
-# twin (bonus_categorize_expr — one of three U1 parity faces — or
-# events_props_map_stats).
-# tests/test_catalog_oracle.py::test_driver_window_priority DERIVES
-# rules 1 and 3 from the CORRECTNESS history (never-gated entries must
-# be in the window; so must every entry STALENESS_ROUNDS+ rounds stale);
-# test_changed_operator_code_regates derives rule 2 from the recorded
-# fingerprints.  Everything outside the window stays oracle-diffed per
-# round by tests/test_catalog_oracle.py at sf0.001 and
-# scripts/check_sf001.py (driver-exact --vanilla mode) at sf0.01.
+ROTATION_ROUND = 11
+# ROUND-11 ROTATION (EXECUTED this round — see the round-11 paragraph
+# above for the recipe and the measured arithmetic): 14 fingerprint-
+# derived cosine-fix re-gates UNION 37 last-green-r7 stale entries,
+# overlap {retrieval_hybrid_mmr_pipeline} = exactly 50.  Verified by
+# recomputing fingerprint.last_green_rounds() over CORRECTNESS_r01-r10
+# plus entry_hashes.json regate_round == 11 stamps.
+#
+# ROUND-12 BUDGET (the cycle arithmetic, written BEFORE it binds — r10
+# VERDICT item 5): after a green r11, the oracle-backed last-green
+# distribution is {r8: 36, r9: 43, r10: 49, r11: 50} (the four r8-green
+# cosine entries ann_brute_force_topk / ann_ivf_build_kmeans /
+# ann_ivf_cell_stats / ann_ivf_search re-gate in r11, shrinking the r8
+# generation 40 -> 36; rows-only sketch_daily_user_hll stays the r4
+# exception).  Round 12 therefore OWES 36 stale slots, leaving
+# 50 - 36 = 14 for changed-code re-gates and/or new entries — the
+# roomiest round since the policy landed, and enough to absorb a
+# cosine-fix-sized churn (this round's was 14).  If a r12 surprise
+# pushes the union past 50, the retirement reserve is unchanged:
+# bonus_categorize_expr (one of three U1 parity faces) then
+# events_props_map_stats (subsumable by events_scalar_features).
+# Round 13 then owes the r9 generation (43 - whatever r12 re-gates),
+# i.e. expect ~7 free slots — plan any multi-entry feature for r12,
+# not r13.
 _WINDOW = [
-    # ---- round-10 NEW entry (never gated) --------------------------------
-    "corpus_priority_sample",  # E-S weighted sample w/o replacement
-    # ---- changed-code re-gates (rule 2, fingerprint-derived) -------------
-    "events_user_sessions",           # oracle: strictly-greater gap split
-    "events_session_attribution",     # lag spelling + oracle aligned
-    "events_interval_error_burst_join",  # oracle: strictly-greater split
-    "events_error_bursts_midnight_merged",  # docstring dedup (intervals)
-    # ---- the whole last-green-r6 stale generation (45) -------------------
-    "bonus_categorize_python_udf",
-    "corpus_bpe_merges",
-    "corpus_bpe_segment",
-    "corpus_bpe_token_counts",
-    "corpus_bpe_vocab",
-    "corpus_epoch_mixture",
-    "corpus_truncation_report",
-    "dedup_exact",
-    "dedup_simhash",
-    # embedding_near_duplicates held this slot until its round-10
-    # retirement (near-twin of the LSH entry); the freed slot goes to
-    # the oldest-first refresh convention: the alphabetically first
-    # non-blast entry of the r8 generation.
-    "agg_revenue_decimal_exact",
-    "embedding_semdedup",
-    "events_ewma_per_user",
-    "events_hourly_rollup",
-    "events_props_avg_k",
-    "events_running_stats",
-    "events_scalar_features",
-    "events_sliding_10min_5min",
-    "events_top_users_per_type",
-    "events_tumbling_5min",
-    "events_type_hour_cube",
-    "events_type_percentiles",
-    "multimodal_decoded_metadata",
-    "multimodal_frame_sample",
-    "multimodal_png_decode",
-    "pack_documents",
-    "pack_documents_bpe",
-    "pack_efficiency_report",
-    "pipeline_surviving_docs",
-    "q1_corpus_stats",
-    "q1_word_length_histogram",
-    "q2_order_count_thresholds",
-    "q2_spend_distribution",
-    "q2_top_customers_by_spend",
-    "q2a_customer_summary",
-    "set_except_buyers_without_events",
-    "set_intersect_buyers_with_events",
-    "set_union_active_users",
-    "skew_salted_count",
-    "star_anti_join_dormant_customers",
-    "star_semi_join_big_spenders",
-    "temporal_click_error_pairs",
-    "temporal_clicks_trailing_5min",
-    "text_document_fingerprints",
-    "text_token_counts",
-    "training_shard_manifest",
+    # ---- changed-code re-gates (rule 2, fingerprint-derived: the
+    # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------
+    "ann_brute_force_topk",  # nullif cosine (cosine_expr)
+    "ann_ivf_assign",  # nullif cosine + oracle twin
+    "ann_ivf_build_kmeans",  # kmeans NULL-embedding filter
+    "ann_ivf_cell_stats",  # nullif cosine + oracle twin
+    "ann_ivf_pq_search_indexed",  # PQ nullif(code,-1) + nulls-last
+    "ann_ivf_search",  # nullif cosine + probe ranking
+    "ann_partitioned_topk",  # nullif cosine (cosine_expr)
+    "ann_pq_adc_topk",  # PQ nullif(code,-1) + nulls-last
+    "ann_recall_curve",  # nullif cosine (recall vs exact)
+    "embedding_cluster_balanced_sample",  # kmeans-tier fingerprint
+    "embedding_near_duplicates_lsh",  # nullif cosine verify stage
+    "embedding_semdedup",  # kmeans NULL filter + nullif cosine
+    "retrieval_hybrid_mmr_pipeline",  # nullif cosine; ALSO lg r7 stale
+    "retrieval_hybrid_multi_query",  # ADC path: PQ sentinel fix
+    # ---- the whole last-green-r7 stale generation (rule 3, 36 after
+    # ---- the overlap entry above) ----------------------------------------
+    "bonus_categorize_expr",
+    "bonus_left_join",
+    "corpus_dsir_sample",
+    "corpus_length_profile",
+    "corpus_ngram_diversity",
+    "corpus_vocabulary",
+    "drift_numeric_psi",
+    "embedding_staleness_audit",
+    "events_props_map_stats",
+    "events_resample_hourly_locf",
+    "events_values_winsorized",
+    "multimodal_image_ahash_dedup",
+    "q1_word_count_top20",
+    "q2b_customer_orders_window",
+    "q3a_product_statistics",
+    "q3b_customer_brand_pivot",
+    "retrieval_prf_expansion",
+    "star_bracketed_discount_revenue",
+    "star_customer_order_distribution",
+    "star_forecast_revenue_change",
+    "star_inactive_rich_customers",
+    "star_large_volume_customers",
+    "star_local_supplier_volume",
+    "star_nation_trade_volume",
+    "star_order_priority_returns",
+    "star_pricing_summary",
+    "star_promo_revenue_share",
+    "star_region_market_share",
+    "star_returned_item_losses",
+    "star_shipping_priority",
+    "star_small_quantity_revenue",
+    "star_top_supplier",
+    "star_waiting_suppliers",
+    "stratified_sample",
+    "temporal_asof_last_click",
+    "temporal_point_in_time_value",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

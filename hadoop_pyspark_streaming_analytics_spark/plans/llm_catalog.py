@@ -184,16 +184,31 @@ SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
 FROM hits"""
 
 
-_ANN_SQL_TEMPLATE = """
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine twin of ``operators.similarity.cosine_expr`` — the
+    same ``dot / nullif(norm_a * norm_b, 0)`` spelling, NOT the builtin
+    ``list_cosine_similarity``: DuckDB's builtin returns -1.0 for a
+    zero-norm vector where the Spark side (and this spelling, on both
+    engines) degrades per-row to NULL.  Value parity on non-degenerate
+    rows is ~2e-16 vs the builtin (measured over sf0.001 pairs), far
+    inside the +1e-8 / 4-6dp rounding policy every consumer applies."""
+    return (
+        f"(list_dot_product({a}, {b})"
+        f" / nullif(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0))"
+    )
+
+
+_ANN_SQL_TEMPLATE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS q_label
   FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]) AS cosine
+         {_duck_cos('q.q_emb', 'e.embedding::DOUBLE[]')} AS cosine
   FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id != q.query_id{label_pred}
+  WHERE e.vec_id != q.query_id{{label_pred}}
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,
@@ -214,11 +229,14 @@ def _kmeans_assign_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
     rounds' argmax.  Returns the CTE chain ending in
     ``kbest(vec_id, centroid_id, cos)`` — shared by the ann_ivf_build_kmeans
     and embedding_semdedup oracles."""
+    # ``embedding IS NOT NULL`` mirrors kmeans_centroids' degrade-per-row
+    # filter: corrupt vectors neither seed centroids nor vote in means.
     init = f"""cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
               - 1 AS INTEGER) AS centroid_id,
          list_transform(embedding, x -> x::DOUBLE) AS c_emb
   FROM embeddings
+  WHERE embedding IS NOT NULL
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
           <= {k}
 )"""
@@ -226,10 +244,10 @@ def _kmeans_assign_ctes(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
     for r in range(rounds):
         stages.append(f"""assign{r} AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(
-                 list_transform(e.embedding, x -> x::DOUBLE), c.c_emb)
+         round({_duck_cos("list_transform(e.embedding, x -> x::DOUBLE)", "c.c_emb")}
                + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cent{r} c
+  WHERE e.embedding IS NOT NULL
 ),
 best{r} AS (
   SELECT vec_id, centroid_id FROM (
@@ -251,8 +269,7 @@ cent{r + 1} AS (
 )""")
     stages.append(f"""final_assign AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(
-                 list_transform(e.embedding, x -> x::DOUBLE), c.c_emb)
+         round({_duck_cos("list_transform(e.embedding, x -> x::DOUBLE)", "c.c_emb")}
                + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cent{rounds} c
 ),
@@ -294,7 +311,7 @@ dropped AS (
   SELECT DISTINCT y.vec_id
   FROM mem x JOIN mem y
     ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-  WHERE round(list_cosine_similarity(x.emb, y.emb) + 1e-8, 6) >= {threshold}
+  WHERE round({_duck_cos("x.emb", "y.emb")} + 1e-8, 6) >= {threshold}
 )
 SELECT b.vec_id, CAST(b.centroid_id AS BIGINT) AS centroid_id,
        (d.vec_id IS NULL) AS keep
@@ -342,8 +359,8 @@ cand AS (
 )
 SELECT * FROM (
   SELECT c.vec_a, c.vec_b,
-         round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                      eb.embedding::DOUBLE[]) + 1e-8, 4)
+         round({_duck_cos("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}
+               + 1e-8, 4)
            AS cosine
   FROM cand c
   JOIN embeddings ea ON ea.vec_id = c.vec_a
@@ -368,8 +385,7 @@ WITH cents AS (
 ),
 assign_scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents c
 ),
 assign AS (
@@ -385,8 +401,7 @@ q AS (
 ),
 probe_scored AS (
   SELECT q.query_id, c.centroid_id, q.q_emb,
-         round(list_cosine_similarity(q.q_emb::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS ccos
+         round((list_dot_product(q.q_emb::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS ccos
   FROM q CROSS JOIN cents c
 ),
 probes AS (
@@ -398,7 +413,7 @@ probes AS (
 ),
 cand AS (
   SELECT p.query_id, e.vec_id,
-         list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+         (list_dot_product(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0))
            AS cosine
   FROM embeddings e
   JOIN assign a ON e.vec_id = a.vec_id
@@ -815,8 +830,7 @@ WITH cents AS (
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents c
 ),
 ranked AS (
@@ -1710,8 +1724,7 @@ WITH cents AS (
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents c
 ),
 assign AS (
@@ -1740,8 +1753,7 @@ WITH cents AS (
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents c
 ),
 assign AS (
@@ -2301,8 +2313,7 @@ WITH cents AS (
 ),
 assign_scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents c
 ),
 assign AS (
@@ -2318,8 +2329,7 @@ q AS (
 ),
 probe_scored AS (
   SELECT q.query_id, c.centroid_id, q.q_emb,
-         round(list_cosine_similarity(q.q_emb::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS ccos
+         round((list_dot_product(q.q_emb::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS ccos
   FROM q CROSS JOIN cents c
 ),
 probes AS (
@@ -2331,7 +2341,7 @@ probes AS (
 ),
 cand AS (
   SELECT p.query_id, e.vec_id, p.pr,
-         list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+         (list_dot_product(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0))
            AS cosine
   FROM embeddings e
   JOIN assign a ON e.vec_id = a.vec_id
@@ -2519,8 +2529,7 @@ WITH cents8 AS (
 ),
 assign_scored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                      c.embedding::DOUBLE[]) + 1e-8, 6) AS cos
+         round((list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 0)) + 1e-8, 6) AS cos
   FROM embeddings e CROSS JOIN cents8 c
 ),
 assign AS (
@@ -3055,7 +3064,7 @@ qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
        WHERE vec_id = {qid}),
 vsc AS (
   SELECT e.vec_id AS doc_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb)
+         round((list_dot_product(e.embedding::DOUBLE[], q.q_emb) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.q_emb, q.q_emb)), 0))
                + 1e-8, 4) AS cosine
   FROM embeddings e CROSS JOIN qv q
   WHERE e.vec_id <> {qid}
@@ -3355,7 +3364,7 @@ sel1 AS (SELECT doc_id, emb FROM s1)"""
         stages.append(f"""s{i} AS (
   SELECT {i} AS rnk, c.doc_id, c.emb, c.rel{xs},
          round({lam!r} * c.rel
-               - {1 - lam!r} * max(round(list_cosine_similarity(c.emb, s.emb)
+               - {1 - lam!r} * max(round((list_dot_product(c.emb, s.emb) / nullif(sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(s.emb, s.emb)), 0))
                                          + 1e-8, 6))
                + 1e-8, 6) AS mmr
   FROM sl c CROSS JOIN sel{i - 1} s
@@ -3384,7 +3393,7 @@ def _mmr_sql() -> str:
 WITH base AS (
   SELECT e.vec_id AS doc_id,
          list_transform(e.embedding, x -> x::DOUBLE) AS emb,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb)
+         round((list_dot_product(e.embedding::DOUBLE[], q.q_emb) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.q_emb, q.q_emb)), 0))
                + 1e-8, 6) AS rel
   FROM embeddings e
   CROSS JOIN (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings
