@@ -583,13 +583,16 @@ def _bench_streaming(spark, n_rows: int = 50_000) -> dict:
     # adc, adc_pruned, lexical, curation, 3query, adc, ... — so a host
     # stall window can hit at most ONE sample of each figure, the same
     # rationale as the multibatch arms.  Min reported, raw pairs kept.
-    run_once(2_000)  # 3-query warm-up: state-store / sink / listing init
     with (
         _streaming_retrieval_sampler(spark) as adc,
         _streaming_retrieval_sampler(spark, nprobe=2) as adcp,
         _streaming_lexical_sampler(spark) as lex,
         _streaming_curation_sampler(spark) as cur,
     ):
+        # 3-query warm-up AFTER the other samplers' setup/warm-up work,
+        # immediately before the first measured sample — setup churn
+        # (index builds, BPE training) must not evict what it just paid.
+        run_once(2_000)  # state-store / sink / listing init
         walls, all_splits, curs, stages_by_run = [], [], [], []
         raw: dict[str, list[float]] = {}
         splits: dict[str, float] = {}

@@ -2734,3 +2734,109 @@ def test_priority_sample_matches_python_reference(spark):
         assert all(
             a["priority"] <= b["priority"] for a, b in zip(sel, sel[1:])
         )
+
+
+def test_priority_sample_zero_weight_cross_engine(spark):
+    """DuckDB-vs-Spark twin for the +inf branch (ADVICE r10 item 3): the
+    sf0.001 oracle diff never sees an n_chars<=0 document, so the
+    weight-0 → key=+inf semantics were only differential-tested on the
+    Spark side (vs plain python).  Run the catalog entry's OWN oracle
+    SQL over a synthetic documents frame that includes a zero-weight and
+    a NULL-n_chars doc, and diff it against the Spark builder on the
+    same frame — cross-engine +inf parity, gated."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import corpus as c
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+
+    oracle = next(s.oracle for s in CATALOG if s.name == "corpus_priority_sample")
+    pdf = pd.DataFrame(
+        {
+            "source": ["web"] * 6 + ["zero", "zero", "zero"],
+            "doc_id": [1, 2, 3, 4, 5, 6, 200, 201, 202],
+            "n_chars": [100, 137, 174, 211, 248, 285, 0, 50, 7],
+        }
+    )
+    docs = spark.createDataFrame(pdf).select(
+        "source", "doc_id", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    orig = c.load_table
+    try:
+        c.load_table = lambda sp, dd, t: docs  # noqa: ARG005
+        got = (
+            c.priority_sample(spark, "ignored")
+            .toPandas()
+            .sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+    finally:
+        c.load_table = orig
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(oracle)
+        .df()[got.columns.tolist()]
+        .sort_values(["source", "rnk"])
+        .reset_index(drop=True)
+    )
+    # The zero-weight doc keys to +inf in BOTH engines and fills the
+    # last slot of its undersized stratum.
+    zrow = got[(got.source == "zero") & (got.doc_id == 200)]
+    assert len(zrow) == 1 and math.isinf(zrow.priority.iloc[0])
+    pd.testing.assert_frame_equal(
+        got.astype({c_: want[c_].dtype for c_ in want.columns}),
+        want,
+        check_exact=False,
+        rtol=1e-6,
+    )
+
+
+def test_cosine_degenerate_cross_engine(spark):
+    """Cross-engine pin for the round-11 nullif cosine spelling: on a
+    frame with a zero-norm vector, a NULL vector, and two clean vectors,
+    Spark's cosine_expr and the oracle twins' _duck_cos must agree
+    VALUE-for-value — NULL on the degenerate rows (DuckDB's builtin
+    list_cosine_similarity returns -1.0 for a zero vector, which is why
+    the twins spell dot/nullif explicitly), matching doubles on the
+    clean ones."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        cosine_expr,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import _duck_cos
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "a": [[1.0, 0.0], [0.0, 0.0], None, [3.0, 4.0]],
+            "b": [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [4.0, 3.0]],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf, "id int, a array<float>, b array<float>"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in sdf.select("id", cosine_expr("a", "b").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.register("v", pdf)
+    want = dict(
+        con.execute(
+            "SELECT id, "
+            + _duck_cos("a::DOUBLE[]", "b::DOUBLE[]")
+            + " FROM v"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for i in got:
+        if want[i] is None:
+            assert got[i] is None, f"id {i}: spark {got[i]} vs duckdb NULL"
+        else:
+            assert got[i] == pytest.approx(want[i], rel=1e-12)
+    assert got[2] is None and got[3] is None  # zero-norm + NULL degrade
