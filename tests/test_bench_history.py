@@ -283,3 +283,75 @@ def test_off_default_sf_run_never_clobbers_default_history(bench, tmp_path):
     got = bench._load_prev_summary(current_round=9, this_sf=0.1)
     assert got is not None and got[1]["core_total"] == 30.0
     assert bench._load_prev_summary(current_round=9, this_sf=0.25) is None
+
+
+def test_near_miss_takes_third_calibration_sample(
+    bench, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 4: the r10 host-vs-code verdict rode on
+    drift/swing = 1.299 against the 1.3 bar — one end-of-run calibration
+    sample deciding a whole-suite attribution.  Within ±10% of the bar
+    the arbiter now takes a THIRD calibration sample, re-judges on the
+    median of pre/end/extra scans, and records a ``near_miss`` block
+    either way; outside the band the extra sample is never taken."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    host = bench._host_identity()["host_id"]
+    prev = _summary(
+        core=10.0, cal=0.4, queries={"a": 1.0, "b": 1.0, "c": 1.0}
+    )
+    prev["host_id"] = host
+    bench._persist_summary(prev, 6)
+    timings = {"a": 1.4, "b": 1.4, "c": 1.4}
+
+    # In-band (drift 1.4 / swing 1.085 = 1.29): third sample taken.
+    # Median(0.45, 0.434, 0.46) = 0.45 -> swing 1.125 -> refined 1.244
+    # < 1.3 -> host attribution on the median-3 basis, near_miss kept.
+    calls = []
+
+    def recal():
+        calls.append(1)
+        return {"calibration_scan_sec": 0.46}
+
+    out = bench._normalized_vs_prev(
+        timings, core_total=14.0,
+        calibration={"calibration_scan_sec": 0.434},
+        calibration_pre={"calibration_scan_sec_pre": 0.45},
+        recalibrate=recal,
+    )
+    assert calls == [1]
+    nm = out["near_miss"]
+    assert nm["bar"] == 1.3
+    assert nm["initial_drift_vs_calibration"] == pytest.approx(1.29, abs=0.01)
+    assert sorted(nm["calibration_samples_sec"]) == [0.434, 0.45, 0.46]
+    assert nm["drift_vs_calibration_median3"] < 1.3
+    assert "whole_suite_regression" not in out
+    assert "median-3 near-miss basis" in out["whole_suite_drift_attribution"]
+
+    # Same in-band entry but the extra samples CONFIRM the code verdict:
+    # median(0.41, 0.434, 0.40) = 0.41 -> swing 1.025 -> refined 1.366.
+    out = bench._normalized_vs_prev(
+        timings, core_total=14.0,
+        calibration={"calibration_scan_sec": 0.434},
+        calibration_pre={"calibration_scan_sec_pre": 0.41},
+        recalibrate=lambda: {"calibration_scan_sec": 0.40},
+    )
+    ws = out["whole_suite_regression"]
+    assert ws["drift_vs_calibration"] > 1.3
+    assert "median-3 near-miss basis" in ws["basis"]
+    assert out["near_miss"]["calibration_swing_median3"] == ws[
+        "calibration_swing"
+    ]
+
+    # Clearly OVER the band (drift 1.4 / swing 1.0 = 1.4 > 1.43? no —
+    # 1.4 is inside [1.1818, 1.43], so use swing 0.875 -> 1.6): no
+    # extra sample, no near_miss, plain regression verdict.
+    calls.clear()
+    out = bench._normalized_vs_prev(
+        timings, core_total=14.0,
+        calibration={"calibration_scan_sec": 0.35},
+        recalibrate=recal,
+    )
+    assert calls == []
+    assert "near_miss" not in out
+    assert out["whole_suite_regression"]["drift_vs_calibration"] == 1.6
