@@ -75,7 +75,13 @@ ROTATION_ROUND = 11
 # events_props_map_stats (subsumable by events_scalar_features).
 # Round 13 then owes the r9 generation (43 - whatever r12 re-gates),
 # i.e. expect ~7 free slots — plan any multi-entry feature for r12,
-# not r13.
+# not r13.  Named candidates for the 14 r12 slots, cheapest-risk first:
+# (a) wire the probe's events + tpch --quick suites into
+# tests/test_degenerate_probe.py (test-only, zero churn — r11 wired
+# documents + embeddings); (b) new catalog entries if a feature tier is
+# wanted (each costs a slot AND starts its own 4-round refresh clock);
+# (c) any deferred operator hardening, since a 14-entry changed-set is
+# exactly what this round can absorb (r11's was 14).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------
