@@ -2840,3 +2840,125 @@ def test_cosine_degenerate_cross_engine(spark):
         else:
             assert got[i] == pytest.approx(want[i], rel=1e-12)
     assert got[2] is None and got[3] is None  # zero-norm + NULL degrade
+
+
+def test_ivf_assign_degenerate_cross_engine(spark):
+    """Full-entry degenerate parity for the assignment tier: on a frame
+    holding a zero-norm vector, a NULL vector, and clean vectors, the
+    ivf_assign builder and its catalog oracle must produce the SAME
+    rows — including where the degenerate vectors land.  Pins the two
+    engines' different argmax spellings (Spark max(struct(cos, -id))
+    treats the all-NULL cos tie by highest neg_id; DuckDB row_number
+    ORDER BY cos DESC NULLS LAST, centroid_id picks the lowest id):
+    both must assign corrupt rows to centroid 0 with a NULL cosine."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import similarity as s
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+
+    oracle = next(sp.oracle for sp in CATALOG if sp.name == "ann_ivf_assign")
+    rng = np.random.default_rng(11)
+    vecs = [list(map(float, rng.normal(size=64))) for _ in range(12)]
+    vecs[9] = [0.0] * 64          # zero-norm
+    emb = [(i, None if i == 10 else vecs[i], i % 3) for i in range(12)]
+    pdf = pd.DataFrame(emb, columns=["vec_id", "embedding", "label"])
+    sdf = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+    orig = s.load_table
+    try:
+        s.load_table = lambda sp_, dd, t: sdf  # noqa: ARG005
+        got = (
+            s.ivf_assign(spark, "ignored")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        s.load_table = orig
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = (
+        con.execute(oracle)
+        .df()[got.columns.tolist()]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({c: want[c].dtype for c in want.columns}),
+        want,
+        check_exact=False,
+        rtol=1e-9,
+    )
+    degen = got[got.vec_id.isin([9, 10])]
+    assert degen.cosine.isna().all()
+
+
+def test_cosine_three_way_differential_random_degenerate(spark):
+    """Three-way cosine differential over seeded-random frames laced
+    with degenerate rows (NULL vectors, zero vectors, NULL-containing
+    pairs): the JVM higher-order-function path (cosine_expr), the
+    Arrow/BLAS path (cosine_arrow), and the DuckDB oracle spelling
+    (_duck_cos) must agree row-for-row — NULL exactly where the others
+    are NULL, doubles within 1e-9 elsewhere.  Breadth pin for the
+    round-11 degrade-per-row spelling beyond the fixed 4-row fixture."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_pyspark_streaming_analytics_spark.operators.similarity import (
+        cosine_arrow,
+        cosine_expr,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.plans.llm_catalog import _duck_cos
+
+    rng = np.random.default_rng(1111)
+
+    def f32(x):
+        # Round-trip through float32 so Spark (array<float> ingest) and
+        # DuckDB (fed the pandas lists directly) see IDENTICAL values —
+        # the parquet embeddings are float32 for the same reason.
+        return [float(v) for v in np.asarray(x, dtype=np.float32)]
+
+    rows = []
+    for i in range(60):
+        kind = i % 6
+        a = f32(rng.normal(size=8))
+        b = f32(rng.normal(size=8))
+        if kind == 3:
+            a = None
+        elif kind == 4:
+            b = [0.0] * 8
+        elif kind == 5:
+            a, b = [0.0] * 8, None
+        rows.append((i, a, b))
+    pdf = pd.DataFrame(rows, columns=["id", "a", "b"])
+    sdf = spark.createDataFrame(pdf, "id int, a array<float>, b array<float>")
+    got = {
+        r["id"]: (r["jvm"], r["arrow"])
+        for r in sdf.select(
+            "id",
+            cosine_expr("a", "b").alias("jvm"),
+            cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("v", pdf)
+    want = dict(
+        con.execute(
+            "SELECT id, "
+            + _duck_cos("a::DOUBLE[]", "b::DOUBLE[]")
+            + " FROM v"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for i, (jvm, arrow) in got.items():
+        if want[i] is None:
+            assert jvm is None and arrow is None, (i, jvm, arrow)
+        else:
+            assert jvm == pytest.approx(want[i], abs=1e-9)
+            assert arrow == pytest.approx(want[i], abs=1e-9)
+    # the seeded mix really contains both populations
+    assert sum(v is None for v in want.values()) == 30
