@@ -84,19 +84,26 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:  # need a live sessio
     double-precision JVM/DuckDB paths.  Casting first makes the
     accumulation double everywhere, leaving ~1e-15 disagreement.
 
-    Degenerate rows degrade per-row like :func:`cosine_expr`: NULL
-    vectors and zero norms yield a true NULL (masked Float64 batch, not
-    NaN — Spark sorts NaN above every real double, so NaN would rank
-    corrupt vectors FIRST under ``cosine DESC``)."""
-    valid = (a.notna() & b.notna()).to_numpy()
+    Degenerate rows degrade per-row with EXACT :func:`cosine_expr`
+    parity: NULL vectors, zero norms, and length-mismatched pairs all
+    yield a true NULL (masked Float64 batch, not NaN — Spark sorts NaN
+    above every real double, so NaN would rank corrupt vectors FIRST
+    under ``cosine DESC``).  Mismatched lengths mirror the JVM path's
+    ``zip_with`` padding-to-NULL; equal-but-nonstandard lengths score
+    normally on both paths, so the batch is stacked per distinct length
+    (one einsum per length — one pass on clean fixed-dim data)."""
+    la = np.array([len(x) if x is not None else -1 for x in a], dtype=np.int64)
+    lb = np.array([len(x) if x is not None else -1 for x in b], dtype=np.int64)
     out = np.full(len(a), np.nan)
-    if valid.any():
-        A = np.stack(a[valid].to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(b[valid].to_numpy()).astype(np.float64, copy=False)
+    valid = (la >= 0) & (la == lb)
+    for n in np.unique(la[valid]):
+        m = valid & (la == n)
+        A = np.stack(a[m].to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b[m].to_numpy()).astype(np.float64, copy=False)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            out[valid] = np.where(den == 0.0, np.nan, num / den)
+            out[m] = np.where(den == 0.0, np.nan, num / den)
     # Masked extension array → Arrow null, not float NaN.
     return pd.Series(pd.array(np.where(np.isnan(out), None, out), dtype="Float64"))
 

@@ -2922,9 +2922,14 @@ def test_cosine_three_way_differential_random_degenerate(spark):
         # the parquet embeddings are float32 for the same reason.
         return [float(v) for v in np.asarray(x, dtype=np.float32)]
 
+    # kinds 6-8 (ragged pair, equal-but-short pair, empty pair) extend
+    # the Spark-side JVM↔Arrow parity sweep; DuckDB's list_dot_product
+    # RAISES on unequal lengths and cannot take empty lists, so those
+    # kinds are excluded from its leg (the gated parquet data is
+    # fixed-dim — the oracle twins never see them).
     rows = []
-    for i in range(60):
-        kind = i % 6
+    for i in range(90):
+        kind = i % 9
         a = f32(rng.normal(size=8))
         b = f32(rng.normal(size=8))
         if kind == 3:
@@ -2933,9 +2938,17 @@ def test_cosine_three_way_differential_random_degenerate(spark):
             b = [0.0] * 8
         elif kind == 5:
             a, b = [0.0] * 8, None
-        rows.append((i, a, b))
-    pdf = pd.DataFrame(rows, columns=["id", "a", "b"])
-    sdf = spark.createDataFrame(pdf, "id int, a array<float>, b array<float>")
+        elif kind == 6:
+            b = f32(rng.normal(size=6))  # ragged: zip_with pads -> NULL
+        elif kind == 7:
+            a, b = f32(rng.normal(size=4)), f32(rng.normal(size=4))
+        elif kind == 8:
+            a, b = [], []
+        rows.append((i, kind, a, b))
+    pdf = pd.DataFrame(rows, columns=["id", "kind", "a", "b"])
+    sdf = spark.createDataFrame(
+        pdf, "id int, kind int, a array<float>, b array<float>"
+    )
     got = {
         r["id"]: (r["jvm"], r["arrow"])
         for r in sdf.select(
@@ -2944,8 +2957,18 @@ def test_cosine_three_way_differential_random_degenerate(spark):
             cosine_arrow(F.col("a"), F.col("b")).alias("arrow"),
         ).collect()
     }
+    # JVM↔Arrow parity over ALL kinds (the Arrow twin must be total)
+    assert len(got) == 90
+    for i, (jvm, arrow) in got.items():
+        if jvm is None:
+            assert arrow is None, (i, arrow)
+        else:
+            assert arrow == pytest.approx(jvm, abs=1e-9), i
+    ragged_empty = {r[0] for r in rows if r[1] in (6, 8)}
+    assert all(got[i] == (None, None) for i in ragged_empty)
     con = duckdb.connect()
-    con.register("v", pdf)
+    duck_pdf = pdf[~pdf.kind.isin([6, 8])].drop(columns=["kind"])
+    con.register("v", duck_pdf)
     want = dict(
         con.execute(
             "SELECT id, "
@@ -2953,12 +2976,12 @@ def test_cosine_three_way_differential_random_degenerate(spark):
             + " FROM v"
         ).fetchall()
     )
-    assert set(got) == set(want)
-    for i, (jvm, arrow) in got.items():
-        if want[i] is None:
-            assert jvm is None and arrow is None, (i, jvm, arrow)
+    for i, w in want.items():
+        jvm = got[i][0]
+        if w is None:
+            assert jvm is None, (i, jvm)
         else:
-            assert jvm == pytest.approx(want[i], abs=1e-9)
-            assert arrow == pytest.approx(want[i], abs=1e-9)
-    # the seeded mix really contains both populations
+            assert jvm == pytest.approx(w, abs=1e-9), i
+    # the seeded mix really contains both populations on every leg
     assert sum(v is None for v in want.values()) == 30
+    assert sum(j is None for j, _ in got.values()) == 50
