@@ -15,12 +15,14 @@ tests use):
 
 * documents — empty text, whitespace-only, single word, NULL text +
   NULL n_chars;
-* embeddings — an all-zeros vector, a NULL embedding, a NULL label
-  (zero/NULL vectors still violate the embedding tier's documented
-  unit-norm contract — see SCALE.md "Degenerate-input behavior" — but
-  since the round-11 ``nullif`` cosine spelling they DEGRADE PER-ROW:
-  NULL score, sorted last, never a job kill; ``embedding_norm_audit``
-  remains the pre-gate that quantifies offenders);
+* embeddings — an all-zeros vector, a NULL embedding, a NULL label, a
+  wrong-width (6-dim) vector, and an empty vector (all violate the
+  embedding tier's documented unit-norm/fixed-dim contract — see
+  SCALE.md "Degenerate-input behavior" — but since the round-11
+  ``nullif`` cosine spelling + per-length Arrow batching they DEGRADE
+  PER-ROW: NULL score, sorted last, never a job kill;
+  ``embedding_norm_audit`` remains the pre-gate that quantifies
+  offenders);
 * events — ten events on one identical timestamp (tie storm), a
   single-event user, NULL value/props, zero-variance values, and NULL
   event-time / user-key / group-key rows;
@@ -80,6 +82,11 @@ def degenerate_embeddings(spark):
         (100, [0.0] * 64, 3),   # zero norm: cosine denominator 0
         (101, None, 2),          # NULL vector: python-kernel stack input
         (102, [random.uniform(-1, 1) for _ in range(64)], None),
+        # round-11 additions: wrong-width ingest (zip_with pads -> NULL
+        # score; numpy kernels must not np.stack a ragged batch) and the
+        # empty vector (norm 0 by construction).
+        (103, [random.uniform(-1, 1) for _ in range(6)], 4),
+        (104, [], 5),
     ]
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
