@@ -76,12 +76,18 @@ ROTATION_ROUND = 11
 # Round 13 then owes the r9 generation (43 - whatever r12 re-gates),
 # i.e. expect ~7 free slots — plan any multi-entry feature for r12,
 # not r13.  Named candidates for the 14 r12 slots, cheapest-risk first:
-# (a) wire the probe's events + tpch --quick suites into
-# tests/test_degenerate_probe.py (test-only, zero churn — r11 wired
-# documents + embeddings); (b) new catalog entries if a feature tier is
-# wanted (each costs a slot AND starts its own 4-round refresh clock);
-# (c) any deferred operator hardening, since a 14-entry changed-set is
-# exactly what this round can absorb (r11's was 14).
+# (a) the FOUR probe-found ANSI-cast crash fixes the round-11 harsh
+# events variants surfaced (scripts/degenerate_probe.py
+# EXPECTED_EVENTS_FAILURES: events_props_avg_k / events_props_map_stats
+# nested-JSON $.k cast, events_scalar_features signum(NaN).cast(int),
+# events_value_histogram floor(±Inf).cast(int) — one-line try_cast
+# spellings + DuckDB TRY_CAST oracle twins; re-stamps 4 entries of
+# which only events_props_map_stats is r11-window, so the r12 cost is
+# 3-4 slots of the 14); (b) wire the probe's events + tpch --quick
+# suites into tests/test_degenerate_probe.py once (a) lands (test-only,
+# zero churn — r11 wired documents + embeddings); (c) new catalog
+# entries if a feature tier is wanted (each costs a slot AND starts its
+# own 4-round refresh clock).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------
