@@ -14,7 +14,9 @@ Three variant suites, each swapped in via the operator modules'
 tests use):
 
 * documents — empty text, whitespace-only, single word, NULL text +
-  NULL n_chars;
+  NULL n_chars, and (round 11) unicode/CJK/RTL text, control chars
+  incl. NUL, emoji-only, single-char, all-caps, digits/symbols-only,
+  and NULL lang+source;
 * embeddings — an all-zeros vector, a NULL embedding, a NULL label, a
   wrong-width (6-dim) vector, and an empty vector (all violate the
   embedding tier's documented unit-norm/fixed-dim contract — see
@@ -103,6 +105,19 @@ def degenerate_documents(spark):
         (6, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46),
         (7, "one two three four five six seven eight nine ten", "de", "wiki", 49),
         (8, "data data data data data data data data", "en", "wiki", 39),
+        # round-11 additions: hostile-but-realistic crawl content.  A
+        # GIANT doc (250k chars) is deliberately NOT here: it is a
+        # throughput question, not a crash class (composed dedup
+        # entries measure ~20-25 s on it, linearly — SCALE.md
+        # "Degenerate-input behavior"), and it would balloon the
+        # CI-wired quick suite's runtime.
+        (900, "héllo wörld ünïcode ça va naïve 東京 北京 مرحبا שלום", "zh", "web", 48),
+        (901, "tab\there\nnewline\rcarriage\x00null\x01ctrl", "en", "web", 38),
+        (903, "\U0001F600\U0001F680 emoji only \U0001F4A9", "en", "web", 20),
+        (904, "a", "en", "web", 1),
+        (905, "ALLCAPS SHOUTING TEXT WITH NO LOWERCASE AT ALL", "en", "wiki", 46),
+        (906, "digits 123 456 7890 and symbols !@#$%^&*()", "en", "web", 42),
+        (907, "repeated repeated repeated repeated repeated", None, None, 45),
     ]
     return spark.createDataFrame(
         rows,
