@@ -34,9 +34,11 @@ tests use):
   round-12 remediation plan;
 * tpch — the real sf0.001 orders/lineitem with appended dirty rows
   (zero/negative/NULL quantity, NULL price/discount/shipdate, NULL
-  orderdate/status/custkey) — exactly the dirty-data contract the
-  cleaning tier (operators/cleaning.py) filters, so every query must
-  absorb them.
+  orderdate/status/custkey; since round 11 also NaN/±Inf prices and
+  quantities, out-of-range discounts, pre-1900/post-2299 dates,
+  unknown-status and NUL-bearing strings, CJK flags, INT_MIN
+  linenumber) — exactly the dirty-data contract the cleaning tier
+  (operators/cleaning.py) filters, so every query must absorb them.
 
 Usage:  python scripts/degenerate_probe.py [documents|embeddings|events|tpch]
 (default: all four).  Exit code 1 if any UNEXPECTED failure.
@@ -200,6 +202,14 @@ def degenerate_tpch(spark):
             (
                 {"o_totalprice": None}, {"o_orderdate": None},
                 {"o_orderstatus": None}, {"o_custkey": None},
+                # round-11 additions: extreme scalars + hostile strings
+                {"o_totalprice": float("nan")},
+                {"o_totalprice": float("inf")},
+                {"o_totalprice": -99999.0},
+                {"o_orderdate": dt.datetime(1899, 12, 31)},
+                {"o_orderdate": dt.datetime(2299, 1, 1)},
+                {"o_orderstatus": "ZZZ-unknown-status"},
+                {"o_orderpriority": "999-\x00CTRL"},
             ),
         ),
         (
@@ -209,6 +219,13 @@ def degenerate_tpch(spark):
                 {"l_quantity": 0.0}, {"l_quantity": -1.0},
                 {"l_quantity": None}, {"l_extendedprice": None},
                 {"l_discount": None}, {"l_shipdate": None},
+                # round-11 additions
+                {"l_quantity": float("nan")},
+                {"l_extendedprice": float("-inf")},
+                {"l_discount": 2.0}, {"l_discount": -1.0},
+                {"l_tax": float("nan")},
+                {"l_returnflag": "日"},
+                {"l_linenumber": -2147483648},
             ),
         ),
     ):
