@@ -420,8 +420,25 @@ def _normalized_vs_prev(
     # from ~7 — a noisier yardstick, so streaming gets its own median
     # (streaming walls include state-store/sink costs batch queries
     # never pay; one drift does not fit both tiers).
-    prev_s = prev.get("streaming_query_splits_sec") or {}
-    this_s = (streaming or {}).get("streaming_query_splits_sec") or {}
+    #
+    # The three CO-SCHEDULED splits are attribution-only, never flagged
+    # (round 11): running/tumbling/sliding drain ONE shared source
+    # concurrently, so each split measures "residual work when its
+    # process_all turn came" — a scheduling artifact, not a per-query
+    # time (eight same-code sliding samples spanned 0.057-1.285 s and
+    # history holds 0.05-10.4 s; running 1.0-9.7 s).  Only their SUM is
+    # code-determined, so the 3-query WALL joins the basis in their
+    # place; the isolated figures (adc/lexical/curation) each own their
+    # query and stay flaggable.
+    prev_s = dict(prev.get("streaming_query_splits_sec") or {})
+    this_s = dict(
+        (streaming or {}).get("streaming_query_splits_sec") or {}
+    )
+    for d, src in ((prev_s, prev), (this_s, streaming or {})):
+        for name in ("running", "tumbling", "sliding"):
+            d.pop(name, None)
+        if src.get("streaming_3query_wall_sec"):
+            d["3query_wall"] = src["streaming_3query_wall_sec"]
     s_common = [
         (name, t, prev_s[name]) for name, t in this_s.items()
         if prev_s.get(name)

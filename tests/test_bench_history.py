@@ -226,41 +226,67 @@ def test_uniform_same_host_regression_flags_whole_suite(
 def test_streaming_splits_get_their_own_drift_basis(
     bench, tmp_path, monkeypatch
 ):
-    """VERDICT r9 item 5: streaming splits join the regression basis
-    under the same two-bar rule, with their OWN median (state-store /
-    sink costs drift independently of the batch tier).  A split slower
-    on both bases flags; a uniform streaming drift flags nothing."""
+    """VERDICT r9 item 5 + the round-11 refinement: streaming figures
+    join the regression basis under the same two-bar rule with their
+    OWN median (state-store / sink costs drift independently of the
+    batch tier) — but the three CO-SCHEDULED splits
+    (running/tumbling/sliding) are attribution-only: they measure
+    residual drain on a shared source (history spans 0.05-10.4 s for
+    the same code), so the scheduling-independent 3-query WALL stands
+    in for them.  An isolated figure slower on both bases flags; a
+    co-scheduled split never does; a uniform drift flags nothing."""
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
     (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
     prev = _summary(core=10.0, cal=0.4, queries={"a": 1.0})
     prev["streaming_query_splits_sec"] = {
         "running": 1.0, "tumbling": 1.0, "sliding": 1.0, "curation": 1.0,
+        "lexical_retrieval": 1.0,
     }
+    prev["streaming_3query_wall_sec"] = 3.0
     bench._persist_summary(prev, 6)
     out = bench._normalized_vs_prev(
         {"a": 1.0},
         core_total=10.0,
         calibration={"calibration_scan_sec": 0.4},
         streaming={
+            "streaming_3query_wall_sec": 3.1,
             "streaming_query_splits_sec": {
-                "running": 1.05, "tumbling": 0.95, "sliding": 1.0,
-                "curation": 1.8,
-            }
+                # sliding at 9x: a residual-drain artifact — never flags
+                "running": 1.05, "tumbling": 0.95, "sliding": 9.0,
+                "curation": 1.8, "lexical_retrieval": 1.0,
+            },
         },
     )
     assert out["streaming_drift_median_raw_ratio"] < 1.1
     assert list(out["streaming_regressions"]) == ["curation"]
     assert out["streaming_regressions"]["curation"]["raw"] == 1.8
+    # the WALL is in the basis in the co-scheduled splits' place: a
+    # 2x wall WITH supporting drift evidence flags as 3query_wall
+    out = bench._normalized_vs_prev(
+        {"a": 1.0},
+        core_total=10.0,
+        calibration={"calibration_scan_sec": 0.4},
+        streaming={
+            "streaming_3query_wall_sec": 6.0,
+            "streaming_query_splits_sec": {
+                "running": 9.0, "tumbling": 9.0, "sliding": 9.0,
+                "curation": 1.0, "lexical_retrieval": 1.0,
+            },
+        },
+    )
+    assert list(out["streaming_regressions"]) == ["3query_wall"]
+    assert out["streaming_regressions"]["3query_wall"]["raw"] == 2.0
     # uniform streaming drift (all 1.5x): its own median absorbs it
     out = bench._normalized_vs_prev(
         {"a": 1.0},
         core_total=10.0,
         calibration={"calibration_scan_sec": 0.4},
         streaming={
+            "streaming_3query_wall_sec": 4.5,
             "streaming_query_splits_sec": {
                 "running": 1.5, "tumbling": 1.5, "sliding": 1.5,
-                "curation": 1.5,
-            }
+                "curation": 1.5, "lexical_retrieval": 1.5,
+            },
         },
     )
     assert out["streaming_drift_median_raw_ratio"] == 1.5
