@@ -713,18 +713,23 @@ def build_pq_codes_compact(emb: DataFrame, cents: DataFrame) -> DataFrame:
     min(struct(dist, code)) tiebreak).
 
     A NULL embedding never fires the strict-less (NULL < d is NULL), so
-    its argmin stays at the -1 init sentinel; ``nullif(code, -1)`` turns
-    that into a NULL code, which NULL-propagates through the ADC sum
-    (``element_at`` with a NULL index is NULL) instead of indexing the
-    distance table at 0 and killing the scan with INVALID_INDEX_OF_ZERO
-    — the degrade-per-row contract (corrupt rows score NULL and sort
-    last under ``asc_nulls_last``)."""
+    its argmin stays at the -1 init sentinel; the FINISH lambda maps
+    that sentinel to a NULL code, which NULL-propagates through the ADC
+    sum (``element_at`` with a NULL index is NULL) instead of indexing
+    the distance table at 0 and killing the scan with
+    INVALID_INDEX_OF_ZERO — the degrade-per-row contract (corrupt rows
+    score NULL and sort last under ``asc_nulls_last``).  The sentinel
+    map must live INSIDE the aggregate's finish (``acc -> nullif(acc.c,
+    -1)``, acc a bound variable): wrapping the whole aggregate in
+    ``nullif(aggregate(...), -1)`` expands to a CASE that DUPLICATES
+    the aggregate child, running the 16-codeword argmin twice per
+    subspace — measured 1.45 s → 2.6 s on the sf0.1 ADC query."""
     cb = cents.agg(
         F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cb")
     )
     codes_expr = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), sub ->"
-        "  CAST(nullif(aggregate(cb,"
+        "  CAST(aggregate(cb,"
         "    named_struct('d', CAST('Infinity' AS DOUBLE),"
         "                 'c', CAST(-1 AS BIGINT)),"
         "    (acc, e) -> CASE WHEN "
@@ -732,7 +737,7 @@ def build_pq_codes_compact(emb: DataFrame, cents: DataFrame) -> DataFrame:
         + " < acc.d THEN named_struct('d', "
         + _SUBSQ.format(a="embedding", b="e.cvec")
         + ", 'c', e.code) ELSE acc END,"
-        "    acc -> acc.c), -1) AS INT))"
+        "    acc -> nullif(acc.c, -1)) AS INT))"
     )
     return emb.crossJoin(F.broadcast(cb)).select(
         "vec_id", codes_expr.alias("codes")
