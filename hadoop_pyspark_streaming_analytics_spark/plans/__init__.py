@@ -32,16 +32,16 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 # green r11, min(last-green) across oracle-backed entries rises to r8.
 #
 # STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
-# 4 rounds, not 3.  The arithmetic: 184 oracle-backed entries / 50
-# slots = a 3.7-round full refresh cycle at BEST (zero re-gates, zero
+# 4 rounds, not 3.  The arithmetic: 174 oracle-backed entries / 50
+# slots = a 3.5-round full refresh cycle at BEST (zero re-gates, zero
 # new entries) — a 3-round cutoff is arithmetically unsatisfiable at
 # this catalog size (round 10 proved it: the whole 45-entry r6
 # generation came due at once, leaving exactly the changed-set's 5
-# slots).  A 4-round cutoff needs ~46 refresh slots per round on
-# average, which holds as long as re-gates + new entries stay <= ~4 per
+# slots).  A 4-round cutoff needs ~44 refresh slots per round on
+# average, which holds as long as re-gates + new entries stay <= ~6 per
 # round.  The catalog is therefore held FLAT from here: new entries
 # only when a round's changed-set is small enough to leave slots, and
-# near-twin retirement before 184/(50 - typical churn) exceeds 4.
+# near-twin retirement before 174/(50 - typical churn) exceeds 4.
 STALENESS_ROUNDS = 4
 # The driver round this _WINDOW was rotated FOR (= max CORRECTNESS
 # round on disk at rotation time + 1).  While ROTATION_ROUND > that max,
@@ -61,21 +61,24 @@ ROTATION_ROUND = 11
 # plus entry_hashes.json regate_round == 11 stamps.
 #
 # ROUND-12 BUDGET (the cycle arithmetic, written BEFORE it binds — r10
-# VERDICT item 5): after a green r11, the oracle-backed last-green
-# distribution is {r8: 36, r9: 43, r10: 49, r11: 50} (the four r8-green
-# cosine entries ann_brute_force_topk / ann_ivf_build_kmeans /
+# VERDICT item 5; distribution recomputed round 11 by simulating a
+# green r11 over fingerprint.last_green_rounds()): after a green r11,
+# the oracle-backed last-green distribution is
+# {r8: 36, r9: 39, r10: 49, r11: 50} = 174 (the four r8-green cosine
+# entries ann_brute_force_topk / ann_ivf_build_kmeans /
 # ann_ivf_cell_stats / ann_ivf_search re-gate in r11, shrinking the r8
-# generation 40 -> 36; rows-only sketch_daily_user_hll stays the r4
-# exception).  Round 12 therefore OWES 36 stale slots, leaving
-# 50 - 36 = 14 for changed-code re-gates and/or new entries — the
-# roomiest round since the policy landed, and enough to absorb a
-# cosine-fix-sized churn (this round's was 14).  If a r12 surprise
-# pushes the union past 50, the retirement reserve is unchanged:
-# bonus_categorize_expr (one of three U1 parity faces) then
+# generation 40 -> 36; eight r9-green entries sit in the r11 window,
+# shrinking r9 47 -> 39; rows-only sketch_daily_user_hll stays the r4
+# exception outside the oracle-backed count).  Round 12 therefore OWES
+# 36 stale slots, leaving 50 - 36 = 14 for changed-code re-gates
+# and/or new entries — the roomiest round since the policy landed, and
+# enough to absorb a cosine-fix-sized churn (this round's was 14).  If
+# a r12 surprise pushes the union past 50, the retirement reserve is
+# unchanged: bonus_categorize_expr (one of three U1 parity faces) then
 # events_props_map_stats (subsumable by events_scalar_features).
-# Round 13 then owes the r9 generation (43 - whatever r12 re-gates),
-# i.e. expect ~7 free slots — plan any multi-entry feature for r12,
-# not r13.  Named candidates for the 14 r12 slots, cheapest-risk first:
+# Round 13 then owes the r9 generation (39 - whatever r12 re-gates),
+# i.e. expect ~11 free slots — r12 and r13 both have real headroom,
+# but a multi-entry feature still lands cheaper in r12.  Named candidates for the 14 r12 slots, cheapest-risk first:
 # (a) the FOUR probe-found ANSI-cast crash fixes the round-11 harsh
 # events variants surfaced (scripts/degenerate_probe.py
 # EXPECTED_EVENTS_FAILURES: events_props_avg_k / events_props_map_stats
