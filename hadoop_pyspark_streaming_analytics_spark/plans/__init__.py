@@ -86,11 +86,13 @@ ROTATION_ROUND = 11
 # events_value_histogram floor(±Inf).cast(int) — one-line try_cast
 # spellings + DuckDB TRY_CAST oracle twins; re-stamps 4 entries of
 # which only events_props_map_stats is r11-window, so the r12 cost is
-# 3-4 slots of the 14); (b) wire the probe's events + tpch --quick
-# suites into tests/test_degenerate_probe.py once (a) lands (test-only,
-# zero churn — r11 wired documents + embeddings); (c) new catalog
-# entries if a feature tier is wanted (each costs a slot AND starts its
-# own 4-round refresh clock).
+# 3-4 slots of the 14); (b) DONE EARLY, round 11: the probe's events +
+# tpch --quick suites are CI-wired (test-only, zero churn), and the
+# wiring asserts the 4 expected events failures still FIRE — so (a)'s
+# fixes must delete their names from EXPECTED_EVENTS_FAILURES or the
+# suite goes red on the stale expectation; (c) new catalog entries if
+# a feature tier is wanted (each costs a slot AND starts its own
+# 4-round refresh clock).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------

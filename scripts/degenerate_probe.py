@@ -41,7 +41,9 @@ tests use):
   (operators/cleaning.py) filters, so every query must absorb them.
 
 Usage:  python scripts/degenerate_probe.py [documents|embeddings|events|tpch]
-(default: all four).  Exit code 1 if any UNEXPECTED failure.
+(default: all four).  Exit code 1 if any UNEXPECTED failure, or if an
+EXPECTED failure no longer fires (a stale expectation green-washes the
+crash class it documents).
 """
 from __future__ import annotations
 
@@ -241,7 +243,13 @@ def degenerate_tpch(spark):
     return out
 
 
-def run_suite(spark, suite: str, catalog) -> list[str]:
+def run_suite(spark, suite: str, catalog) -> tuple[list[str], list[str]]:
+    """Run every builder in ``catalog`` against the suite's corrupted
+    tables.  Returns ``(unexpected, stale_expected)``: unexpected =
+    builders that crashed without being in the suite's expected set;
+    stale_expected = names the expected set carries that did NOT crash
+    (they must be removed when their remediation lands, or the set
+    green-washes the very crash class it documents)."""
     import hadoop_pyspark_streaming_analytics_spark.operators as ops_pkg
 
     if suite == "tpch":
@@ -270,13 +278,15 @@ def run_suite(spark, suite: str, catalog) -> list[str]:
         if suite == "events" and hasattr(mod, "load_events"):
             originals.append((mod, "load_events", mod.load_events))
             mod.load_events = lambda sp, d: tables["events"]
-    unexpected = []
+    expected = EXPECTED_FAILURES.get(suite, set())
+    unexpected, fired = [], set()
     try:
         for spec in catalog:
             try:
                 spec.builder(spark, SF).limit(200).collect()
             except Exception as e:  # noqa: BLE001 — probe, report everything
-                if spec.name in EXPECTED_FAILURES.get(suite, ()):
+                if spec.name in expected:
+                    fired.add(spec.name)
                     continue
                 unexpected.append(
                     f"{spec.name}: {type(e).__name__}: "
@@ -285,7 +295,9 @@ def run_suite(spark, suite: str, catalog) -> list[str]:
     finally:
         for mod, attr, orig in originals:
             setattr(mod, attr, orig)
-    return unexpected
+    ran = {spec.name for spec in catalog}
+    stale_expected = sorted(expected & ran - fired)
+    return unexpected, stale_expected
 
 
 #: Table names each suite's variants replace — relevant_specs keys on them.
@@ -334,12 +346,19 @@ def main() -> int:
     bad = []
     for suite in suites:
         catalog = relevant_specs(CATALOG, suite) if quick else CATALOG
-        fails = run_suite(spark, suite, catalog)
+        fails, stale = run_suite(spark, suite, catalog)
         print(f"{suite}: {len(fails)} unexpected failures"
               f" ({len(catalog)} builders)")
         for f in fails:
             print(f"  {f}")
+        if stale:
+            # An expectation that no longer fires is also a failure:
+            # leaving it in place would green-wash the crash class it
+            # documents once the remediation lands.
+            print(f"{suite}: STALE expected failures (remove from "
+                  f"EXPECTED_FAILURES): {stale}")
         bad.extend(fails)
+        bad.extend(stale)
     spark.stop()
     return 1 if bad else 0
 
