@@ -83,10 +83,18 @@ ROTATION_ROUND = 11
 # events variants surfaced (scripts/degenerate_probe.py
 # EXPECTED_EVENTS_FAILURES: events_props_avg_k / events_props_map_stats
 # nested-JSON $.k cast, events_scalar_features signum(NaN).cast(int),
-# events_value_histogram floor(±Inf).cast(int) — one-line try_cast
-# spellings + DuckDB TRY_CAST oracle twins; re-stamps 4 entries of
-# which only events_props_map_stats is r11-window, so the r12 cost is
-# 3-4 slots of the 14); (b) DONE EARLY, round 11: the probe's events +
+# events_value_histogram floor(±Inf).cast(int) — try_cast spellings +
+# DuckDB TRY_CAST oracle twins; re-stamps 4 entries of which only
+# events_props_map_stats is r11-window, so the r12 cost is 3-4 slots
+# of the 14).  PRE-BUILT AND TESTED on branch `r12-prep` late in
+# round 11 (commit 5b28cb4: probe suites, cross-engine degenerate
+# twins, and sf0.01 oracle diffs all green there; the twins also
+# caught a latent negative-k divergence in the map_stats bucket
+# oracle).  Landing steps: rebase onto post-r11 main, run
+# scripts/update_entry_hashes.py (stamps regate_round=12 once
+# CORRECTNESS_r11 is on disk — deliberately NOT stamped on the
+# branch, where the forcing test is red by design), fold the
+# re-gates into the r12 window; (b) DONE EARLY, round 11: the probe's events +
 # tpch --quick suites are CI-wired (test-only, zero churn), and the
 # wiring asserts the 4 expected events failures still FIRE — so (a)'s
 # fixes must delete their names from EXPECTED_EVENTS_FAILURES or the
