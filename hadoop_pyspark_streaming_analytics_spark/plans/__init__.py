@@ -86,11 +86,15 @@ ROTATION_ROUND = 11
 # events_value_histogram floor(±Inf).cast(int) — try_cast spellings +
 # DuckDB TRY_CAST oracle twins; re-stamps 4 entries of which only
 # events_props_map_stats is r11-window, so the r12 cost is 3-4 slots
-# of the 14).  PRE-BUILT AND TESTED on branch `r12-prep` late in
-# round 11 (commit 5b28cb4: probe suites, cross-engine degenerate
-# twins, and sf0.01 oracle diffs all green there; the twins also
-# caught a latent negative-k divergence in the map_stats bucket
-# oracle).  Landing steps: rebase onto post-r11 main, run
+# of the 14).  PRE-BUILT AND TESTED on branch `r12-prep` (its tip
+# commit) late in round 11: the full suite there is 517 passed / 1
+# failed, the one failure being exactly this forcing test pending the
+# r12 re-stamp; probe suites, cross-engine degenerate twins, and
+# sf0.01 oracle diffs all green; the twins also caught a latent
+# negative-k divergence in the map_stats bucket oracle (DuckDB //
+# truncates toward zero, Spark floor(k/10) floors — invisible to the
+# driver diff, whose k is never negative).  Landing steps: rebase
+# onto post-r11 main, run
 # scripts/update_entry_hashes.py (stamps regate_round=12 once
 # CORRECTNESS_r11 is on disk — deliberately NOT stamped on the
 # branch, where the forcing test is red by design), fold the
