@@ -102,9 +102,13 @@ ROTATION_ROUND = 11
 # tpch --quick suites are CI-wired (test-only, zero churn), and the
 # wiring asserts the 4 expected events failures still FIRE — so (a)'s
 # fixes must delete their names from EXPECTED_EVENTS_FAILURES or the
-# suite goes red on the stale expectation; (c) new catalog entries if
-# a feature tier is wanted (each costs a slot AND starts its own
-# 4-round refresh clock).
+# suite goes red on the stale expectation; (c) the length-cap policy
+# tier PRE-BUILT late round 11 (operators/length_policy.py: cap_text +
+# truncation_loss_report, pytest-gated, zero fingerprint churn — a new
+# module no entry references): catalog entries are a trivial
+# SUBSTR/conditional-sum oracle away and cost 1-2 of the 14 slots;
+# (d) other new catalog entries if a feature tier is wanted (each
+# costs a slot AND starts its own 4-round refresh clock).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------

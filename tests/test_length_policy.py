@@ -1,0 +1,120 @@
+"""Length-cap policy (operators/length_policy.py) — the giant-doc knob the
+round-11 probe named as the round-12 design question, pytest-gated until its
+catalog entry lands with round 12's free window slots.
+
+Properties pinned:
+1. docs at/under the cap (and NULL/empty text) pass through byte-identical
+   with ``was_truncated = false``;
+2. a capped doc's downstream shingles equal the shingles of its prefix —
+   i.e. composing ``cap_text`` upstream of ``doc_shingles`` is exactly
+   "shingle the first ``cap_chars`` characters", and OTHER docs' shingles
+   are untouched by a giant doc's presence;
+3. the loss report's arithmetic is exact, counts characters not bytes,
+   and degrades per-row on NULL text / all-NULL sources;
+4. ``cap_text`` adds no Exchange to the plan (pure codegen projection).
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_pyspark_streaming_analytics_spark.operators.dedup import doc_shingles
+from hadoop_pyspark_streaming_analytics_spark.operators.length_policy import (
+    cap_text,
+    truncation_loss_report,
+)
+
+
+def _docs(spark):
+    giant = " ".join(f"tok{i}" for i in range(400))  # 3,290 chars
+    rows = [
+        (1, "short doc stays whole", "web"),
+        (2, None, "web"),
+        (3, "", "books"),
+        (4, giant, "books"),
+        (5, "東京 北京 emoji \U0001F600 text", "web"),  # multibyte chars
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_cap_text_passthrough_and_flag(spark):
+    out = cap_text(_docs(spark), cap_chars=100).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].text == "short doc stays whole"
+    assert by_id[2].text is None and by_id[2].was_truncated is False
+    assert by_id[3].text == "" and by_id[3].was_truncated is False
+    assert by_id[4].was_truncated is True and len(by_id[4].text) == 100
+    assert by_id[5].was_truncated is False  # 20 chars < 100: CHARACTER count
+    # exact-cap boundary: a doc of exactly cap_chars is NOT truncated
+    edge = spark.createDataFrame([(9, "x" * 50, "web")], "doc_id long, text string, source string")
+    r = cap_text(edge, cap_chars=50).first()
+    assert r.was_truncated is False and r.text == "x" * 50
+
+
+def test_cap_text_keep_original_column(spark):
+    out = cap_text(
+        _docs(spark), cap_chars=100, out_col="text_capped"
+    ).filter("doc_id = 4").first()
+    assert len(out.text_capped) == 100 and len(out.text) > 100
+
+
+def test_cap_text_rejects_nonpositive_cap(spark):
+    with pytest.raises(ValueError):
+        cap_text(_docs(spark), cap_chars=0)
+
+
+def test_capped_shingles_equal_prefix_shingles(spark):
+    docs = _docs(spark)
+    capped = cap_text(docs, cap_chars=100).select("doc_id", "text")
+    prefix = docs.select(
+        "doc_id", F.substring("text", 1, 100).alias("text")
+    )
+    got = {
+        (r.doc_id, r.shingle) for r in doc_shingles(capped).collect()
+    }
+    want = {
+        (r.doc_id, r.shingle) for r in doc_shingles(prefix).collect()
+    }
+    assert got == want
+    # other docs' shingles are untouched by the giant doc being capped
+    raw = {
+        (r.doc_id, r.shingle)
+        for r in doc_shingles(docs).collect()
+        if r.doc_id != 4
+    }
+    assert {t for t in got if t[0] != 4} == raw
+
+
+def test_truncation_loss_report_arithmetic(spark):
+    rep = {
+        r.source: r
+        for r in truncation_loss_report(
+            _docs(spark), cap_chars=100
+        ).collect()
+    }
+    giant_len = len(" ".join(f"tok{i}" for i in range(400)))
+    books = rep["books"]
+    assert books.n_docs == 2 and books.docs_truncated == 1
+    assert books.chars_dropped == giant_len - 100
+    assert books.chars_total == giant_len  # empty doc contributes 0
+    assert abs(books.dropped_frac - (giant_len - 100) / giant_len) < 1e-5
+    web = rep["web"]
+    assert web.docs_truncated == 0 and web.chars_dropped == 0
+    # NULL text contributes nothing but the row still counts in n_docs
+    assert web.n_docs == 3
+
+
+def test_truncation_loss_report_all_null_source(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "void"), (2, None, "void")],
+        "doc_id long, text string, source string",
+    )
+    r = truncation_loss_report(docs, cap_chars=10).first()
+    assert r.n_docs == 2 and r.docs_truncated == 0
+    assert r.chars_dropped == 0 and r.chars_total == 0
+    assert r.dropped_frac is None  # 0/0 degrades to NULL, never a crash
+
+
+def test_cap_text_adds_no_exchange(spark):
+    plan = cap_text(_docs(spark), cap_chars=100)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
