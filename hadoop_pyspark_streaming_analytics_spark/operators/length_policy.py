@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import load_table
+
 
 def cap_text(
     df: DataFrame,
@@ -93,3 +95,59 @@ def truncation_loss_report(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-ready builders (round-12 registration; pytest-gated until then)
+# ---------------------------------------------------------------------------
+# (spark, sf_dir) signatures + the load_table seam so the degenerate probe's
+# documents suite covers them the moment their QuerySpecs land.  Their
+# DuckDB oracles live beside them (ORACLE_* below) — already diffed against
+# the builders at sf0.001 by tests/test_length_policy.py, so round 12's
+# registration is QuerySpec boilerplate, not new verification work.
+# CAP_CHARS=300 sits near the median document length at every SF
+# (sf0.001/0.01/0.1 medians are ~295-312), so roughly half the corpus
+# truncates — a non-trivial diff at the driver's sf0.01 gate.
+
+CAP_CHARS = 300
+
+
+def cap_documents(spark, sf_dir: str, cap_chars: int = CAP_CHARS) -> DataFrame:
+    """``cap_text`` over the documents table — full capped-content output
+    (doc_id, was_truncated, text), so the oracle diff hashes the actual
+    truncated text, not just lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_text(docs, cap_chars=cap_chars).select(
+        "doc_id", "was_truncated", "text"
+    )
+
+
+def documents_truncation_loss(
+    spark, sf_dir: str, cap_chars: int = CAP_CHARS
+) -> DataFrame:
+    """``truncation_loss_report`` over the documents table at the same cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return truncation_loss_report(docs, cap_chars=cap_chars)
+
+
+ORACLE_CAP_DOCUMENTS = f"""
+SELECT doc_id,
+       coalesce(length(text) > {CAP_CHARS}, FALSE) AS was_truncated,
+       CASE WHEN length(text) > {CAP_CHARS}
+            THEN substr(text, 1, {CAP_CHARS}) ELSE text END AS text
+FROM documents"""
+
+ORACLE_TRUNCATION_LOSS = f"""
+WITH l AS (SELECT source, length(text) AS n FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN n > {CAP_CHARS} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS docs_truncated,
+       CAST(coalesce(sum(CASE WHEN n > {CAP_CHARS} THEN n - {CAP_CHARS}
+                         ELSE 0 END), 0) AS BIGINT) AS chars_dropped,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS chars_total,
+       round(CAST(coalesce(sum(CASE WHEN n > {CAP_CHARS} THEN n - {CAP_CHARS}
+                                ELSE 0 END), 0) AS DOUBLE)
+             / nullif(CAST(coalesce(sum(n), 0) AS DOUBLE), 0)
+             + 1e-12, 6) AS dropped_frac
+FROM l GROUP BY 1"""

@@ -118,3 +118,29 @@ def test_truncation_loss_report_all_null_source(spark):
 def test_cap_text_adds_no_exchange(spark):
     plan = cap_text(_docs(spark), cap_chars=100)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "builder_name, oracle_name",
+    [
+        ("cap_documents", "ORACLE_CAP_DOCUMENTS"),
+        ("documents_truncation_loss", "ORACLE_TRUNCATION_LOSS"),
+    ],
+)
+def test_catalog_ready_builders_match_their_oracles(
+    spark, builder_name, oracle_name
+):
+    """Differential gate for the round-12 registration: run each catalog-
+    ready builder against its co-located DuckDB oracle over the REAL
+    sf0.001 documents table — the same Spark-vs-DuckDB compare the driver
+    applies, so the r12 QuerySpec lands pre-verified."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import (
+        length_policy as lp,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import QuerySpec
+    from tests.oracle import compare
+
+    spec = QuerySpec(
+        f"lp_{builder_name}", getattr(lp, builder_name), getattr(lp, oracle_name)
+    )
+    compare(spec, spark, "/root/testdata/sf0.001")
