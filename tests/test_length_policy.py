@@ -144,3 +144,61 @@ def test_catalog_ready_builders_match_their_oracles(
         f"lp_{builder_name}", getattr(lp, builder_name), getattr(lp, oracle_name)
     )
     compare(spec, spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Property pin (hypothesis, repo conventions: derandomized, 12 examples)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Unicode-heavy text (incl. astral-plane emoji and CJK) around small caps —
+# the CHARACTER-not-byte contract is the property most worth fuzzing.
+_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(list("ab 東京\U0001F600é\x00")),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_texts, st.integers(min_value=1, max_value=25))
+@_SETTINGS
+def test_cap_text_matches_python_reference(spark, values, cap):
+    """cap_text == python slicing on code points, for ANY unicode text and
+    cap: flag iff len > cap, output == text[:cap] when flagged, identity
+    (incl. None) otherwise — and the loss report's totals equal the
+    python-side sums."""
+    df = spark.createDataFrame(
+        [(i, v, "s") for i, v in enumerate(values)],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r for r in cap_text(df, cap_chars=cap).collect()}
+    for i, v in enumerate(values):
+        r = got[i]
+        if v is None:
+            assert r.text is None and r.was_truncated is False
+        elif len(v) > cap:
+            assert r.was_truncated is True and r.text == v[:cap]
+        else:
+            assert r.was_truncated is False and r.text == v
+    rep = truncation_loss_report(df, cap_chars=cap).first()
+    assert rep.docs_truncated == sum(
+        1 for v in values if v is not None and len(v) > cap
+    )
+    assert rep.chars_dropped == sum(
+        len(v) - cap for v in values if v is not None and len(v) > cap
+    )
+    assert rep.chars_total == sum(len(v) for v in values if v is not None)
