@@ -49,10 +49,17 @@ def compare(spec: QuerySpec, spark, sf_dir: str) -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
-            ok = (
-                g.isna() == w.isna()
-            ).all() and bool(
-                ((g.fillna(0.0) - w.fillna(0.0)).abs() <= 1e-9 + 1e-9 * w.fillna(0.0).abs()).all()
+            import numpy as np
+
+            # isclose, not a fillna-subtraction: Inf - Inf is NaN, so the
+            # subtraction spelling would reject two EQUAL infinities.
+            # equal_nan is irrelevant after fillna but keeps the intent
+            # explicit if the NA handling ever changes.
+            ok = (g.isna() == w.isna()).all() and bool(
+                np.isclose(
+                    g.fillna(0.0), w.fillna(0.0), rtol=1e-9, atol=1e-9,
+                    equal_nan=True,
+                ).all()
             )
         else:
             ok = g.astype(object).where(pd.notna(g), None).equals(
