@@ -262,9 +262,25 @@ def run_suite(spark, suite: str, catalog) -> tuple[list[str], list[str]]:
                 "events": degenerate_events,
             }[suite](spark)
         }
+    # Patch EVERY package module that binds the loader seams — not just
+    # operators/*.  plans/catalog.py defines builders inline (the
+    # streaming batch twins, retail shapes) that import load_table /
+    # load_events from sources.readers at module level or inside the
+    # builder; patching only operators/* let those run against the REAL
+    # table and trivially pass (probe-coverage hole found late round 11).
+    # Patching sources.readers itself additionally catches every
+    # call-time `from ..sources.readers import load_events` lookup.
+    root_pkg = importlib.import_module(
+        ops_pkg.__name__.rsplit(".", 1)[0]
+    )
+    mods = [
+        importlib.import_module(name)
+        for _, name, _ in pkgutil.walk_packages(
+            root_pkg.__path__, prefix=f"{root_pkg.__name__}."
+        )
+    ]
     originals: list[tuple] = []
-    for m in pkgutil.iter_modules(ops_pkg.__path__):
-        mod = importlib.import_module(f"{ops_pkg.__name__}.{m.name}")
+    for mod in mods:
         if hasattr(mod, "load_table"):
             orig = mod.load_table
 
