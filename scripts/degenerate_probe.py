@@ -329,16 +329,18 @@ def relevant_specs(catalog, suite: str) -> list:
     """The catalog entries whose oracle reads a table the suite corrupts —
     the ``--quick`` selection (the CI wiring, tests/test_degenerate_probe.py,
     runs only these: a builder that never reads the corrupted table cannot
-    exercise the suite's crash class).  Oracle-less entries are kept when
-    any suite table appears in their name's tier (the two HLL sketches are
-    events-tier)."""
+    exercise the suite's crash class).  Oracle-less entries are ALWAYS
+    kept: without SQL to inspect, the selection cannot know which table
+    they read, and the original name-based fallback silently DROPPED the
+    three HLL sketch entries from the events suite (their names never say
+    'events') — a few conservative extra builders per suite is the right
+    price for never green-washing an oracle-less entry."""
     import re
 
     pats = [re.compile(rf"\b{t}\b") for t in _SUITE_TABLES[suite]]
     out = []
     for s in catalog:
-        hay = s.oracle or s.name
-        if any(p.search(hay) for p in pats):
+        if s.oracle is None or any(p.search(s.oracle) for p in pats):
             out.append(s)
     return out
 
