@@ -169,7 +169,10 @@ def event_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("retention_check_ts"),
         F.regexp_replace("event_type", "[aeiou]", "").alias("etype_squeezed"),
         F.round(F.abs("value") + F.lit(1e-8), 4).alias("value_abs"),
-        F.signum("value").cast("int").alias("value_sign"),
+        # try_cast: sign(NaN) is NaN, whose ANSI int cast is a runtime
+        # crash — a degenerate value must cost one NULL, not the job
+        # (probe-found, round-11; oracle mirrors with TRY_CAST).
+        F.signum("value").try_cast("int").alias("value_sign"),
         F.round(F.sqrt(F.abs("value")) + F.lit(1e-8), 4).alias("value_sqrt"),
         F.round(F.log1p(F.abs("value")) + F.lit(1e-8), 4).alias("value_log1p"),
         F.round(F.greatest(F.col("value"), F.lit(0.0)) + F.lit(1e-8), 4).alias(
@@ -181,8 +184,10 @@ def event_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def props_avg_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
     column (JVM-side ``get_json_object``) and aggregate per event type."""
+    # try_cast: a NESTED object under $.k extracts as a JSON string that
+    # ANSI CAST rejects (probe-found, round-11) — degrade to NULL per row.
     ev = load_events(spark, sf_dir).withColumn(
-        "k", F.get_json_object("props", "$.k").cast("long")
+        "k", F.get_json_object("props", "$.k").try_cast("long")
     )
     return ev.groupBy("event_type").agg(
         F.round(F.avg("k") + F.lit(1e-8), 4).alias("avg_k"),
@@ -440,7 +445,14 @@ def value_histogram(
     aggregate; bins are floor(value / width), engine-portable (no
     width_bucket dependency)."""
     ev = load_events(spark, sf_dir)
-    bin_col = F.floor(F.col("value") / bin_width).cast("int")
+    # Degenerate scalars bin to NULL, never crash or mis-bin (probe-found,
+    # round-11): floor() maps ±Inf to LONG_MIN/MAX — try_cast turns the
+    # ANSI int overflow into NULL — and silently maps NaN to bin 0
+    # ((long) Math.floor(NaN) in the JVM), so NaN is nulled FIRST (nanvl;
+    # the oracle's isnan CASE mirrors it — DuckDB's floor keeps NaN, whose
+    # TRY_CAST is NULL, so without the guard the engines would disagree).
+    clean_value = F.nanvl(F.col("value"), F.lit(None).cast("double"))
+    bin_col = F.floor(clean_value / bin_width).try_cast("int")
     return (
         ev.groupBy("event_type", bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -485,7 +497,9 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only shuffle carries 3 rows per partition.
     """
     ev = load_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: same nested-JSON crash class as props_avg_k (probe-found,
+    # round-11) — a non-scalar $.k degrades to NULL map values per row.
+    k = F.get_json_object("props", "$.k").try_cast("long")
     m = F.create_map(
         F.lit("k"), k,
         F.lit("parity"), k % 2,

@@ -593,10 +593,20 @@ FROM events GROUP BY 1""",
         "events_props_avg_k",
         timeseries.props_avg_k,
         """
-WITH ev AS (
+WITH raw AS (
+  SELECT event_type, json_extract_string(props, '$.k') AS ks FROM events
+),
+-- integral-string guard: Spark's try_cast(string AS BIGINT) accepts only
+-- [sign]digits (with surrounding whitespace) and NULLs everything else,
+-- while DuckDB's TRY_CAST parses doubles/hex/scientific and ROUNDS
+-- ('1.7' -> 2) — without the regexp the engines would disagree on any
+-- non-integer $.k
+ev AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events
+         TRY_CAST(CASE WHEN regexp_matches(
+                         ks, '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
+                  THEN ks END AS BIGINT) AS k
+  FROM raw
 )
 SELECT event_type, round(avg(k) + 1e-8, 4) AS avg_k,
        min(k) AS min_k, max(k) AS max_k, count(k) AS cnt
@@ -614,7 +624,10 @@ SELECT event_id,
        ts + INTERVAL 7 DAY AS retention_check_ts,
        regexp_replace(event_type, '[aeiou]', '', 'g') AS etype_squeezed,
        round(abs(value) + 1e-8, 4) AS value_abs,
-       CAST(sign(value) AS INTEGER) AS value_sign,
+       -- isnan guard: DuckDB sign(NaN) is 0 while Spark signum(NaN) is
+       -- NaN (-> NULL under try_cast) — NaN must go NULL in BOTH engines
+       TRY_CAST(sign(CASE WHEN isnan(value) THEN NULL ELSE value END)
+                AS INTEGER) AS value_sign,
        round(sqrt(abs(value)) + 1e-8, 4) AS value_sqrt,
        round(ln(1 + abs(value)) + 1e-8, 4) AS value_log1p,
        round(greatest(value, 0.0) + 1e-8, 4) AS value_clipped
@@ -658,13 +671,25 @@ FROM errors e ASOF LEFT JOIN clicks c
         "events_props_map_stats",
         timeseries.props_map_stats,
         """
-WITH base AS (
-  SELECT CAST(props->>'k' AS BIGINT) AS k FROM events
+WITH raw AS (
+  SELECT props->>'k' AS ks FROM events
+),
+-- same integral-string guard as events_props_avg_k: DuckDB TRY_CAST
+-- rounds non-integer strings that Spark's try_cast NULLs
+base AS (
+  SELECT TRY_CAST(CASE WHEN regexp_matches(
+                         ks, '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
+                  THEN ks END AS BIGINT) AS k
+  FROM raw
 ),
 kv AS (
   SELECT 'k' AS key, k AS value FROM base
   UNION ALL SELECT 'parity', k % 2 FROM base
-  UNION ALL SELECT 'bucket', k // 10 FROM base
+  -- floor(k/10.0), not k // 10: DuckDB's // truncates toward zero on a
+  -- negative k (-7 // 10 = 0) while Spark's floor(k/10) floors (-1) —
+  -- latent divergence the degenerate twin caught (driver k is never
+  -- negative, so the sf0.01 diff couldn't)
+  UNION ALL SELECT 'bucket', CAST(floor(k / 10.0) AS BIGINT) FROM base
 )
 SELECT key, count(*) AS cnt, CAST(sum(value) AS BIGINT) AS total,
        round(avg(value) + 1e-8, 4) AS mean_value
@@ -859,11 +884,19 @@ SELECT 'orders.o_custkey -> customer',
         "events_value_histogram",
         timeseries.value_histogram,
         """
-SELECT event_type, CAST(floor(value / 25.0) AS INTEGER) AS bin,
-       count(*) AS cnt,
-       round(CAST(floor(value / 25.0) AS INTEGER) * 25.0 + 1e-8, 2)
-         AS bin_low
-FROM events GROUP BY 1, 2""",
+WITH binned AS (
+  -- isnan guard + TRY_CAST mirror the builder's nanvl + try_cast exactly:
+  -- DuckDB's floor keeps NaN (TRY_CAST NULL) while Spark's (long)floor
+  -- maps NaN to 0, so without the shared NaN->NULL guard the engines
+  -- would disagree; TRY_CAST turns floor(+-Inf)'s int overflow into NULL.
+  SELECT event_type,
+         TRY_CAST(floor((CASE WHEN isnan(value) THEN NULL ELSE value END)
+                        / 25.0) AS INTEGER) AS bin
+  FROM events
+)
+SELECT event_type, bin, count(*) AS cnt,
+       round(bin * 25.0 + 1e-8, 2) AS bin_low
+FROM binned GROUP BY 1, 2""",
         tags=("timeseries", "histogram"),
     ),
     QuerySpec(

@@ -62,33 +62,20 @@ sys.path.insert(0, ".")
 #: set used to carry are no longer expected to fail under ANY suite.
 EXPECTED_EMBEDDING_FAILURES: set[str] = set()
 
-#: Round-11 probe EXTENSION findings (NaN/±Inf values + nested-JSON
-#: props, added this round): four entries crash on ANSI casts of
-#: degenerate scalars.  REMEDIATION SCHEDULED for round 12 — the fixes
-#: are one-line try_cast spellings (+ DuckDB TRY_CAST oracle twins) but
-#: re-stamp THREE entries outside the round-11 window, and r11's window
-#: is exactly 50 with zero slack (plans/__init__.py ROUND-11 note);
-#: r12's measured budget has 14 free slots, which absorbs these
-#: re-gates with room to spare (ROUND-12 note names them).
-#:   events_props_avg_k / events_props_map_stats —
-#:     get_json_object('$.k').cast(long): a NESTED object under $.k
-#:     extracts as a JSON string that ANSI CAST rejects
-#:     (timeseries.py:185,489; fix: try_cast);
-#:   events_scalar_features — signum(NaN).cast(int) CAST_OVERFLOW
-#:     (timeseries.py:172; fix: try_cast or nanvl pre-guard);
-#:   events_value_histogram — floor(±Inf/width) is LONG_MIN/MAX, whose
-#:     .cast(int) overflows (timeseries.py:443; fix: keep the bin LONG
-#:     and try_cast).
-#: Everything ELSE absorbs the harsh variants already: malformed JSON
-#: props (get_json_object -> NULL), empty props, far-future (2199) and
+#: The round-11 probe EXTENSION (NaN/±Inf values + nested-JSON props)
+#: found four entries crashing on ANSI casts of degenerate scalars
+#: (nested $.k extract CAST-rejected in events_props_avg_k /
+#: events_props_map_stats; signum(NaN).cast(int) CAST_OVERFLOW in
+#: events_scalar_features; floor(±Inf).cast(int) overflow in
+#: events_value_histogram).  The scheduled try_cast remediation LANDED
+#: (timeseries.py + TRY_CAST/isnan oracle twins in plans/catalog.py),
+#: so the set is empty again — the CI wiring asserts any name left
+#: here still FIRES, so a landed fix MUST delete its name.  Everything
+#: else absorbs the harsh variants: malformed JSON props
+#: (get_json_object -> NULL), empty props, far-future (2199) and
 #: pre-epoch (1960) timestamps, and NaN/Inf through the percentile /
 #: winsorize / EWMA / session tiers.
-EXPECTED_EVENTS_FAILURES: set[str] = {
-    "events_props_avg_k",
-    "events_props_map_stats",
-    "events_scalar_features",
-    "events_value_histogram",
-}
+EXPECTED_EVENTS_FAILURES: set[str] = set()
 
 #: Per-suite expected-failure sets consulted by run_suite.
 EXPECTED_FAILURES: dict[str, set[str]] = {
