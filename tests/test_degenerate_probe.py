@@ -179,8 +179,9 @@ def test_try_cast_degenerate_cross_engine(spark, name):
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             g, w = g.astype(float), w.astype(float)
-            # isclose(equal_nan) matches NaN==NaN and Inf==Inf — tests/
-            # oracle.py's fillna spelling would fail on Inf - Inf = NaN.
+            # isclose(equal_nan) matches NaN==NaN and Inf==Inf — the
+            # same spelling tests/oracle.py adopted after its original
+            # fillna-subtraction compare failed on Inf - Inf = NaN.
             assert (
                 (g.isna() == w.isna()).all()
                 and np.isclose(
