@@ -19,9 +19,11 @@ SURVEY.md §2 has no length policy): pytest-gated this round, catalog
 entry + DuckDB oracle scheduled with round 12's free window slots
 (plans/__init__.py ROUND-12 note).
 
-Both functions are single codegen projections/aggregations — no shuffle
-is added to any pipeline that composes them (pinned by
+``cap_text`` is a single codegen projection — no Exchange is added to
+any pipeline that composes it (pinned by
 tests/test_length_policy.py::test_cap_text_adds_no_exchange).
+``truncation_loss_report`` is one map-side-combinable hash aggregate,
+i.e. a single small shuffle of per-source partials.
 """
 
 from __future__ import annotations

@@ -18,18 +18,22 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 11 rotation — the pre-computed cosine-fix recipe, executed: the
-# nullif cosine spelling + _duck_cos oracle twins + PQ code sentinel +
-# nulls-last rankings + kmeans NULL filter (the degrade-per-row
-# remediation for the probe-found zero/NULL-norm loud failure)
-# re-fingerprinted FOURTEEN surviving cosine/ANN/retrieval dependents
-# (the r10 plan estimated 12; the PQ/kmeans crash fixes pulled in
-# ann_pq_adc_topk and ann_ivf_build_kmeans's whole import chains), one
-# of which (retrieval_hybrid_mmr_pipeline, last green r7) overlaps the
-# 37-entry last-green-r7 staleness generation.  37 + 14 - 1 = exactly
-# 50 — the zero-slack round the r10 verdict predicted; NO new entry, no
-# retirement needed, all other operator churn held at zero.  After a
-# green r11, min(last-green) across oracle-backed entries rises to r8.
+# Round 12 rotation — the pre-written ROUND-12 BUDGET below, executed
+# exactly: the r12-prep branch landed first (try_cast/nanvl degrade-per-
+# row spellings at the four ANSI-cast events sites + TRY_CAST oracle
+# twins + the negative-k map_stats floor fix), re-fingerprinting FOUR
+# entries (events_props_avg_k, events_props_map_stats,
+# events_scalar_features, events_value_histogram — update_entry_hashes
+# stamped regate_round=12, matching the budget's 3-4 estimate), one of
+# which (events_value_histogram, last green r8) overlaps the 36-entry
+# last-green-r8 staleness generation.  The remaining 50 - (4 + 36 - 1)
+# = 11 free slots spent: 2 on the NEW length-cap entries
+# (docs_length_cap / docs_truncation_loss — operators/length_policy.py
+# built+pytest-gated round 11, registered this round per budget item c)
+# and 9 on the alphabetically-first last-green-r9 entries (rule 3
+# refresh brought forward, shrinking round 13's owed generation
+# 39 -> 30).  4 + 35 + 2 + 9 = exactly 50.  After a green r12,
+# min(last-green) across oracle-backed entries rises to r9.
 #
 # STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
 # 4 rounds, not 3.  The arithmetic: 174 oracle-backed entries / 50
@@ -52,118 +56,98 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 11
-# ROUND-11 ROTATION (EXECUTED this round — see the round-11 paragraph
-# above for the recipe and the measured arithmetic): 14 fingerprint-
-# derived cosine-fix re-gates UNION 37 last-green-r7 stale entries,
-# overlap {retrieval_hybrid_mmr_pipeline} = exactly 50.  Verified by
-# recomputing fingerprint.last_green_rounds() over CORRECTNESS_r01-r10
-# plus entry_hashes.json regate_round == 11 stamps.
+ROTATION_ROUND = 12
+# ROUND-12 ROTATION (EXECUTED this round — see the round-12 paragraph
+# above for the recipe and the measured arithmetic): 4 fingerprint-
+# derived ANSI-cast re-gates UNION 36 last-green-r8 stale entries
+# (overlap {events_value_histogram}) + 2 NEW length-cap entries + 9
+# brought-forward r9 refreshes = exactly 50.  Verified by recomputing
+# fingerprint.last_green_rounds() over CORRECTNESS_r01-r11 plus
+# entry_hashes.json regate_round == 12 stamps.
 #
-# ROUND-12 BUDGET (the cycle arithmetic, written BEFORE it binds — r10
-# VERDICT item 5; distribution recomputed round 11 by simulating a
-# green r11 over fingerprint.last_green_rounds()): after a green r11,
-# the oracle-backed last-green distribution is
-# {r8: 36, r9: 39, r10: 49, r11: 50} = 174 (the four r8-green cosine
-# entries ann_brute_force_topk / ann_ivf_build_kmeans /
-# ann_ivf_cell_stats / ann_ivf_search re-gate in r11, shrinking the r8
-# generation 40 -> 36; eight r9-green entries sit in the r11 window,
-# shrinking r9 47 -> 39; rows-only sketch_daily_user_hll stays the r4
-# exception outside the oracle-backed count).  Round 12 therefore OWES
-# 36 stale slots, leaving 50 - 36 = 14 for changed-code re-gates
-# and/or new entries — the roomiest round since the policy landed, and
-# enough to absorb a cosine-fix-sized churn (this round's was 14).  If
-# a r12 surprise pushes the union past 50, the retirement reserve is
-# unchanged: bonus_categorize_expr (one of three U1 parity faces) then
-# events_props_map_stats (subsumable by events_scalar_features).
-# Round 13 then owes the r9 generation (39 - whatever r12 re-gates),
-# i.e. expect ~11 free slots — r12 and r13 both have real headroom,
-# but a multi-entry feature still lands cheaper in r12.  Named candidates for the 14 r12 slots, cheapest-risk first:
-# (a) the FOUR probe-found ANSI-cast crash fixes the round-11 harsh
-# events variants surfaced (scripts/degenerate_probe.py
-# EXPECTED_EVENTS_FAILURES: events_props_avg_k / events_props_map_stats
-# nested-JSON $.k cast, events_scalar_features signum(NaN).cast(int),
-# events_value_histogram floor(±Inf).cast(int) — try_cast spellings +
-# DuckDB TRY_CAST oracle twins; re-stamps 4 entries of which only
-# events_props_map_stats is r11-window, so the r12 cost is 3-4 slots
-# of the 14).  PRE-BUILT AND TESTED on branch `r12-prep` (its tip
-# commit) late in round 11: the full suite there is 517 passed / 1
-# failed, the one failure being exactly this forcing test pending the
-# r12 re-stamp; probe suites, cross-engine degenerate twins, and
-# sf0.01 oracle diffs all green; the twins also caught a latent
-# negative-k divergence in the map_stats bucket oracle (DuckDB //
-# truncates toward zero, Spark floor(k/10) floors — invisible to the
-# driver diff, whose k is never negative).  Landing steps: rebase
-# onto post-r11 main, run
-# scripts/update_entry_hashes.py (stamps regate_round=12 once
-# CORRECTNESS_r11 is on disk — deliberately NOT stamped on the
-# branch, where the forcing test is red by design), fold the
-# re-gates into the r12 window; (b) DONE EARLY, round 11: the probe's events +
-# tpch --quick suites are CI-wired (test-only, zero churn), and the
-# wiring asserts the 4 expected events failures still FIRE — so (a)'s
-# fixes must delete their names from EXPECTED_EVENTS_FAILURES or the
-# suite goes red on the stale expectation; (c) the length-cap policy
-# tier PRE-BUILT late round 11 (operators/length_policy.py: cap_text +
-# truncation_loss_report, pytest-gated, zero fingerprint churn — a new
-# module no entry references): catalog entries are a trivial
-# SUBSTR/conditional-sum oracle away and cost 1-2 of the 14 slots;
-# (d) other new catalog entries if a feature tier is wanted (each
-# costs a slot AND starts its own 4-round refresh clock).
+# ROUND-13 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# standing VERDICT item; distribution computed round 12 by simulating
+# a green r12 over fingerprint.last_green_rounds()): after a green
+# r12, the oracle-backed last-green distribution is
+# {r9: 30, r10: 47, r11: 49, r12: 50} = 176 (the 9 brought-forward r9
+# refreshes shrink r9 39 -> 30; the avg_k/scalar_features re-gates
+# shrink r10 49 -> 47; map_stats shrinks r11 50 -> 49; the two new
+# length-cap entries land in the r12 generation; rows-only
+# sketch_daily_user_hll stays the r4 exception outside the
+# oracle-backed count).  Round 13 therefore OWES 30 stale slots,
+# leaving 50 - 30 = 20 for changed-code re-gates and/or new entries —
+# the roomiest window yet, bought by round 12's 9-slot bring-forward.
+# Round 14 then owes the r10 generation (47 minus whatever r13
+# re-gates), i.e. expect ~3 free slots — r14 is TIGHT, so any
+# multi-entry feature or churn-heavy fix should land in r13, and r13's
+# rotation should bring forward ~10+ r10 entries if slots remain, or
+# r14 will bind like r10/r11 did.  If a r13 surprise pushes the union
+# past 50, the retirement reserve is unchanged: bonus_categorize_expr
+# (one of three U1 parity faces) then events_props_map_stats
+# (subsumable by events_scalar_features).  At 176 oracle-backed
+# entries / 50 slots the 4-round cutoff needs an average 44 refresh
+# slots per round — holding only while re-gates + new entries stay
+# <= ~6 per round; the catalog stays FLAT (new entries only into
+# measured slack, retirement before the arithmetic breaks).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
-    # ---- round-11 degrade-per-row cosine/PQ/kmeans fix) ------------------
-    "ann_brute_force_topk",  # nullif cosine (cosine_expr)
-    "ann_ivf_assign",  # nullif cosine + oracle twin
-    "ann_ivf_build_kmeans",  # kmeans NULL-embedding filter
-    "ann_ivf_cell_stats",  # nullif cosine + oracle twin
-    "ann_ivf_pq_search_indexed",  # PQ nullif(code,-1) + nulls-last
-    "ann_ivf_search",  # nullif cosine + probe ranking
-    "ann_partitioned_topk",  # nullif cosine (cosine_expr)
-    "ann_pq_adc_topk",  # PQ nullif(code,-1) + nulls-last
-    "ann_recall_curve",  # nullif cosine (recall vs exact)
-    "embedding_cluster_balanced_sample",  # kmeans-tier fingerprint
-    "embedding_near_duplicates_lsh",  # nullif cosine verify stage
-    "embedding_semdedup",  # kmeans NULL filter + nullif cosine
-    "retrieval_hybrid_mmr_pipeline",  # nullif cosine; ALSO lg r7 stale
-    "retrieval_hybrid_multi_query",  # ADC path: PQ sentinel fix
-    # ---- the whole last-green-r7 stale generation (rule 3, 36 after
+    # ---- round-12 try_cast/nanvl degrade-per-row events fix) -------------
+    "events_props_avg_k",  # get_json_object($.k) try_cast
+    "events_props_map_stats",  # $.k try_cast + negative-k floor oracle fix
+    "events_scalar_features",  # signum(NaN) nanvl + try_cast(int)
+    "events_value_histogram",  # floor(±Inf/width) try_cast; ALSO lg r8 stale
+    # ---- never-driver-gated (rule 1): the round-12 length-cap tier -------
+    "docs_length_cap",  # cap_text over documents (full capped text)
+    "docs_truncation_loss",  # per-source loss report at the same cap
+    # ---- the whole last-green-r8 stale generation (rule 3, 35 after
     # ---- the overlap entry above) ----------------------------------------
-    "bonus_categorize_expr",
-    "bonus_left_join",
-    "corpus_dsir_sample",
-    "corpus_length_profile",
-    "corpus_ngram_diversity",
-    "corpus_vocabulary",
-    "drift_numeric_psi",
-    "embedding_staleness_audit",
-    "events_props_map_stats",
-    "events_resample_hourly_locf",
-    "events_values_winsorized",
-    "multimodal_image_ahash_dedup",
-    "q1_word_count_top20",
-    "q2b_customer_orders_window",
-    "q3a_product_statistics",
-    "q3b_customer_brand_pivot",
-    "retrieval_prf_expansion",
-    "star_bracketed_discount_revenue",
-    "star_customer_order_distribution",
-    "star_forecast_revenue_change",
-    "star_inactive_rich_customers",
-    "star_large_volume_customers",
-    "star_local_supplier_volume",
-    "star_nation_trade_volume",
-    "star_order_priority_returns",
-    "star_pricing_summary",
-    "star_promo_revenue_share",
-    "star_region_market_share",
-    "star_returned_item_losses",
-    "star_shipping_priority",
-    "star_small_quantity_revenue",
-    "star_top_supplier",
-    "star_waiting_suppliers",
-    "stratified_sample",
-    "temporal_asof_last_click",
-    "temporal_point_in_time_value",
+    "chunk_documents",
+    "corpus_boilerplate_ngrams",
+    "corpus_repetition_scores",
+    "corpus_tfidf_similar_pairs",
+    "corpus_tfidf_top_terms",
+    "corpus_unigram_surprisal",
+    "corpus_vocab_coverage_scalable",
+    "dedup_containment",
+    "dedup_edit_distance_verify",
+    "drift_event_type_psi",
+    "drift_value_quantile_shift",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_props_typed",
+    "events_user_value_scd2",
+    "events_value_anomalies_zscore",
+    "events_weekly_change",
+    "graph_pagerank_docs",
+    "merge_upsert_customers",
+    "mixture_sample_by_source",
+    "monitor_alert_rollup",
+    "multimodal_png_resize",
+    "multimodal_video_frame_features",
+    "multimodal_wav_features",
+    "quality_weighted_sample",
+    "star_fk_integrity_audit",
+    "star_segment_contribution",
+    "stratified_fixed_n_sample",
+    "temporal_asof_next_click",
+    "text_language_id",
+    "text_pii_redaction",
+    "text_quality_scores",
+    "train_split_assign",
+    "training_shard_assignment",
+    # ---- r9 refreshes brought forward (rule 3; alphabetically first 9
+    # ---- of the 39-entry r9 generation, shrinking round 13's debt to
+    # ---- 30 — see the ROUND-13 BUDGET above) -----------------------------
+    "agg_order_baskets",
+    "bonus_categorize_pandas_udf",
+    "bonus_inner_join",
+    "chunk_documents_udtf",
+    "corpus_bigram_surprisal",
+    "corpus_difficulty_bins",
+    "corpus_language_mixture",
+    "corpus_select_token_budget",
+    "corpus_source_report",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -16,6 +16,7 @@ from ..operators import (
     corpus,
     dedup,
     graph,
+    length_policy,
     multimodal,
     profiling,
     quality,
@@ -1772,6 +1773,20 @@ SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
 FROM assign CROSS JOIN tot
 GROUP BY centroid_id, n_total""",
         tags=("llm", "similarity", "index-health"),
+    ),
+    # --- length-cap policy (operators/length_policy.py, built round 11;
+    # --- registered round 12 per the plans/__init__.py ROUND-12 note) ---
+    QuerySpec(
+        "docs_length_cap",
+        length_policy.cap_documents,
+        length_policy.ORACLE_CAP_DOCUMENTS,
+        tags=("llm", "length-policy", "curation"),
+    ),
+    QuerySpec(
+        "docs_truncation_loss",
+        length_policy.documents_truncation_loss,
+        length_policy.ORACLE_TRUNCATION_LOSS,
+        tags=("llm", "length-policy", "curation"),
     ),
 ]
 

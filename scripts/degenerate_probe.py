@@ -260,12 +260,17 @@ def run_suite(spark, suite: str, catalog) -> tuple[list[str], list[str]]:
     root_pkg = importlib.import_module(
         ops_pkg.__name__.rsplit(".", 1)[0]
     )
-    mods = [
-        importlib.import_module(name)
-        for _, name, _ in pkgutil.walk_packages(
-            root_pkg.__path__, prefix=f"{root_pkg.__name__}."
-        )
-    ]
+    mods = []
+    for _, name, _ in pkgutil.walk_packages(
+        root_pkg.__path__, prefix=f"{root_pkg.__name__}."
+    ):
+        # A module that cannot import (optional dependency missing in
+        # some environment) must not kill the whole probe — skip it; any
+        # builder that actually NEEDS it will fail loudly on its own.
+        try:
+            mods.append(importlib.import_module(name))
+        except ImportError as e:
+            print(f"probe: skipping unimportable module {name}: {e}")
     originals: list[tuple] = []
     for mod in mods:
         if hasattr(mod, "load_table"):
@@ -299,7 +304,7 @@ def run_suite(spark, suite: str, catalog) -> tuple[list[str], list[str]]:
         for mod, attr, orig in originals:
             setattr(mod, attr, orig)
     ran = {spec.name for spec in catalog}
-    stale_expected = sorted(expected & ran - fired)
+    stale_expected = sorted((expected & ran) - fired)
     return unexpected, stale_expected
 
 
