@@ -89,6 +89,13 @@ ROTATION_ROUND = 12
 # slots per round — holding only while re-gates + new entries stay
 # <= ~6 per round; the catalog stays FLAT (new entries only into
 # measured slack, retirement before the arithmetic breaks).
+# Named candidates for r13's 20 slots, cheapest-risk first: (a) the
+# segment-scrub tier PRE-BUILT round 12 (operators/segment_dedup.py:
+# scrub_common_segments + boilerplate_loss_report — pytest-gated, zero
+# fingerprint churn, co-located oracles already diffed at sf0.001 and
+# sf0.01 by tests/test_segment_dedup.py): 2 entries of QuerySpec
+# boilerplate; (b) r10-generation bring-forward with every remaining
+# slot (see the r14 tightness note above).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-12 try_cast/nanvl degrade-per-row events fix) -------------
