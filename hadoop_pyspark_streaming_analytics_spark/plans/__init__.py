@@ -94,8 +94,12 @@ ROTATION_ROUND = 12
 # scrub_common_segments + boilerplate_loss_report — pytest-gated, zero
 # fingerprint churn, co-located oracles already diffed at sf0.001 and
 # sf0.01 by tests/test_segment_dedup.py): 2 entries of QuerySpec
-# boilerplate; (b) r10-generation bring-forward with every remaining
-# slot (see the r14 tightness note above).
+# boilerplate; (b) the ADC+exact-refine tier PRE-BUILT round 12
+# (operators/refine.py: adc_refine_topk + adc_refine_recall_report —
+# same pattern, oracles nest the ann_pq_adc_topk SQL, diffed at both
+# SFs by tests/test_refine.py): 2 more entries; (c) r10-generation
+# bring-forward with every remaining slot (see the r14 tightness note
+# above).
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-12 try_cast/nanvl degrade-per-row events fix) -------------
