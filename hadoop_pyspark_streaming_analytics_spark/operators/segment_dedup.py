@@ -112,41 +112,54 @@ def scrub_common_segments(
     ``(doc_id, segments_total, segments_dropped, cleaned_text,
     was_modified)``.
 
-    Plan shape: linear segment explode → broadcast LEFT ANTI against the
-    offender aggregate → one ``doc_id`` shuffle to reassemble (array_sort
-    on (seg_idx, segment) structs restores document order).  NULL /
-    untokenizable text passes through untouched; a document whose every
-    segment is boilerplate rebuilds to NULL cleaned_text.
+    Plan shape: linear segment explode → broadcast LEFT OUTER flag join
+    against the offender aggregate → ONE ``doc_id`` shuffle whose single
+    aggregate computes total, dropped, AND the rebuilt text together
+    (collect_list skips the NULL the flag puts on hit segments; array_sort
+    on (seg_idx, segment) structs restores document order).  The flag-join
+    spelling instead of LEFT ANTI + a separate totals aggregate saves a
+    whole corpus scan+explode pass — measured in the r12 plan audit
+    (SCALE.md): 4 parquet scans → 3 (base + segments + the offenders
+    aggregate's own pass).  NULL / untokenizable text passes through
+    untouched; a document whose every segment is boilerplate rebuilds to
+    NULL cleaned_text.
     """
     segs = doc_segments(docs, n)
-    offenders = common_segments(segs, max_doc_freq)
-    surviving = segs.join(F.broadcast(offenders), "segment", "left_anti")
-    rebuilt = surviving.groupBy("doc_id").agg(
+    offenders = common_segments(segs, max_doc_freq).withColumn(
+        "_hit", F.lit(True)
+    )
+    flagged = segs.join(F.broadcast(offenders), "segment", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.count("_hit").alias("_dropped"),  # count() skips NULL flags
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                F.array_sort(
+                    F.collect_list(  # collect_list skips hit (NULL) rows
+                        F.when(
+                            F.col("_hit").isNull(),
+                            F.struct("seg_idx", "segment"),
+                        )
+                    )
+                ),
                 lambda s: s["segment"],
             ),
             " ",
         ).alias("_rebuilt"),
-        F.count(F.lit(1)).alias("_kept"),
     )
-    totals = segs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_total")
-    )
-    dropped = F.coalesce("_total", F.lit(0)) - F.coalesce("_kept", F.lit(0))
+    dropped = F.coalesce("_dropped", F.lit(0))
     return (
         docs.select("doc_id", "text")
-        .join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("_total", F.lit(0)).cast("int").alias("segments_total"),
             dropped.cast("int").alias("segments_dropped"),
             # no segments at all (NULL/untokenizable) → original text
-            # untouched; otherwise the rebuilt stream (NULL when every
-            # segment was boilerplate).
+            # untouched; every segment boilerplate → NULL; else the
+            # rebuilt stream.
             F.when(F.col("_total").isNull(), F.col("text"))
+            .when(F.col("_dropped") == F.col("_total"), F.lit(None))
             .otherwise(F.col("_rebuilt"))
             .alias("cleaned_text"),
             (dropped > 0).alias("was_modified"),

@@ -128,16 +128,24 @@ def test_loss_report_all_null_source_degrades(spark):
     assert r.dropped_token_frac is None  # 0/0 → NULL, never a crash
 
 
-def test_scrub_anti_join_is_broadcast(spark):
+def test_scrub_plan_broadcasts_offenders_and_scans_thrice(spark):
     """The offender set is the only global artifact and must broadcast —
-    a shuffled anti-join would re-partition the whole segment stream."""
+    a shuffled flag join would re-partition the whole segment stream.
+    The one-aggregate spelling also pins the scan budget: base + segment
+    stream + the offenders aggregate's own pass = exactly 3 source scans
+    (the LEFT ANTI + separate-totals spelling cost 4 — r12 plan audit)."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.segment_dedup import (
+        scrub_documents,
+    )
+
     plan = (
-        scrub_common_segments(_docs(spark))
+        scrub_documents(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 3
 
 
 @pytest.mark.parametrize(
