@@ -16,8 +16,10 @@ either stage.
 
 Degrade-per-row discipline (inherited + preserved): a NULL/corrupt
 embedding NULL-propagates through the ADC sum upstream and through the
-exact metric here; every ranking orders ``asc_nulls_last`` so corrupt rows
-can never enter a top-k.
+exact metric here; every ranking orders ``asc_nulls_last``, so a corrupt
+row ranks behind every cleanly-scored candidate — it reaches a top-k only
+when clean candidates run out, and then with a visibly NULL ``exact_l2``,
+never by displacing a clean row and never as a crash.
 
 Beyond-reference operator (composes the similarity tier; the reference has
 no ANN at all).  Pytest-gated this round; catalog entries + DuckDB oracles
@@ -181,8 +183,11 @@ def adc_refine_recall_report(
 # ---------------------------------------------------------------------------
 # The ADC CTE chain is the ann_pq_adc_topk oracle's, nested verbatim (the
 # house convention for composed entries); DuckDB lists are 1-indexed.
+# The refine-specific CTEs (exact, truth) carry a length guard so ragged
+# vectors score NULL exactly like Spark's zip_with; the nested ADC CTEs
+# inherit ann_pq_adc_topk's clean-data assumption (driver tables carry no
+# ragged vectors — the degenerate probe exercises BUILDERS, not oracles).
 
-_DIM = PQ_M * PQ_SUBDIM
 _IDS = ", ".join(str(i) for i in DEFAULT_QUERY_IDS)
 _SHORTLIST = SHORTLIST_FACTOR * DEFAULT_K
 
@@ -238,11 +243,16 @@ short AS (
   WHERE rk <= {_SHORTLIST}
 ),
 exact AS (
+  -- the length guard mirrors Spark's zip_with NULL-padding: a ragged or
+  -- NULL vector scores NULL (DuckDB's list_sum SKIPS the NULLs that
+  -- out-of-range indexing produces, which would otherwise yield a finite
+  -- partial sum Spark never computes)
   SELECT s.query_id, s.vec_id, s.adc_rank,
-         round(list_sum(list_transform(range(1, {_DIM + 1}),
-           i -> (q.q_emb[i] - e.embedding[i]::DOUBLE)
-              * (q.q_emb[i] - e.embedding[i]::DOUBLE))) + 1e-8, 4)
-           AS exact_l2
+         CASE WHEN len(e.embedding) = len(q.q_emb) THEN
+           round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+             i -> (q.q_emb[i] - e.embedding[i]::DOUBLE)
+                * (q.q_emb[i] - e.embedding[i]::DOUBLE))) + 1e-8, 4)
+         END AS exact_l2
   FROM short s
   JOIN embeddings e ON s.vec_id = e.vec_id
   JOIN queries q ON s.query_id = q.query_id
@@ -267,14 +277,18 @@ refined AS (
   WHERE rr <= {DEFAULT_K}
 ),
 truth AS (
+  -- same zip_with-parity length guard as the exact CTE; NULLS LAST
+  -- matches Spark's asc_nulls_last ranking
   SELECT query_id, vec_id
   FROM (
     SELECT q.query_id, e.vec_id,
            row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY round(list_sum(list_transform(range(1, {_DIM + 1}),
-               i -> (q.q_emb[i] - e.embedding[i]::DOUBLE)
-                  * (q.q_emb[i] - e.embedding[i]::DOUBLE))) + 1e-8, 4),
+             ORDER BY CASE WHEN len(e.embedding) = len(q.q_emb) THEN
+                 round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+                   i -> (q.q_emb[i] - e.embedding[i]::DOUBLE)
+                      * (q.q_emb[i] - e.embedding[i]::DOUBLE))) + 1e-8, 4)
+               END NULLS LAST,
                e.vec_id) AS rk
     FROM embeddings e CROSS JOIN queries q
     WHERE e.vec_id <> q.query_id

@@ -21,10 +21,11 @@ Scale story (the reason this shape survives 100 TB):
 * the offender set is the ONLY globally-aggregated artifact, and it is
   small by construction (a segment qualifies only by repeating across
   ``max_doc_freq+1`` distinct documents — boilerplate vocabulary, not
-  corpus volume), so it is broadcast and the scrub join is a
-  broadcast LEFT ANTI: no shuffle of the segment stream;
-* the rebuild is ONE shuffle on ``doc_id`` (map-side-combinable
-  collect_list), the same cost class as any per-doc aggregation.
+  corpus volume), so it is broadcast and the scrub join is a broadcast
+  LEFT OUTER flag join: no shuffle of the segment stream;
+* the rebuild is ONE shuffle on ``doc_id`` whose single aggregate
+  computes totals, drops, and the rebuilt text together (three source
+  scans total, plan-pinned).
 
 Output contract: ``cleaned_text`` is the TOKEN-NORMALIZED stream
 (lowercased ``[a-z]+`` tokens joined by single spaces) — the original
@@ -59,11 +60,16 @@ MAX_DOC_FREQ = 3
 
 
 def doc_segments(
-    docs: DataFrame, n: int = SEG_TOKENS, text_col: str = "text"
+    docs: DataFrame,
+    n: int = SEG_TOKENS,
+    text_col: str = "text",
+    source_col: str = "source",
 ) -> DataFrame:
     """Consecutive non-overlapping ``n``-token segments per document:
     ``(doc_id, source, seg_idx, segment)``, segment = the tokens joined by
     a single space (the last segment of a document may be shorter).
+    ``source_col`` names the grouping column in ``docs``; it is always
+    emitted under the canonical name ``source``.
 
     Untokenizable documents (NULL/empty/no ``[a-z]+`` runs) produce no
     rows — callers treat their absence as pass-through.  Pure projection +
@@ -84,7 +90,7 @@ def doc_segments(
     )
     return base.select(
         "doc_id",
-        "source",
+        F.col(source_col).alias("source"),
         F.posexplode(segments).alias("seg_idx", "segment"),
     )
 
@@ -178,27 +184,27 @@ def boilerplate_loss_report(
     modified, segments and tokens dropped, and the dropped token fraction.
     Token counts are segment-tokenizer-true (``size(split(segment))``), so
     short final segments are priced exactly."""
-    segs = doc_segments(docs, n)
+    segs = doc_segments(docs, n, source_col=source_col)
     offenders = common_segments(segs, max_doc_freq)
     seg_tokens = F.size(F.split("segment", " "))
     hit = segs.join(F.broadcast(offenders), "segment", "left_semi")
-    per_source = docs.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    totals = segs.groupBy(source_col).agg(
+    per_source = docs.groupBy(
+        F.col(source_col).alias("source")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = segs.groupBy("source").agg(
         F.count(F.lit(1)).alias("_segments_total"),
         F.sum(seg_tokens).alias("_tokens_total"),
     )
-    drops = hit.groupBy(source_col).agg(
+    drops = hit.groupBy("source").agg(
         F.countDistinct("doc_id").alias("_docs_modified"),
         F.count(F.lit(1)).alias("_segments_dropped"),
         F.sum(seg_tokens).alias("_tokens_dropped"),
     )
     return (
-        per_source.join(totals, source_col, "left")
-        .join(drops, source_col, "left")
+        per_source.join(totals, "source", "left")
+        .join(drops, "source", "left")
         .select(
-            source_col,
+            F.col("source").alias(source_col),
             "n_docs",
             F.coalesce("_docs_modified", F.lit(0)).alias("docs_modified"),
             F.coalesce("_segments_total", F.lit(0)).alias("segments_total"),

@@ -9,12 +9,14 @@ Properties pinned:
    top-k — the two stages compose to the ground truth;
 3. refined recall@k is never below raw ADC recall@k (the reorder within
    the shortlist can only recover truth members, provably);
-4. degenerate vectors (NULL / ragged) score NULL and are ranked out of
-   every top-k, never crash;
+4. degenerate vectors (NULL / ragged) score NULL and rank behind every
+   clean candidate (they reach a top-k only when clean candidates run
+   out, with a visibly NULL exact_l2), never crash;
 5. the refine stage's joins are broadcasts (the corpus is probed by id,
    never scanned for exact scoring);
 6. both catalog-ready builders match their co-located DuckDB oracles on
-   the REAL sf0.001 embeddings table (the driver-gate mirror).
+   the REAL embeddings table at sf0.001 AND sf0.01 (the driver-gate
+   mirror at the driver's own SF).
 """
 from __future__ import annotations
 
@@ -113,6 +115,9 @@ def test_refine_joins_are_broadcast(spark):
 
 
 @pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+@pytest.mark.parametrize(
     "builder_name, oracle_name",
     [
         ("adc_refine_topk", "ORACLE_ADC_REFINE_TOPK"),
@@ -120,12 +125,13 @@ def test_refine_joins_are_broadcast(spark):
     ],
 )
 def test_catalog_ready_builders_match_their_oracles(
-    spark, builder_name, oracle_name
+    spark, builder_name, oracle_name, sf_dir
 ):
     """Differential gate for the round-13 registration: run each catalog-
     ready builder against its co-located DuckDB oracle over the REAL
-    sf0.001 embeddings table — the same Spark-vs-DuckDB compare the driver
-    applies, so the r13 QuerySpec lands pre-verified."""
+    embeddings table at sf0.001 AND the driver's own sf0.01 — the same
+    Spark-vs-DuckDB compare the driver applies, so the r13 QuerySpec
+    lands pre-verified at the gate's scale."""
     from hadoop_pyspark_streaming_analytics_spark.operators import refine
     from hadoop_pyspark_streaming_analytics_spark.plans.catalog import QuerySpec
     from tests.oracle import compare
@@ -135,4 +141,4 @@ def test_catalog_ready_builders_match_their_oracles(
         getattr(refine, builder_name),
         getattr(refine, oracle_name),
     )
-    compare(spec, spark, SF)
+    compare(spec, spark, sf_dir)

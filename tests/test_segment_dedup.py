@@ -9,10 +9,12 @@ Properties pinned:
    false); a fully-boilerplate document rebuilds to NULL, never an error;
 3. the loss report's arithmetic is segment-tokenizer-exact (short final
    segments priced by their real token count);
-4. the scrub join is a broadcast LEFT ANTI (the offender set must never
-   shuffle the segment stream);
+4. the scrub's offender flag join broadcasts and the whole plan scans the
+   source exactly three times (the segment stream never shuffles on
+   segment);
 5. both catalog-ready builders match their co-located DuckDB oracles on
-   the REAL sf0.001 documents table (the driver-gate mirror);
+   the REAL documents table at sf0.001 AND sf0.01 (the driver-gate
+   mirror at the driver's own SF);
 6. the whole operator equals a pure-Python reference on fuzzed corpora.
 """
 from __future__ import annotations
@@ -148,6 +150,18 @@ def test_scrub_plan_broadcasts_offenders_and_scans_thrice(spark):
     assert plan.count("FileScan parquet") == 3
 
 
+def test_loss_report_respects_source_col(spark):
+    renamed = _docs(spark).withColumnRenamed("source", "domain")
+    rep = {
+        r.domain: r
+        for r in boilerplate_loss_report(renamed, source_col="domain").collect()
+    }
+    assert rep["web"].docs_modified == 3 and rep["books"].docs_modified == 2
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
 @pytest.mark.parametrize(
     "builder_name, oracle_name",
     [
@@ -156,12 +170,13 @@ def test_scrub_plan_broadcasts_offenders_and_scans_thrice(spark):
     ],
 )
 def test_catalog_ready_builders_match_their_oracles(
-    spark, builder_name, oracle_name
+    spark, builder_name, oracle_name, sf_dir
 ):
     """Differential gate for the round-13 registration: run each catalog-
     ready builder against its co-located DuckDB oracle over the REAL
-    sf0.001 documents table — the same Spark-vs-DuckDB compare the driver
-    applies, so the r13 QuerySpec lands pre-verified."""
+    documents table at sf0.001 AND the driver's own sf0.01 — the same
+    Spark-vs-DuckDB compare the driver applies, so the r13 QuerySpec
+    lands pre-verified at the gate's scale."""
     from hadoop_pyspark_streaming_analytics_spark.operators import (
         segment_dedup as sdd,
     )
@@ -173,7 +188,7 @@ def test_catalog_ready_builders_match_their_oracles(
         getattr(sdd, builder_name),
         getattr(sdd, oracle_name),
     )
-    compare(spec, spark, "/root/testdata/sf0.001")
+    compare(spec, spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
