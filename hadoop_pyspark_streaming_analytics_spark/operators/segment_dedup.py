@@ -131,10 +131,24 @@ def scrub_common_segments(
     NULL cleaned_text.
     """
     segs = doc_segments(docs, n)
-    offenders = common_segments(segs, max_doc_freq).withColumn(
-        "_hit", F.lit(True)
+    offenders = common_segments(segs, max_doc_freq)
+    return scrub_against_offenders(docs, segs, offenders)
+
+
+def scrub_against_offenders(
+    docs: DataFrame, segs: DataFrame, offenders: DataFrame
+) -> DataFrame:
+    """The rebuild core shared by :func:`scrub_common_segments` (offenders
+    = this corpus's own frequency aggregate) and the streaming handler
+    (offenders = cumulative store counts + the micro-batch's own — see
+    streaming/extensions.foreach_batch_segment_scrub): broadcast LEFT
+    OUTER flag join against ``offenders (segment)`` → one per-doc
+    aggregate → pass-through join with ``docs``."""
+    flagged = segs.join(
+        F.broadcast(offenders.select("segment").withColumn("_hit", F.lit(True))),
+        "segment",
+        "left",
     )
-    flagged = segs.join(F.broadcast(offenders), "segment", "left")
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_total"),
         F.count("_hit").alias("_dropped"),  # count() skips NULL flags

@@ -846,3 +846,89 @@ def foreach_batch_drift_monitor(
         )
 
     return apply
+
+
+def foreach_batch_segment_scrub(
+    store_path: str,
+    out_path: str,
+    n: int | None = None,
+    max_doc_freq: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming boilerplate scrubbing: each micro-batch's documents are
+    rewritten without the segments whose CORPUS-LIFETIME distinct-document
+    frequency (all prior batches + this one) exceeds ``max_doc_freq`` —
+    the ingest-time face of operators/segment_dedup.scrub_common_segments,
+    the same relationship foreach_batch_lsh_dedup has to the batch LSH
+    dedup.
+
+    State = a parquet frequency store ``(segment, n_docs)`` appended per
+    batch, NOT executor state-store memory: segment frequency is
+    corpus-lifetime (a boilerplate string arriving a month later is still
+    boilerplate), far beyond any watermark.  doc_ids are unique across
+    batches, so per-batch distinct counts SUM to the global distinct
+    count — the store is a mergeable aggregate, and the authority read is
+    one small groupBy over it.
+
+    Exactly-once under replay: both writes go to a ``batch_id=N``
+    subdirectory with overwrite, and the count authority is ONLY prior
+    batches (``batch_id < N``) plus this batch's own recomputed counts —
+    a replayed batch never double-counts its own half-written store rows.
+
+    Streaming-vs-batch contract (pinned in tests/test_segment_dedup.py):
+    a segment's offender status uses all data seen SO FAR, so the handler
+    equals the batch operator on any single batch, and the frequency
+    store always equals the batch operator's counts over the union of
+    processed batches — but an already-emitted document is never
+    retracted when a later batch pushes one of its segments over the
+    threshold (the admit-the-first-copy semantics every streaming dedup
+    here shares).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.segment_dedup import (
+            MAX_DOC_FREQ,
+            SEG_TOKENS,
+            doc_segments,
+            scrub_against_offenders,
+        )
+
+        seg_n = n or SEG_TOKENS
+        freq = max_doc_freq or MAX_DOC_FREQ
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            "doc_id", "text", F.lit("stream").alias("source")
+        )
+        # reused by the count aggregate AND the scrub probe — one explode
+        segs = doc_segments(docs, seg_n).localCheckpoint(eager=True)
+        batch_counts = segs.groupBy("segment").agg(
+            F.countDistinct("doc_id").alias("n_docs")
+        )
+        try:
+            prior = (
+                spark.read.option("basePath", store_path)
+                .parquet(store_path)
+                .filter(F.col("batch_id") < batch_id)
+                .groupBy("segment")
+                .agg(F.sum("n_docs").alias("prior_docs"))
+            )
+        except AnalysisException:  # first batch: no store yet
+            prior = spark.createDataFrame(
+                [], "segment string, prior_docs long"
+            )
+        offenders = (
+            batch_counts.join(prior, "segment", "full_outer")
+            .where(
+                F.coalesce("n_docs", F.lit(0))
+                + F.coalesce("prior_docs", F.lit(0))
+                > freq
+            )
+            .select("segment")
+        )
+        scrub_against_offenders(docs, segs, offenders).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch_id={batch_id}")
+        batch_counts.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
+
+    return apply

@@ -23,6 +23,7 @@ import math
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_pyspark_streaming_analytics_spark.operators.segment_dedup import (
     boilerplate_loss_report,
@@ -269,3 +270,137 @@ def test_scrub_matches_python_reference(spark, values, n, max_doc_freq):
         for r in scrub_common_segments(df, n=n, max_doc_freq=max_doc_freq).collect()
     }
     assert got == _ref_scrub(values, n, max_doc_freq)
+
+
+# ---------------------------------------------------------------------------
+# Streaming handler (streaming/extensions.foreach_batch_segment_scrub)
+# ---------------------------------------------------------------------------
+
+
+def _scrub_out(spark, out):
+    return {
+        r.doc_id: r
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+
+
+def test_streaming_scrub_single_batch_equals_batch_operator(spark, tmp_path):
+    """With an empty store, one micro-batch through the handler must equal
+    the batch operator on the same docs — the composition contract."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_segment_scrub,
+    )
+
+    docs = _docs(spark)
+    apply_fn = foreach_batch_segment_scrub(
+        str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    apply_fn(docs.select("doc_id", "text"), 0)
+    got = _scrub_out(spark, str(tmp_path / "out"))
+    want = {r.doc_id: r for r in scrub_common_segments(_docs(spark)).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert (
+            got[i].cleaned_text,
+            got[i].segments_total,
+            got[i].segments_dropped,
+            got[i].was_modified,
+        ) == (
+            want[i].cleaned_text,
+            want[i].segments_total,
+            want[i].segments_dropped,
+            want[i].was_modified,
+        )
+
+
+def test_streaming_scrub_cumulative_threshold_and_no_retraction(
+    spark, tmp_path
+):
+    """A segment under the threshold in batch 0 crosses it in batch 1:
+    batch-1 docs are scrubbed, batch-0 docs stay as emitted (the
+    admit-the-first-copy semantics), and the store's counts equal the
+    batch operator's over the union."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_segment_scrub,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    apply_fn = foreach_batch_segment_scrub(store, out, max_doc_freq=3)
+    b0 = spark.createDataFrame(
+        [(i, "the shared span unique%d tail" % i) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "the shared span fresh words")], "doc_id long, text string"
+    )
+    apply_fn(b0, 0)
+    got0 = _scrub_out(spark, out)
+    assert all(not got0[i].was_modified for i in (1, 2, 3))  # 3 docs = at threshold
+    apply_fn(b1, 1)
+    got = _scrub_out(spark, out)
+    # batch-1 doc sees cumulative count 4 > 3 → scrubbed
+    assert got[4].was_modified and got[4].cleaned_text == "fresh words"
+    # batch-0 docs were NOT retracted (already emitted unmodified)
+    assert all(not got[i].was_modified for i in (1, 2, 3))
+    # store counts == batch-operator counts over the union
+    union = b0.unionByName(b1).withColumn("source", F.lit("s"))
+    from hadoop_pyspark_streaming_analytics_spark.operators.segment_dedup import (
+        doc_segments,
+    )
+
+    want_counts = {
+        (r.segment, r.n_docs)
+        for r in doc_segments(union)
+        .groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .collect()
+    }
+    got_counts = {
+        (r.segment, r.n_docs)
+        for r in spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("segment")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .collect()
+    }
+    assert got_counts == want_counts
+
+
+def test_streaming_scrub_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch (failure recovery) must neither double-count its
+    own store rows nor change its scrub decisions."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_segment_scrub,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    apply_fn = foreach_batch_segment_scrub(store, out, max_doc_freq=3)
+    b0 = spark.createDataFrame(
+        [(i, "the shared span unique%d tail" % i) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    apply_fn(b0, 0)
+    first = {
+        (i, r.cleaned_text, r.was_modified)
+        for i, r in _scrub_out(spark, out).items()
+    }
+    apply_fn(b0, 0)  # replay
+    second = {
+        (i, r.cleaned_text, r.was_modified)
+        for i, r in _scrub_out(spark, out).items()
+    }
+    assert first == second
+    total = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    # 3 docs × their segment counts, counted ONCE despite the replay
+    assert total == sum(
+        r.n_docs
+        for r in spark.read.option("basePath", store)
+        .parquet(store)
+        .filter("batch_id = 0")
+        .collect()
+    )
