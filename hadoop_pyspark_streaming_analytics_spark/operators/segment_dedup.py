@@ -18,11 +18,13 @@ Scale story (the reason this shape survives 100 TB):
 
 * segmenting is a LINEAR explode — no joins, no state, composes under
   ``length_policy.cap_text`` for giant-doc bounds;
-* the offender set is the ONLY globally-aggregated artifact, and it is
-  small by construction (a segment qualifies only by repeating across
-  ``max_doc_freq+1`` distinct documents — boilerplate vocabulary, not
-  corpus volume), so it is broadcast and the scrub join is a broadcast
-  LEFT OUTER flag join: no shuffle of the segment stream;
+* the offender set is the ONLY globally-aggregated artifact, and in the
+  expected case it is small (a segment qualifies only by repeating
+  across ``max_doc_freq+1`` distinct documents — boilerplate vocabulary,
+  not corpus volume), so AQE broadcasts the flag join at runtime and the
+  segment stream never shuffles; the hint is deliberately NOT forced,
+  because an adversarially duplicated corpus makes every segment an
+  offender and must degrade to a shuffle join, not an OOM;
 * the rebuild is ONE shuffle on ``doc_id`` whose single aggregate
   computes totals, drops, and the rebuilt text together (three source
   scans total, plan-pinned).
@@ -141,11 +143,19 @@ def scrub_against_offenders(
     """The rebuild core shared by :func:`scrub_common_segments` (offenders
     = this corpus's own frequency aggregate) and the streaming handler
     (offenders = cumulative store counts + the micro-batch's own — see
-    streaming/extensions.foreach_batch_segment_scrub): broadcast LEFT
-    OUTER flag join against ``offenders (segment)`` → one per-doc
-    aggregate → pass-through join with ``docs``."""
+    streaming/extensions.foreach_batch_segment_scrub): LEFT OUTER flag
+    join against ``offenders (segment)`` → one per-doc aggregate →
+    pass-through join with ``docs``.
+
+    Deliberately NO broadcast hint on the offender side (the house
+    no-forced-hint rule for corpus-derived frames): the set is small in
+    the expected boilerplate case — AQE broadcasts it at runtime, pinned
+    on real data by the plan test — but an adversarially duplicated
+    corpus (every doc repeated max_doc_freq+1 times) makes EVERY segment
+    an offender, and a forced hint there would OOM at 100 TB where AQE
+    degrades to a shuffle join instead."""
     flagged = segs.join(
-        F.broadcast(offenders.select("segment").withColumn("_hit", F.lit(True))),
+        offenders.select("segment").withColumn("_hit", F.lit(True)),
         "segment",
         "left",
     )
@@ -201,7 +211,9 @@ def boilerplate_loss_report(
     segs = doc_segments(docs, n, source_col=source_col)
     offenders = common_segments(segs, max_doc_freq)
     seg_tokens = F.size(F.split("segment", " "))
-    hit = segs.join(F.broadcast(offenders), "segment", "left_semi")
+    # no broadcast hint — same adversarial-boilerplate rationale as
+    # scrub_against_offenders (AQE broadcasts the small expected case)
+    hit = segs.join(offenders, "segment", "left_semi")
     per_source = docs.groupBy(
         F.col(source_col).alias("source")
     ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -614,6 +614,8 @@ def test_broadcast_hint_policy():
         ("operators/graph.py", "n"): "1-row node-count scalar",
         ("operators/profiling.py", "ref_counts"): "category-grain frozen reference profile",
         ("operators/profiling.py", "rq"): "1-row reference quantile array",
+        ("operators/refine.py", "shortlist"): "|queries| x shortlist rows (per-request)",
+        ("operators/refine.py", "queries"): "ANN query set (per-request)",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     violations = []

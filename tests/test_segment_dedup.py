@@ -131,24 +131,25 @@ def test_loss_report_all_null_source_degrades(spark):
     assert r.dropped_token_frac is None  # 0/0 → NULL, never a crash
 
 
-def test_scrub_plan_broadcasts_offenders_and_scans_thrice(spark):
-    """The offender set is the only global artifact and must broadcast —
-    a shuffled flag join would re-partition the whole segment stream.
-    The one-aggregate spelling also pins the scan budget: base + segment
-    stream + the offenders aggregate's own pass = exactly 3 source scans
-    (the LEFT ANTI + separate-totals spelling cost 4 — r12 plan audit)."""
+def test_scrub_plan_aqe_broadcasts_offenders_and_scans_thrice(spark):
+    """The offender flag join carries NO forced hint (an adversarially
+    duplicated corpus makes every segment an offender — it must degrade
+    to a shuffle join, not OOM), so the broadcast is pinned where it
+    actually happens: AQE's runtime re-plan over the real small offender
+    set.  The one-aggregate spelling also pins the scan budget: base +
+    segment stream + the offenders aggregate's own pass = exactly 3
+    source scans (the LEFT ANTI + separate-totals spelling cost 4 —
+    r12 plan audit)."""
     from hadoop_pyspark_streaming_analytics_spark.operators.segment_dedup import (
         scrub_documents,
     )
 
-    plan = (
-        scrub_documents(spark, "/root/testdata/sf0.001")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    assert plan.count("FileScan parquet") == 3
+    df = scrub_documents(spark, "/root/testdata/sf0.001")
+    static_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert static_plan.count("FileScan parquet") == 3
+    df.write.format("noop").mode("overwrite").save()  # let AQE re-plan
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan
 
 
 def test_loss_report_respects_source_col(spark):
