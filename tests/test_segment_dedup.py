@@ -9,13 +9,16 @@ Properties pinned:
    false); a fully-boilerplate document rebuilds to NULL, never an error;
 3. the loss report's arithmetic is segment-tokenizer-exact (short final
    segments priced by their real token count);
-4. the scrub's offender flag join broadcasts and the whole plan scans the
-   source exactly three times (the segment stream never shuffles on
-   segment);
+4. the offender flag join carries no forced hint; AQE's runtime
+   broadcast is pinned on real data, and the whole plan scans the source
+   exactly three times;
 5. both catalog-ready builders match their co-located DuckDB oracles on
    the REAL documents table at sf0.001 AND sf0.01 (the driver-gate
    mirror at the driver's own SF);
-6. the whole operator equals a pure-Python reference on fuzzed corpora.
+6. the whole operator equals a pure-Python reference on fuzzed corpora;
+7. the streaming handler equals a pure-Python streaming reference for
+   ANY partition of fuzzed docs into micro-batches (cumulative counts,
+   per-batch offender decision, no retraction).
 """
 from __future__ import annotations
 
@@ -405,3 +408,115 @@ def test_streaming_scrub_replay_is_idempotent(spark, tmp_path):
         .filter("batch_id = 0")
         .collect()
     )
+
+
+def _ref_stream_scrub(batches, n, max_doc_freq):
+    """Pure-Python streaming reference: cumulative per-segment distinct-doc
+    counts across batches; each batch's offenders use prior + own counts."""
+    prior: dict[str, int] = {}
+    out = {}
+    for batch in batches:
+        segs = {}
+        for doc_id, v in batch:
+            t = re.findall("[a-z]+", (v or "").lower())
+            segs[doc_id] = (
+                [
+                    " ".join(t[j * n : (j + 1) * n])
+                    for j in range(math.ceil(len(t) / n))
+                ]
+                if t
+                else None
+            )
+        batch_counts: dict[str, int] = {}
+        for s in segs.values():
+            for seg in set(s or []):
+                batch_counts[seg] = batch_counts.get(seg, 0) + 1
+        offenders = {
+            seg
+            for seg in set(prior) | set(batch_counts)
+            if prior.get(seg, 0) + batch_counts.get(seg, 0) > max_doc_freq
+        }
+        for doc_id, v in batch:
+            if segs[doc_id] is None:
+                out[doc_id] = (0, 0, v, False)
+                continue
+            kept = [s for s in segs[doc_id] if s not in offenders]
+            dropped = len(segs[doc_id]) - len(kept)
+            out[doc_id] = (
+                len(segs[doc_id]),
+                dropped,
+                " ".join(kept) if kept else None,
+                dropped > 0,
+            )
+        for seg, c in batch_counts.items():
+            prior[seg] = prior.get(seg, 0) + c
+    return out
+
+
+_batches = st.lists(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=9
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(_batches, st.integers(1, 2), st.integers(1, 2))
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_streaming_scrub_matches_python_reference(
+    spark, batches, n, max_doc_freq
+):
+    """For ANY partition of docs into micro-batches, the handler's output
+    equals a pure-Python streaming reference (cumulative counts, per-batch
+    offender decision, no retraction) — the streaming twin of the batch
+    operator's reference property."""
+    import shutil
+    import tempfile
+
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_segment_scrub,
+    )
+
+    root = tempfile.mkdtemp(prefix="seg_scrub_prop_")
+    try:
+        store, out = f"{root}/store", f"{root}/out"
+        apply_fn = foreach_batch_segment_scrub(
+            store, out, n=n, max_doc_freq=max_doc_freq
+        )
+        next_id = 0
+        ided_batches = []
+        for batch in batches:
+            ided = [(next_id + i, v) for i, v in enumerate(batch)]
+            next_id += len(batch)
+            ided_batches.append(ided)
+        for bid, ided in enumerate(ided_batches):
+            apply_fn(
+                spark.createDataFrame(ided, "doc_id long, text string"), bid
+            )
+        got = {
+            r.doc_id: (
+                r.segments_total,
+                r.segments_dropped,
+                r.cleaned_text,
+                r.was_modified,
+            )
+            for r in spark.read.option("basePath", out)
+            .parquet(out)
+            .collect()
+        }
+        assert got == _ref_stream_scrub(ided_batches, n, max_doc_freq)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
