@@ -873,6 +873,10 @@ def foreach_batch_segment_scrub(
     subdirectory with overwrite, and the count authority is ONLY prior
     batches (``batch_id < N``) plus this batch's own recomputed counts —
     a replayed batch never double-counts its own half-written store rows.
+    The authority read is manifest-aware (sources/genstore.py), so
+    :func:`compact_segment_store` can fold old generations into a
+    negative-id base (always ``< N``, so always authority-visible)
+    without the handler noticing.
 
     Streaming-vs-batch contract (pinned in tests/test_segment_dedup.py):
     a segment's offender status uses all data seen SO FAR, so the handler
@@ -892,12 +896,22 @@ def foreach_batch_segment_scrub(
             scrub_against_offenders,
         )
 
+        from ..sources.genstore import (
+            ensure_append_id_safe,
+            generation_filter,
+            load_manifest,
+        )
+
         seg_n = n or SEG_TOKENS
         freq = max_doc_freq or MAX_DOC_FREQ
         spark = batch_df.sparkSession
         docs = batch_df.select(
             "doc_id", "text", F.lit("stream").alias("source")
         )
+        # a reused id (fresh checkpoint after a crash-interrupted
+        # keep_latest=0 fold) must finish that fold's GC-prune first —
+        # same guard as the LSH band store
+        ensure_append_id_safe(spark, store_path, [store_path], batch_id)
         # reused by the count aggregate AND the scrub probe — one explode
         segs = doc_segments(docs, seg_n).localCheckpoint(eager=True)
         batch_counts = segs.groupBy("segment").agg(
@@ -907,6 +921,7 @@ def foreach_batch_segment_scrub(
             prior = (
                 spark.read.option("basePath", store_path)
                 .parquet(store_path)
+                .filter(generation_filter(load_manifest(spark, store_path)))
                 .filter(F.col("batch_id") < batch_id)
                 .groupBy("segment")
                 .agg(F.sum("n_docs").alias("prior_docs"))
@@ -932,3 +947,52 @@ def foreach_batch_segment_scrub(
         )
 
     return apply
+
+
+def compact_segment_store(
+    spark,
+    store_path: str,
+    keep_latest: int = 1,
+    gc_immediately: bool = True,
+    unique_base_id: bool = False,
+) -> int:
+    """Fold the segment-frequency store's per-micro-batch ``batch_id=N``
+    generations into a fresh base — the scrub store's compaction story,
+    completing the generational set (band store, PQ codes, BM25 postings
+    have theirs).  Returns the number of generations folded.
+
+    The store is a MERGEABLE aggregate (per-batch distinct-doc counts sum
+    to the global count), so unlike the band store the fold does not just
+    re-layout rows: the new base PRE-AGGREGATES to one row per distinct
+    segment, shrinking the authority read the handler pays every batch.
+    Read-time merging is a groupBy-sum either way, so folded and unfolded
+    stores are indistinguishable to the handler.
+
+    ``keep_latest`` newest appends stay unfolded (streaming replay
+    exclusion), and publication is the genstore manifest-pointer commit —
+    see compact_band_store for the replay and fresh-checkpoint contract,
+    which applies verbatim."""
+    from ..sources.genstore import content_bytes, fold_generations
+
+    def write_new_base(live_filter, new_base: int) -> None:
+        n_files = max(1, content_bytes(spark, store_path) // (128 << 20))
+        (
+            spark.read.option("basePath", store_path)
+            .parquet(store_path)
+            .filter(live_filter)
+            .groupBy("segment")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .coalesce(int(n_files))
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/batch_id={int(new_base)}")
+        )
+
+    return fold_generations(
+        spark,
+        store_path,
+        [store_path],
+        write_new_base,
+        keep_latest=keep_latest,
+        gc_immediately=gc_immediately,
+        unique_base_id=unique_base_id,
+    )

@@ -520,3 +520,44 @@ def test_streaming_scrub_matches_python_reference(
         assert got == _ref_stream_scrub(ided_batches, n, max_doc_freq)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_scrub_store_compaction_transparent(spark, tmp_path):
+    """Folding the frequency store into a pre-aggregated base must be
+    invisible to the handler: the authority counts survive (the base's
+    negative id is always < N), later batches scrub identically, and the
+    base holds one row per distinct segment."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        compact_segment_store,
+        foreach_batch_segment_scrub,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    apply_fn = foreach_batch_segment_scrub(store, out, max_doc_freq=3)
+    b0 = spark.createDataFrame(
+        [(i, "the shared span unique%d tail" % i) for i in range(1, 3)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "the shared span more words")], "doc_id long, text string"
+    )
+    apply_fn(b0, 0)
+    apply_fn(b1, 1)
+    folded = compact_segment_store(spark, store, keep_latest=1)
+    assert folded == 1  # batch 0 folded; batch 1 kept for replay safety
+    base = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .filter("batch_id < 0")
+    )
+    segs = base.groupBy("segment").count().collect()
+    assert segs and all(r["count"] == 1 for r in segs)  # pre-aggregated
+    # a post-compaction batch pushes "the shared span" to 4 distinct docs
+    # (2 folded + 1 live append + itself) → scrubbed
+    b2 = spark.createDataFrame(
+        [(4, "the shared span fresh tokens")], "doc_id long, text string"
+    )
+    apply_fn(b2, 2)
+    got = _scrub_out(spark, out)
+    assert got[4].was_modified and got[4].cleaned_text == "fresh tokens"
+    assert not got[1].was_modified and not got[3].was_modified
