@@ -99,7 +99,13 @@ ROTATION_ROUND = 12
 # same pattern, oracles nest the ann_pq_adc_topk SQL, diffed at both
 # SFs by tests/test_refine.py): 2 more entries; (c) r10-generation
 # bring-forward with every remaining slot (see the r14 tightness note
-# above).
+# above); (d) if slots allow in r13 OR as the r14 feature, the trained
+# quality-filter pair PRE-BUILT round 12 (operators/model_filter.py:
+# quality_model_scores + quality_model_report — unrolled-GD oracles
+# diffed at both SFs by tests/test_model_filter.py).  Branch `r13-prep`
+# (built late round 12) already parks (a)+(b)+(c) as a tested rotation
+# — see its tip commit for the landing steps and the two designed
+# pending-re-stamp test failures.
 _WINDOW = [
     # ---- changed-code re-gates (rule 2, fingerprint-derived: the
     # ---- round-12 try_cast/nanvl degrade-per-row events fix) -------------
