@@ -38,8 +38,6 @@ unrolled-GD DuckDB oracles below are round-13+ registration candidates
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,7 +80,13 @@ def doc_features(
     bc = (
         docs.select(
             "doc_id",
-            F.col("source").isin(*targets).cast("double").alias("y"),
+            # coalesce: a NULL source is NOT the reference corpus (y=0),
+            # matching the oracle's CASE and the python reference — a
+            # bare isin would give y=NULL and silently drop the doc's
+            # residual from every gradient while still counting it in n.
+            F.coalesce(F.col("source").isin(*targets), F.lit(False))
+            .cast("double")
+            .alias("y"),
             F.explode(toks).alias("tok"),
         )
         .select("doc_id", "y", _bucket(F.col("tok")).alias("b"))
@@ -133,6 +137,11 @@ def train_quality_lr(
             ],
         ).first()
         n = row["n"]
+        if n == 0:
+            # every doc was NULL/untokenizable: nothing to train on —
+            # return the current weights (zero init) instead of crashing
+            # on the NULL gradient sums (degrade-per-row discipline).
+            return w
         w = [
             round(w[b] + lr * row[f"g{b}"] / n + 1e-8, 6)
             for b in range(LR_BUCKETS)

@@ -21,10 +21,13 @@ Scale story (the reason this shape survives 100 TB):
 * the offender set is the ONLY globally-aggregated artifact, and in the
   expected case it is small (a segment qualifies only by repeating
   across ``max_doc_freq+1`` distinct documents — boilerplate vocabulary,
-  not corpus volume), so AQE broadcasts the flag join at runtime and the
-  segment stream never shuffles; the hint is deliberately NOT forced,
-  because an adversarially duplicated corpus makes every segment an
-  offender and must degrade to a shuffle join, not an OOM;
+  not corpus volume), so AQE settles the flag join as a broadcast at
+  runtime.  The hint is deliberately NOT forced: an adversarially
+  duplicated corpus makes every segment an offender and must degrade to
+  a shuffle join, not an OOM.  The honest cost of that trade at scale:
+  when static stats plan SMJ first, the segment stream pays one shuffle
+  WRITE even though AQE's broadcast conversion then reads it locally —
+  versus a forced hint that skips the write but gambles the job;
 * the rebuild is ONE shuffle on ``doc_id`` whose single aggregate
   computes totals, drops, and the rebuilt text together (three source
   scans total, plan-pinned).

@@ -902,8 +902,10 @@ def foreach_batch_segment_scrub(
             load_manifest,
         )
 
-        seg_n = n or SEG_TOKENS
-        freq = max_doc_freq or MAX_DOC_FREQ
+        # `is None`, not `or`: max_doc_freq=0 (scrub anything repeated
+        # at all) is a legal knob value, not "unset"
+        seg_n = SEG_TOKENS if n is None else n
+        freq = MAX_DOC_FREQ if max_doc_freq is None else max_doc_freq
         spark = batch_df.sparkSession
         docs = batch_df.select(
             "doc_id", "text", F.lit("stream").alias("source")

@@ -166,3 +166,29 @@ def test_catalog_ready_builders_match_their_oracles(
         getattr(mf, oracle_name),
     )
     compare(spec, spark, sf_dir)
+
+
+def test_all_tokenless_corpus_degrades_not_crashes(spark):
+    """Nothing trainable → zero-init weights back, empty scored frame —
+    never a NULL-gradient TypeError (degrade-per-row discipline)."""
+    df = spark.createDataFrame(
+        [(1, None, "crawl"), (2, "123 456", "crawl")], _SCHEMA
+    )
+    feats = doc_features(df, targets=("ref",))
+    w = train_quality_lr(feats, steps=3)
+    assert w == [0.0] * LR_BUCKETS
+    assert score_documents(feats, w).count() == 0
+
+
+def test_null_source_labels_as_crawl(spark):
+    """A NULL source is NOT the reference corpus: y must be 0.0 (matching
+    the oracle's CASE and the python reference), never NULL — a NULL y
+    would silently drop the doc's residual from every gradient."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", None), (2, "alpha beta gamma", "ref")],
+        _SCHEMA,
+    )
+    got = {
+        r.doc_id: r.y for r in doc_features(df, targets=("ref",)).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0}

@@ -150,8 +150,11 @@ def test_scrub_plan_aqe_broadcasts_offenders_and_scans_thrice(spark):
     df = scrub_documents(spark, "/root/testdata/sf0.001")
     static_plan = df._jdf.queryExecution().executedPlan().toString()
     assert static_plan.count("FileScan parquet") == 3
-    df.write.format("noop").mode("overwrite").save()  # let AQE re-plan
+    # collect() (NOT a noop write, which runs a separate QueryExecution
+    # and leaves this one un-finalized) finalizes THIS df's adaptive plan
+    df.collect()
     final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
     assert "BroadcastHashJoin" in final_plan
 
 
