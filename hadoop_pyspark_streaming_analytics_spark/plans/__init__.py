@@ -18,22 +18,25 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    OLDEST (the driver regenerates testdata each round, so green rows AGE
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
-# Round 12 rotation — the pre-written ROUND-12 BUDGET below, executed
-# exactly: the r12-prep branch landed first (try_cast/nanvl degrade-per-
-# row spellings at the four ANSI-cast events sites + TRY_CAST oracle
-# twins + the negative-k map_stats floor fix), re-fingerprinting FOUR
-# entries (events_props_avg_k, events_props_map_stats,
-# events_scalar_features, events_value_histogram — update_entry_hashes
-# stamped regate_round=12, matching the budget's 3-4 estimate), one of
-# which (events_value_histogram, last green r8) overlaps the 36-entry
-# last-green-r8 staleness generation.  The remaining 50 - (4 + 36 - 1)
-# = 11 free slots spent: 2 on the NEW length-cap entries
-# (docs_length_cap / docs_truncation_loss — operators/length_policy.py
-# built+pytest-gated round 11, registered this round per budget item c)
-# and 9 on the alphabetically-first last-green-r9 entries (rule 3
-# refresh brought forward, shrinking round 13's owed generation
-# 39 -> 30).  4 + 35 + 2 + 9 = exactly 50.  After a green r12,
-# min(last-green) across oracle-backed entries rises to r9.
+# Round 13 rotation — the pre-written ROUND-13 BUDGET below, executed
+# (prepared on branch `r13-prep` late round 12; lands once
+# CORRECTNESS_r12 is on disk): the whole 30-entry last-green-r9 stale
+# generation (rule 3) + the 4 NEW round-12-pre-built entries
+# (docs_boilerplate_scrub / docs_boilerplate_loss from
+# operators/segment_dedup.py and ann_adc_refine_topk /
+# ann_adc_refine_recall from operators/refine.py — rule 1
+# never-gated) + the alphabetically-first 16 of the 47-entry
+# last-green-r10 generation brought forward (rule 3, shrinking round
+# 14's owed generation 47 -> 31).  30 + 4 + 16 = exactly 50; zero
+# changed-code re-gates were outstanding at rotation time (round 12
+# held registered-entry churn at zero after its own landing).  After
+# a green r13, min(last-green) across oracle-backed entries rises to
+# r10.
+#
+# (Round-12 history: 4 ANSI-cast re-gates ∪ 36 last-green-r8 stale,
+# overlap events_value_histogram, + 2 length-cap entries + 9 r9
+# refreshes = 50; the r12-prep branch landed first and
+# update_entry_hashes stamped exactly the predicted 4 entries.)
 #
 # STALENESS POLICY (r9 VERDICT item 3, decided round 10): the cutoff is
 # 4 rounds, not 3.  The arithmetic: 174 oracle-backed entries / 50
@@ -56,115 +59,88 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 12
-# ROUND-12 ROTATION (EXECUTED this round — see the round-12 paragraph
-# above for the recipe and the measured arithmetic): 4 fingerprint-
-# derived ANSI-cast re-gates UNION 36 last-green-r8 stale entries
-# (overlap {events_value_histogram}) + 2 NEW length-cap entries + 9
-# brought-forward r9 refreshes = exactly 50.  Verified by recomputing
-# fingerprint.last_green_rounds() over CORRECTNESS_r01-r11 plus
-# entry_hashes.json regate_round == 12 stamps.
+ROTATION_ROUND = 13
+# ROUND-13 ROTATION (see the round-13 paragraph above for the recipe):
+# 30 last-green-r9 stale + 4 new round-12-pre-built entries + 16
+# brought-forward r10 refreshes = exactly 50.  Computed by simulating
+# a green r12 over fingerprint.last_green_rounds() (the r12 window all
+# green); re-verify against the actual CORRECTNESS_r12.json when
+# landing this branch — a red r12 row would change the owed set.
 #
-# ROUND-13 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# ROUND-14 BUDGET (the cycle arithmetic, written BEFORE it binds —
 # standing VERDICT item; distribution computed round 12 by simulating
-# a green r12 over fingerprint.last_green_rounds()): after a green
-# r12, the oracle-backed last-green distribution is
-# {r9: 30, r10: 47, r11: 49, r12: 50} = 176 (the 9 brought-forward r9
-# refreshes shrink r9 39 -> 30; the avg_k/scalar_features re-gates
-# shrink r10 49 -> 47; map_stats shrinks r11 50 -> 49; the two new
-# length-cap entries land in the r12 generation; rows-only
-# sketch_daily_user_hll stays the r4 exception outside the
-# oracle-backed count).  Round 13 therefore OWES 30 stale slots,
-# leaving 50 - 30 = 20 for changed-code re-gates and/or new entries —
-# the roomiest window yet, bought by round 12's 9-slot bring-forward.
-# Round 14 then owes the r10 generation (47 minus whatever r13
-# re-gates), i.e. expect ~3 free slots — r14 is TIGHT, so any
-# multi-entry feature or churn-heavy fix should land in r13, and r13's
-# rotation should bring forward ~10+ r10 entries if slots remain, or
-# r14 will bind like r10/r11 did.  If a r13 surprise pushes the union
-# past 50, the retirement reserve is unchanged: bonus_categorize_expr
-# (one of three U1 parity faces) then events_props_map_stats
-# (subsumable by events_scalar_features).  At 176 oracle-backed
-# entries / 50 slots the 4-round cutoff needs an average 44 refresh
-# slots per round — holding only while re-gates + new entries stay
-# <= ~6 per round; the catalog stays FLAT (new entries only into
-# measured slack, retirement before the arithmetic breaks).
-# Named candidates for r13's 20 slots, cheapest-risk first: (a) the
-# segment-scrub tier PRE-BUILT round 12 (operators/segment_dedup.py:
-# scrub_common_segments + boilerplate_loss_report — pytest-gated, zero
-# fingerprint churn, co-located oracles already diffed at sf0.001 and
-# sf0.01 by tests/test_segment_dedup.py): 2 entries of QuerySpec
-# boilerplate; (b) the ADC+exact-refine tier PRE-BUILT round 12
-# (operators/refine.py: adc_refine_topk + adc_refine_recall_report —
-# same pattern, oracles nest the ann_pq_adc_topk SQL, diffed at both
-# SFs by tests/test_refine.py): 2 more entries; (c) r10-generation
-# bring-forward with every remaining slot (see the r14 tightness note
-# above); (d) if slots allow in r13 OR as the r14 feature, the trained
-# quality-filter pair PRE-BUILT round 12 (operators/model_filter.py:
-# quality_model_scores + quality_model_report — unrolled-GD oracles
-# diffed at both SFs by tests/test_model_filter.py).  Branch `r13-prep`
-# (built late round 12) already parks (a)+(b)+(c) as a tested rotation
-# — see its tip commit for the landing steps and the two designed
-# pending-re-stamp test failures.
+# green r12 AND r13 windows over fingerprint.last_green_rounds()):
+# after a green r13, the oracle-backed last-green distribution is
+# {r10: 31, r11: 49, r12: 50, r13: 50} = 180 (the 16 brought-forward
+# r10 refreshes shrink r10 47 -> 31; the four new r12-pre-built
+# entries land in the r13 generation; rows-only sketch_daily_user_hll
+# stays the r4 exception outside the oracle-backed count).  Round 14
+# therefore OWES 31 stale slots, leaving 50 - 31 = 19 for changed-code
+# re-gates, new entries, and/or r11 bring-forward.  Round 15 then owes
+# the 49-entry r11 generation minus r14's bring-forward — r14 should
+# bring forward ~15 r11 entries with its free slots, or r15 binds.
+# At 180 oracle-backed entries / 50 slots the 4-round cutoff needs an
+# average 45 refresh slots per round — holding only while re-gates +
+# new entries stay <= ~5 per round; the catalog stays FLAT from here
+# (new entries only into measured slack), and the retirement reserve
+# is unchanged: bonus_categorize_expr (one of three U1 parity faces)
+# then events_props_map_stats (subsumable by events_scalar_features).
 _WINDOW = [
-    # ---- changed-code re-gates (rule 2, fingerprint-derived: the
-    # ---- round-12 try_cast/nanvl degrade-per-row events fix) -------------
-    "events_props_avg_k",  # get_json_object($.k) try_cast
-    "events_props_map_stats",  # $.k try_cast + negative-k floor oracle fix
-    "events_scalar_features",  # signum(NaN) nanvl + try_cast(int)
-    "events_value_histogram",  # floor(±Inf/width) try_cast; ALSO lg r8 stale
-    # ---- never-driver-gated (rule 1): the round-12 length-cap tier -------
-    "docs_length_cap",  # cap_text over documents (full capped text)
-    "docs_truncation_loss",  # per-source loss report at the same cap
-    # ---- the whole last-green-r8 stale generation (rule 3, 35 after
-    # ---- the overlap entry above) ----------------------------------------
-    "chunk_documents",
-    "corpus_boilerplate_ngrams",
-    "corpus_repetition_scores",
-    "corpus_tfidf_similar_pairs",
-    "corpus_tfidf_top_terms",
-    "corpus_unigram_surprisal",
-    "corpus_vocab_coverage_scalable",
-    "dedup_containment",
-    "dedup_edit_distance_verify",
-    "drift_event_type_psi",
-    "drift_value_quantile_shift",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "events_cohort_retention",
-    "events_props_typed",
-    "events_user_value_scd2",
-    "events_value_anomalies_zscore",
-    "events_weekly_change",
-    "graph_pagerank_docs",
-    "merge_upsert_customers",
-    "mixture_sample_by_source",
-    "monitor_alert_rollup",
-    "multimodal_png_resize",
-    "multimodal_video_frame_features",
-    "multimodal_wav_features",
-    "quality_weighted_sample",
-    "star_fk_integrity_audit",
-    "star_segment_contribution",
-    "stratified_fixed_n_sample",
-    "temporal_asof_next_click",
-    "text_language_id",
-    "text_pii_redaction",
-    "text_quality_scores",
-    "train_split_assign",
-    "training_shard_assignment",
-    # ---- r9 refreshes brought forward (rule 3; alphabetically first 9
-    # ---- of the 39-entry r9 generation, shrinking round 13's debt to
-    # ---- 30 — see the ROUND-13 BUDGET above) -----------------------------
-    "agg_order_baskets",
-    "bonus_categorize_pandas_udf",
-    "bonus_inner_join",
-    "chunk_documents_udtf",
-    "corpus_bigram_surprisal",
-    "corpus_difficulty_bins",
-    "corpus_language_mixture",
-    "corpus_select_token_budget",
-    "corpus_source_report",
+    # ---- never-driver-gated (rule 1): the round-12 pre-built tiers -------
+    "docs_boilerplate_scrub",  # segment scrub (full rewritten text)
+    "docs_boilerplate_loss",  # per-source scrub loss report
+    "ann_adc_refine_topk",  # ADC shortlist + exact-L2 re-rank
+    "ann_adc_refine_recall",  # raw-ADC vs refined recall@k vs truth
+    # ---- the whole last-green-r9 stale generation (rule 3, 30) -----------
+    "dedup_cluster_histogram",
+    "dedup_components",
+    "dedup_cross_source_matrix",
+    "dedup_exact_substring",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_quality",
+    "dedup_keep_canonical",
+    "dedup_minhash_estimate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_split_leakage",
+    "embedding_norm_audit",
+    "events_funnel_conversion",
+    "events_key_skew_report",
+    "events_profile_columns",
+    "multimodal_png_features",
+    "pipeline_curated_modern",
+    "q2_spend_deciles_scalable",
+    "q2b_avg_days_between_orders",
+    "q3b_customer_brand_unpivot",
+    "quality_score_calibration",
+    "retrieval_bm25_indexed",
+    "retrieval_bm25_multi_query",
+    "sketch_count_min_heavy_hitters",
+    "star_disjunctive_branch_revenue",
+    "star_min_cost_supplier",
+    "star_promo_part_suppliers",
+    "text_contamination_check",
+    "text_language_audit",
+    "text_quality_classifier",
+    # ---- r10 refreshes brought forward (rule 3; alphabetically first 16
+    # ---- of the 47-entry r10 generation, shrinking round 14's debt to
+    # ---- 31 — see the ROUND-14 BUDGET above) -----------------------------
+    "agg_revenue_decimal_exact",
+    "bonus_categorize_python_udf",
+    "corpus_bpe_merges",
+    "corpus_bpe_segment",
+    "corpus_bpe_token_counts",
+    "corpus_bpe_vocab",
+    "corpus_epoch_mixture",
+    "corpus_priority_sample",
+    "corpus_truncation_report",
+    "dedup_exact",
+    "dedup_simhash",
+    "events_error_bursts_midnight_merged",
+    "events_ewma_per_user",
+    "events_hourly_rollup",
+    "events_interval_error_burst_join",
+    "events_running_stats",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

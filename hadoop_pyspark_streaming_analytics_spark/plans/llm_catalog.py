@@ -20,8 +20,10 @@ from ..operators import (
     multimodal,
     profiling,
     quality,
+    refine,
     retrieval,
     scrubbing,
+    segment_dedup,
     similarity,
     sketches,
     timeseries,
@@ -1787,6 +1789,33 @@ GROUP BY centroid_id, n_total""",
         length_policy.documents_truncation_loss,
         length_policy.ORACLE_TRUNCATION_LOSS,
         tags=("llm", "length-policy", "curation"),
+    ),
+    # --- segment scrubbing + ADC refine (operators/{segment_dedup,
+    # --- refine}.py, built round 12; registered round 13 per the
+    # --- plans/__init__.py ROUND-13 budget) ---
+    QuerySpec(
+        "docs_boilerplate_scrub",
+        segment_dedup.scrub_documents,
+        segment_dedup.ORACLE_SCRUB_DOCUMENTS,
+        tags=("llm", "dedup", "curation"),
+    ),
+    QuerySpec(
+        "docs_boilerplate_loss",
+        segment_dedup.documents_boilerplate_loss,
+        segment_dedup.ORACLE_BOILERPLATE_LOSS,
+        tags=("llm", "dedup", "curation"),
+    ),
+    QuerySpec(
+        "ann_adc_refine_topk",
+        refine.adc_refine_topk,
+        refine.ORACLE_ADC_REFINE_TOPK,
+        tags=("llm", "similarity", "quantization", "ann"),
+    ),
+    QuerySpec(
+        "ann_adc_refine_recall",
+        refine.adc_refine_recall_report,
+        refine.ORACLE_ADC_REFINE_RECALL,
+        tags=("llm", "similarity", "ann", "index-health"),
     ),
 ]
 
