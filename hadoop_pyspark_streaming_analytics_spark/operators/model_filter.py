@@ -30,10 +30,10 @@ codegen projection.  Nothing grows with corpus size except the scans.
 Degrade-per-row: tokenless/NULL documents carry no features and are not
 scored (the DSIR/_doc_ngrams convention).
 
-Pytest-gated this round (numpy-reference GD parity, separable-corpus
-sanity, oracle diffs at sf0.001 and sf0.01); catalog entries + the
-unrolled-GD DuckDB oracles below are round-13+ registration candidates
-(plans/__init__.py budget).
+Registered round 13 (quality_model_scores / quality_model_report in
+plans/llm_catalog.py) with the unrolled-GD DuckDB oracles below;
+additionally pytest-gated by tests/test_model_filter.py (numpy-reference
+GD parity, separable-corpus sanity, oracle diffs at sf0.001 and sf0.01).
 """
 
 from __future__ import annotations
@@ -188,17 +188,22 @@ def quality_model_report(
     steps: int = LR_STEPS,
     lr: float = LR_RATE,
 ) -> DataFrame:
-    """Per-source view of the trained filter: docs scored, mean score,
-    keep fraction — the calibration face an operator reads before
-    adopting the gate."""
+    """Per-source view of the trained filter: total docs, docs scored,
+    mean score, keep fraction — the calibration face an operator reads
+    before adopting the gate.  LEFT-joins from the documents table (the
+    boilerplate_loss_report convention) so sources full of NULL/tokenless
+    documents show a visible ``docs_scored < n_docs`` gap instead of
+    silently looking fully covered; mean_score / keep_frac average over
+    the scored docs only (NULL for a source with none)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = doc_features(docs, targets).localCheckpoint(eager=True)
     w = train_quality_lr(feats, steps=steps, lr=lr)
-    scored = score_documents(feats, w).join(
-        docs.select("doc_id", "source"), "doc_id"
+    per_doc = docs.select("doc_id", "source").join(
+        score_documents(feats, w), "doc_id", "left"
     )
-    return scored.groupBy("source").agg(
+    return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.count("score").alias("docs_scored"),
         F.round(F.avg("score") + F.lit(1e-8), 4).alias("mean_score"),
         F.round(
             F.avg(F.col("keep").cast("double")) + F.lit(1e-8), 4
@@ -281,11 +286,17 @@ FROM scored"""
 ORACLE_MODEL_REPORT = f"""
 WITH {_lr_ctes()},
 j AS (
-  SELECT s.doc_id, s.score, s.score > {LR_KEEP_THRESHOLD} AS keep, d.source
-  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  -- LEFT join from documents: unscored (tokenless/NULL) docs stay
+  -- visible as a docs_scored < n_docs gap; their NULL score/keep must
+  -- stay NULL so the averages cover scored docs only (Spark's avg
+  -- ignores NULLs — a bare CASE ... ELSE 0.0 would pull them in)
+  SELECT d.source, s.score,
+         CASE WHEN s.score IS NULL THEN NULL
+              WHEN s.score > {LR_KEEP_THRESHOLD} THEN 1.0 ELSE 0.0 END
+           AS keep
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 )
-SELECT source, count(*) AS n_docs,
+SELECT source, count(*) AS n_docs, count(score) AS docs_scored,
        round(avg(score) + 1e-8, 4) AS mean_score,
-       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END) + 1e-8, 4)
-         AS keep_frac
+       round(avg(keep) + 1e-8, 4) AS keep_frac
 FROM j GROUP BY 1"""

@@ -11,8 +11,10 @@ table is probed by an equi-join on the shortlist's ids (partition-prunable
 when the vectors are stored clustered by id), while the corpus-sized work
 stays on the compressed codes scan the ADC tier already pins as a single
 codegen projection.  The shortlist itself is tiny (queries × shortlist
-rows), so BOTH refine joins broadcast: no corpus-sized shuffle anywhere in
-either stage.
+rows), so BOTH refine joins broadcast — the query attach by explicit hint,
+the shortlist probe by AQE's runtime re-plan (unforced, so an adversarial
+|queries| × shortlist degrades to a shuffle join instead of OOM): no
+corpus-sized shuffle anywhere in either stage.
 
 Degrade-per-row discipline (inherited + preserved): a NULL/corrupt
 embedding NULL-propagates through the ADC sum upstream and through the
@@ -22,9 +24,9 @@ when clean candidates run out, and then with a visibly NULL ``exact_l2``,
 never by displacing a clean row and never as a crash.
 
 Beyond-reference operator (composes the similarity tier; the reference has
-no ANN at all).  Pytest-gated this round; catalog entries + DuckDB oracles
-below are scheduled for round 13's measured free slots (plans/__init__.py
-ROUND-13 BUDGET).
+no ANN at all).  Registered round 13 (ann_adc_refine_topk /
+ann_adc_refine_recall in plans/llm_catalog.py) with the DuckDB oracles
+below; additionally pytest-gated by tests/test_refine.py.
 """
 
 from __future__ import annotations
@@ -56,8 +58,18 @@ def exact_rerank(
     exact squared-L2 against the raw vectors: two broadcast joins (the
     shortlist and the query set are both queries-sized) + one
     WindowGroupLimit top-k.  The corpus table is only ever probed by
-    vec_id equi-join — never scanned for scoring."""
-    cand = emb.join(F.broadcast(shortlist), "vec_id")
+    vec_id equi-join — never scanned for scoring.
+
+    The shortlist join carries NO forced hint: the shortlist is
+    corpus-derived and only caller-bounded (|queries| × shortlist), so a
+    large query set or a raised shortlist knob must degrade to AQE's
+    safe shuffle join instead of a forced corpus-scale broadcast OOM —
+    the same no-forced-hint rule the segment scrubber's offender join
+    follows.  AQE re-plans it as a broadcast at the sizes the entries
+    actually run (pinned on the finalized plan by test_refine).  The
+    ``queries`` hint stays: that side is the query set itself, small by
+    construction, never corpus-derived."""
+    cand = emb.join(shortlist, "vec_id")
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "vec_id",

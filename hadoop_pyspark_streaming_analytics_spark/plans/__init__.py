@@ -60,28 +60,30 @@ STALENESS_ROUNDS = 4
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 13
-# ROUND-13 ROTATION (see the round-13 paragraph above for the recipe):
-# 30 last-green-r9 stale + 4 new round-12-pre-built entries + 16
-# brought-forward r10 refreshes = exactly 50.  Computed by simulating
-# a green r12 over fingerprint.last_green_rounds() (the r12 window all
-# green); re-verify against the actual CORRECTNESS_r12.json when
-# landing this branch — a red r12 row would change the owed set.
+# ROUND-13 ROTATION (executed this round): 30 last-green-r9 stale + 6
+# new round-12-pre-built entries (the segment-scrub and ADC-refine
+# pairs parked on r13-prep, PLUS the trained quality-filter pair —
+# budget candidate (d), pulled into r13 because round 14 is projected
+# TIGHT) + 14 brought-forward r10 refreshes = exactly 50.  Re-verified
+# against the actual CORRECTNESS_r12.json at landing (50/50 green, so
+# the parked owed-set arithmetic held unchanged).
 #
 # ROUND-14 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; distribution computed round 12 by simulating
-# green r12 AND r13 windows over fingerprint.last_green_rounds()):
-# after a green r13, the oracle-backed last-green distribution is
-# {r10: 31, r11: 49, r12: 50, r13: 50} = 180 (the 16 brought-forward
-# r10 refreshes shrink r10 47 -> 31; the four new r12-pre-built
-# entries land in the r13 generation; rows-only sketch_daily_user_hll
-# stays the r4 exception outside the oracle-backed count).  Round 14
-# therefore OWES 31 stale slots, leaving 50 - 31 = 19 for changed-code
+# standing VERDICT item; distribution computed round 13 by simulating
+# a green r13 window over fingerprint.last_green_rounds() seeded with
+# the actual CORRECTNESS_r01-r12): after a green r13, the
+# oracle-backed last-green distribution is
+# {r10: 33, r11: 49, r12: 50, r13: 50} = 182 (the 14 brought-forward
+# r10 refreshes shrink r10 47 -> 33; the six new r12-pre-built entries
+# land in the r13 generation; rows-only sketch_daily_user_hll stays
+# the r4 exception outside the oracle-backed count).  Round 14
+# therefore OWES 33 stale slots, leaving 50 - 33 = 17 for changed-code
 # re-gates, new entries, and/or r11 bring-forward.  Round 15 then owes
 # the 49-entry r11 generation minus r14's bring-forward — r14 should
-# bring forward ~15 r11 entries with its free slots, or r15 binds.
-# At 180 oracle-backed entries / 50 slots the 4-round cutoff needs an
-# average 45 refresh slots per round — holding only while re-gates +
-# new entries stay <= ~5 per round; the catalog stays FLAT from here
+# bring forward ~14 r11 entries with its free slots, or r15 binds.
+# At 182 oracle-backed entries / 50 slots the 4-round cutoff needs an
+# average 45.5 refresh slots per round — holding only while re-gates +
+# new entries stay <= ~4 per round; the catalog stays FLAT from here
 # (new entries only into measured slack), and the retirement reserve
 # is unchanged: bonus_categorize_expr (one of three U1 parity faces)
 # then events_props_map_stats (subsumable by events_scalar_features).
@@ -91,6 +93,8 @@ _WINDOW = [
     "docs_boilerplate_loss",  # per-source scrub loss report
     "ann_adc_refine_topk",  # ADC shortlist + exact-L2 re-rank
     "ann_adc_refine_recall",  # raw-ADC vs refined recall@k vs truth
+    "quality_model_scores",  # trained LR classifier-filter scores
+    "quality_model_report",  # per-source calibration (n_docs vs scored)
     # ---- the whole last-green-r9 stale generation (rule 3, 30) -----------
     "dedup_cluster_histogram",
     "dedup_components",
@@ -122,9 +126,10 @@ _WINDOW = [
     "text_contamination_check",
     "text_language_audit",
     "text_quality_classifier",
-    # ---- r10 refreshes brought forward (rule 3; alphabetically first 16
-    # ---- of the 47-entry r10 generation, shrinking round 14's debt to
-    # ---- 31 — see the ROUND-14 BUDGET above) -----------------------------
+    # ---- r10 refreshes brought forward (rule 3; alphabetically first 14
+    # ---- of the 47-entry r10 generation — two slots ceded to the
+    # ---- quality-filter pair above — shrinking round 14's debt to 33;
+    # ---- see the ROUND-14 BUDGET above) ----------------------------------
     "agg_revenue_decimal_exact",
     "bonus_categorize_python_udf",
     "corpus_bpe_merges",
@@ -139,8 +144,6 @@ _WINDOW = [
     "events_error_bursts_midnight_merged",
     "events_ewma_per_user",
     "events_hourly_rollup",
-    "events_interval_error_burst_join",
-    "events_running_stats",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -17,6 +17,7 @@ from ..operators import (
     dedup,
     graph,
     length_policy,
+    model_filter,
     multimodal,
     profiling,
     quality,
@@ -1816,6 +1817,21 @@ GROUP BY centroid_id, n_total""",
         refine.adc_refine_recall_report,
         refine.ORACLE_ADC_REFINE_RECALL,
         tags=("llm", "similarity", "ann", "index-health"),
+    ),
+    # --- trained model-based quality filter (operators/model_filter.py,
+    # --- built round 12 as budget candidate (d); registered round 13
+    # --- into the window's measured slack ahead of the tight round 14) ---
+    QuerySpec(
+        "quality_model_scores",
+        model_filter.quality_model_scores,
+        model_filter.ORACLE_MODEL_SCORES,
+        tags=("llm", "quality", "curation", "trained"),
+    ),
+    QuerySpec(
+        "quality_model_report",
+        model_filter.quality_model_report,
+        model_filter.ORACLE_MODEL_REPORT,
+        tags=("llm", "quality", "curation", "trained", "report"),
     ),
 ]
 

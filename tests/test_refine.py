@@ -12,8 +12,10 @@ Properties pinned:
 4. degenerate vectors (NULL / ragged) score NULL and rank behind every
    clean candidate (they reach a top-k only when clean candidates run
    out, with a visibly NULL exact_l2), never crash;
-5. the refine stage's joins are broadcasts (the corpus is probed by id,
-   never scanned for exact scoring);
+5. the refine stage's joins are broadcasts on the FINALIZED adaptive plan
+   (the corpus is probed by id, never scanned for exact scoring; the
+   shortlist probe is unforced — AQE supplies the broadcast at real
+   sizes and degrades to a shuffle join under adversarial ones);
 6. both catalog-ready builders match their co-located DuckDB oracles on
    the REAL embeddings table at sf0.001 AND sf0.01 (the driver-gate
    mirror at the driver's own SF).
@@ -104,14 +106,18 @@ def test_degenerate_vectors_rank_out_never_crash(spark):
 
 
 def test_refine_joins_are_broadcast(spark):
-    plan = (
-        adc_refine_topk(spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    """The query attach broadcasts by hint; the shortlist→corpus probe
+    carries NO forced hint (corpus-derived, only caller-bounded — a raised
+    |queries| × shortlist must degrade to AQE's safe shuffle join, not a
+    forced broadcast OOM), so its broadcast is pinned where it actually
+    happens: the FINALIZED adaptive plan, via collect() (the segment-scrub
+    offender-join convention)."""
+    df = adc_refine_topk(spark, SF)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
     # the shortlist→corpus probe and the query attach must both broadcast
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert final_plan.count("BroadcastHashJoin") >= 2
 
 
 @pytest.mark.parametrize(
