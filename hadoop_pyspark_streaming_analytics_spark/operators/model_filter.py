@@ -238,7 +238,12 @@ bc AS (
   SELECT doc_id, source, b, CAST(count(*) AS DOUBLE) AS c
   FROM tb GROUP BY 1, 2, 3
 ),
-feats AS (
+feats AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing for cost, not semantics: every step's
+  -- p{{t}} references feats, and w{{t}} is referenced by BOTH p{{t+1}}
+  -- and w{{t+1}}, so an inlining planner re-expands the whole upstream
+  -- tree ~2^steps times — measured 70.3 s -> 0.6 s at sf0.01 for
+  -- identical results once feats and each w{{t}} pin to one evaluation
   SELECT doc_id,
          CASE WHEN any_value(source) IN ({tgt}) THEN 1.0 ELSE 0.0 END AS y,
          list_transform(range(0, {buckets}), bb ->
@@ -260,7 +265,7 @@ g{t} AS (
   SELECT b, sum((y - p) * f[b+1]) AS g, count(*) AS n
   FROM p{t}, unnest(range(0, {buckets})) AS u(b) GROUP BY b
 ),
-w{t} AS (
+w{t} AS MATERIALIZED (
   SELECT list(round(w{t - 1}.w[b+1] + {lr} * g / n + 1e-8, 6)
               ORDER BY b) AS w
   FROM g{t} CROSS JOIN w{t - 1}
