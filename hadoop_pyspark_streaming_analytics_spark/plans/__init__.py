@@ -19,19 +19,22 @@ if not any(s.tags and "llm" in s.tags for s in CATALOG):
 #    — the r3 timestamp-flavor drift proved a stale green can hide a real
 #    break).
 # Round 13 rotation — the pre-written ROUND-13 BUDGET below, executed
-# (prepared on branch `r13-prep` late round 12; lands once
-# CORRECTNESS_r12 is on disk): the whole 30-entry last-green-r9 stale
-# generation (rule 3) + the 4 NEW round-12-pre-built entries
-# (docs_boilerplate_scrub / docs_boilerplate_loss from
-# operators/segment_dedup.py and ann_adc_refine_topk /
-# ann_adc_refine_recall from operators/refine.py — rule 1
-# never-gated) + the alphabetically-first 16 of the 47-entry
-# last-green-r10 generation brought forward (rule 3, shrinking round
-# 14's owed generation 47 -> 31).  30 + 4 + 16 = exactly 50; zero
-# changed-code re-gates were outstanding at rotation time (round 12
-# held registered-entry churn at zero after its own landing).  After
-# a green r13, min(last-green) across oracle-backed entries rises to
-# r10.
+# (prepared on branch `r13-prep` late round 12; landed once
+# CORRECTNESS_r12 was on disk, then widened in-round): the whole
+# 30-entry last-green-r9 stale generation (rule 3) + the 6 NEW
+# round-12-pre-built entries (docs_boilerplate_scrub /
+# docs_boilerplate_loss from operators/segment_dedup.py,
+# ann_adc_refine_topk / ann_adc_refine_recall from
+# operators/refine.py, and quality_model_scores /
+# quality_model_report from operators/model_filter.py — rule 1
+# never-gated; the model pair was budget candidate (d), pulled into
+# r13 ahead of the tight r14) + the alphabetically-first 14 of the
+# 47-entry last-green-r10 generation brought forward (rule 3,
+# shrinking round 14's owed generation 47 -> 33).  30 + 6 + 14 =
+# exactly 50; the round's only changed-code re-gates were the new
+# entries themselves (the advice fixes touched refine.py and
+# model_filter.py, both in-window).  After a green r13,
+# min(last-green) across oracle-backed entries rises to r10.
 #
 # (Round-12 history: 4 ANSI-cast re-gates ∪ 36 last-green-r8 stale,
 # overlap events_value_histogram, + 2 length-cap entries + 9 r9
