@@ -1799,24 +1799,28 @@ GROUP BY centroid_id, n_total""",
         segment_dedup.scrub_documents,
         segment_dedup.ORACLE_SCRUB_DOCUMENTS,
         tags=("llm", "dedup", "curation"),
+        headline=True,
     ),
     QuerySpec(
         "docs_boilerplate_loss",
         segment_dedup.documents_boilerplate_loss,
         segment_dedup.ORACLE_BOILERPLATE_LOSS,
         tags=("llm", "dedup", "curation"),
+        headline=True,
     ),
     QuerySpec(
         "ann_adc_refine_topk",
         refine.adc_refine_topk,
         refine.ORACLE_ADC_REFINE_TOPK,
         tags=("llm", "similarity", "quantization", "ann"),
+        headline=True,
     ),
     QuerySpec(
         "ann_adc_refine_recall",
         refine.adc_refine_recall_report,
         refine.ORACLE_ADC_REFINE_RECALL,
         tags=("llm", "similarity", "ann", "index-health"),
+        headline=True,
     ),
     # --- trained model-based quality filter (operators/model_filter.py,
     # --- built round 12 as budget candidate (d); registered round 13

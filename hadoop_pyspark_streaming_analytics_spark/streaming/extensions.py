@@ -998,3 +998,78 @@ def compact_segment_store(
         gc_immediately=gc_immediately,
         unique_base_id=unique_base_id,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming face of the trained quality filter (operators/model_filter.py)
+# ---------------------------------------------------------------------------
+
+
+def save_quality_weights(spark, path: str, w: list[float]) -> None:
+    """Persist a trained LR weight vector as ONE parquet row — the
+    deployment artifact the streaming gate loads.  Train offline with
+    :func:`~..operators.model_filter.train_quality_lr` (the driver
+    collects one 64-double row per GD step; this writes the final one),
+    version by path."""
+    spark.createDataFrame([(w,)], "w array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_quality_weights(spark, path: str) -> list[float]:
+    """Load a :func:`save_quality_weights` artifact back into the
+    driver-side constant list the scoring expression embeds."""
+    return list(spark.read.parquet(path).first()["w"])
+
+
+def foreach_batch_quality_gate(
+    w: list[float],
+    out_path: str,
+    threshold: float | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming deployment of the trained quality filter: every
+    micro-batch's documents are scored under the FIXED pre-trained
+    weights ``w`` and written with their verdicts — the classifier-filter
+    recipe's serving half (train offline on reference-vs-crawl, gate the
+    ingest stream), completing the train-batch / score-stream duality the
+    LSH dedup and segment-scrub tiers already have.
+
+    Deliberately STATELESS — no generational store: a document's quality
+    score depends only on the document and the weights, not on corpus
+    history, so the weights (a one-row parquet artifact,
+    :func:`save_quality_weights`) are the only state and batches never
+    read each other.  Exactly-once is therefore just the ``batch_id=N``
+    overwrite discipline.
+
+    Degrade-per-row: NULL/tokenless documents carry no features, score
+    NULL, and are written with ``keep`` NULL — visible to the consumer,
+    never silently dropped and never a crash (the scrub pass-through
+    convention).  Per-batch output is pinned equal to the batch operator
+    (`score_documents` over the same rows) in tests/test_model_filter.py.
+    """
+    from ..operators.model_filter import (
+        LR_KEEP_THRESHOLD,
+        doc_features,
+        score_documents,
+    )
+
+    thr = LR_KEEP_THRESHOLD if threshold is None else threshold
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            "doc_id", "text", F.lit("stream").alias("source")
+        )
+        feats = doc_features(docs)
+        scored = score_documents(feats, w).select(
+            "doc_id",
+            "score",
+            (F.col("score") > F.lit(thr)).alias("keep"),
+        )
+        (
+            docs.select("doc_id", "text")
+            .join(scored, "doc_id", "left")
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+
+    return apply

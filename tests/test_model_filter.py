@@ -1,6 +1,6 @@
-"""Trained model-based quality filter (operators/model_filter.py) —
-pytest-gated until its catalog entries land with a future round's free
-window slots.
+"""Trained model-based quality filter (operators/model_filter.py;
+catalog entries quality_model_scores / quality_model_report registered
+round 13) and its streaming face (foreach_batch_quality_gate).
 
 Properties pinned:
 1. the Spark GD trajectory equals a pure-numpy reference step for step
@@ -192,3 +192,114 @@ def test_null_source_labels_as_crawl(spark):
         r.doc_id: r.y for r in doc_features(df, targets=("ref",)).collect()
     }
     assert got == {1: 0.0, 2: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Streaming face: foreach_batch_quality_gate (streaming/extensions.py)
+# ---------------------------------------------------------------------------
+
+
+def _gate_out(spark, out, batch_id):
+    return {
+        r.doc_id: (r.score, r.keep)
+        for r in spark.read.parquet(f"{out}/batch_id={batch_id}").collect()
+    }
+
+
+def test_streaming_gate_equals_batch_operator_per_batch(spark, tmp_path):
+    """Per-batch parity: the gate's output rows equal score_documents over
+    the same rows (same weights), with every input doc present."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_quality_gate,
+    )
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    feats = doc_features(df, targets=("ref",))
+    w = train_quality_lr(feats, steps=3)
+    out = str(tmp_path / "out")
+    gate = foreach_batch_quality_gate(w, out)
+
+    for batch_id, lo, hi in ((0, 1, 4), (1, 4, 8)):
+        batch = df.where(f"doc_id >= {lo} AND doc_id < {hi}").select(
+            "doc_id", "text"
+        )
+        gate(batch, batch_id)
+        got = _gate_out(spark, out, batch_id)
+        want_scored = {
+            r.doc_id: (r.score, r.keep)
+            for r in score_documents(
+                doc_features(
+                    batch.withColumn("source", batch.doc_id.cast("string")),
+                    targets=("ref",),
+                ),
+                w,
+            ).collect()
+        }
+        want_ids = {r.doc_id for r in batch.collect()}
+        assert set(got) == want_ids  # every input doc present
+        for doc_id in want_ids:
+            assert got[doc_id] == want_scored.get(doc_id, (None, None))
+
+
+def test_streaming_gate_tokenless_docs_visible_not_dropped(spark, tmp_path):
+    """Degrade-per-row: NULL/untokenizable docs are written with NULL
+    score and NULL keep — visible, never silently dropped."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_quality_gate,
+    )
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    w = train_quality_lr(doc_features(df, targets=("ref",)), steps=2)
+    out = str(tmp_path / "out")
+    foreach_batch_quality_gate(w, out)(
+        df.where("doc_id IN (1, 6, 7)").select("doc_id", "text"), 0
+    )
+    got = _gate_out(spark, out, 0)
+    assert set(got) == {1, 6, 7}
+    assert got[6] == (None, None) and got[7] == (None, None)
+    assert got[1][0] is not None and got[1][1] is not None
+
+
+def test_streaming_gate_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once: replaying a batch_id overwrites to the same rows
+    (stateless gate — no store to double-count)."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_quality_gate,
+    )
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    w = train_quality_lr(doc_features(df, targets=("ref",)), steps=2)
+    out = str(tmp_path / "out")
+    gate = foreach_batch_quality_gate(w, out)
+    batch = df.where("doc_id < 5").select("doc_id", "text")
+    gate(batch, 0)
+    first = _gate_out(spark, out, 0)
+    gate(batch, 0)  # replay
+    assert _gate_out(spark, out, 0) == first
+
+
+def test_weights_roundtrip_and_custom_threshold(spark, tmp_path):
+    """save/load preserves the exact quantized weights; a custom
+    threshold shifts only the keep verdicts, not the scores."""
+    from hadoop_pyspark_streaming_analytics_spark.streaming.extensions import (
+        foreach_batch_quality_gate,
+        load_quality_weights,
+        save_quality_weights,
+    )
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    w = train_quality_lr(doc_features(df, targets=("ref",)), steps=3)
+    path = str(tmp_path / "weights")
+    save_quality_weights(spark, path, w)
+    assert load_quality_weights(spark, path) == w
+
+    out = str(tmp_path / "out")
+    batch = df.where("doc_id < 6").select("doc_id", "text")
+    foreach_batch_quality_gate(w, out)(batch, 0)
+    default = _gate_out(spark, out, 0)
+    foreach_batch_quality_gate(w, out, threshold=0.0)(batch, 1)
+    loose = _gate_out(spark, out, 1)
+    assert {d: s for d, (s, _) in default.items()} == {
+        d: s for d, (s, _) in loose.items()
+    }
+    assert all(k for _, k in loose.values())  # every scored doc kept at 0.0
