@@ -90,6 +90,17 @@ ROTATION_ROUND = 13
 # (new entries only into measured slack), and the retirement reserve
 # is unchanged: bonus_categorize_expr (one of three U1 parity faces)
 # then events_props_map_stats (subsumable by events_scalar_features).
+# NOTE: branch `r14-prep` (built late round 13) spends all 17 free
+# slots on r11 bring-forward — r14 lands ZERO slack, so the two tiers
+# PRE-BUILT round 13 are ROUND-15 candidates: (a) the tokenizer
+# fertility report (operators/tokenizer_health.py — per-source BPE
+# fertility/compression, template oracle nesting the proven
+# corpus_bpe_token_counts SQL, two-SF-diffed by
+# tests/test_tokenizer_health.py) and (b) the quality-gate agreement
+# audit (operators/gate_agreement.py — heuristic-vs-trained shadow
+# comparison, template oracle nesting text_quality_classifier +
+# ORACLE_MODEL_SCORES, two-SF-diffed by tests/test_gate_agreement.py);
+# each costs one QuerySpec of boilerplate and zero fingerprint churn.
 _WINDOW = [
     # ---- never-driver-gated (rule 1): the round-12 pre-built tiers -------
     "docs_boilerplate_scrub",  # segment scrub (full rewritten text)
