@@ -99,8 +99,13 @@ ROTATION_ROUND = 13
 # tests/test_tokenizer_health.py) and (b) the quality-gate agreement
 # audit (operators/gate_agreement.py — heuristic-vs-trained shadow
 # comparison, template oracle nesting text_quality_classifier +
-# ORACLE_MODEL_SCORES, two-SF-diffed by tests/test_gate_agreement.py);
-# each costs one QuerySpec of boilerplate and zero fingerprint churn.
+# ORACLE_MODEL_SCORES, two-SF-diffed by tests/test_gate_agreement.py)
+# and (c) the UniMax mixture budget allocator
+# (operators/mixture_budget.py — closed-form water-filling of a token
+# budget across sources under an epoch cap, Chung et al. ICLR 2023;
+# template oracle nesting text_token_counts, two-SF-diffed by
+# tests/test_mixture_budget.py); each costs one QuerySpec of
+# boilerplate and zero fingerprint churn.
 _WINDOW = [
     # ---- never-driver-gated (rule 1): the round-12 pre-built tiers -------
     "docs_boilerplate_scrub",  # segment scrub (full rewritten text)
