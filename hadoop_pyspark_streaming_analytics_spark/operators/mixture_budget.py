@@ -13,13 +13,19 @@ into those two.
 Spark-first shape: one corpus scan → one per-source token aggregate
 (source-count-sized — tiny from then on), the budget total rides along
 as a 1-row broadcast (the unigram_surprisal convention), and the
+waterline windows run over the source-count-sized frame (a global
+window by design — the vocabulary-tier convention).  The builder
+composes the pinned token_counts entry by doc_id join (the
+self-contained-entry convention), so the source attach is a SECOND
+scan of the documents table — column-pruned to (doc_id, source),
+trivial beside the text scan token counting pays; the
 water-filling closed form is two window functions over the tiny frame
 (sort sources by cap ascending; a source is fully capped iff
 prefix_caps_i + cap_i × (sources after i) ≤ budget; the waterline
 spreads the remainder over the uncapped tail).  No iteration, no driver
 loop, no corpus-sized work after the first aggregate — at 100 TB the
-whole allocator is one scan plus arithmetic on a frame with one row per
-source.
+whole allocator is the token-count scan plus arithmetic on a frame with
+one row per source.
 
 Degrade-per-row: a source whose documents are all NULL/untokenizable has
 no token mass — it stays VISIBLE in the output with NULL cap/allocation

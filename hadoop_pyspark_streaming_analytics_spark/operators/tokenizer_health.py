@@ -14,7 +14,10 @@ visibility convention — sources full of untokenizable docs surface as a
 map-side-combinable per-source aggregate.  Everything corpus-sized is
 inside bpe_token_counts, whose plan is already pinned (dictionary-sized
 segmentation join, AQE-broadcast); this report adds a single source-
-grained shuffle on top.
+grained shuffle on top, plus a second documents scan for the source
+attach (self-contained-entry convention) that is column-pruned to
+(doc_id, source, length(text)) — trivial beside the tokenizer's own
+text scans.
 
 Degrade-per-row: NULL/untokenizable docs carry NULL word counts through
 the LEFT join; a source with zero tokenizable docs reports NULL
