@@ -614,8 +614,11 @@ def test_broadcast_hint_policy():
         ("operators/graph.py", "n"): "1-row node-count scalar",
         ("operators/profiling.py", "ref_counts"): "category-grain frozen reference profile",
         ("operators/profiling.py", "rq"): "1-row reference quantile array",
-        ("operators/refine.py", "shortlist"): "|queries| x shortlist rows (per-request)",
+        # refine's SHORTLIST hint was deliberately REMOVED round 13 (the
+        # shortlist is corpus-derived and only caller-bounded — AQE owns
+        # that broadcast now); only the query-set hint remains.
         ("operators/refine.py", "queries"): "ANN query set (per-request)",
+        ("operators/mixture_budget.py", "totals"): "1-row scalar (budget/n_sources/total_cap)",
     }
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     violations = []
