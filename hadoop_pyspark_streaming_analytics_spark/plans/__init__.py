@@ -62,107 +62,108 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 13
-# ROUND-13 ROTATION (executed this round): 30 last-green-r9 stale + 6
-# new round-12-pre-built entries (the segment-scrub and ADC-refine
-# pairs parked on r13-prep, PLUS the trained quality-filter pair —
-# budget candidate (d), pulled into r13 because round 14 is projected
-# TIGHT) + 14 brought-forward r10 refreshes = exactly 50.  Re-verified
-# against the actual CORRECTNESS_r12.json at landing (50/50 green, so
-# the parked owed-set arithmetic held unchanged).
+ROTATION_ROUND = 14
+# ROUND-14 ROTATION (parked on r14-prep until CORRECTNESS_r13.json
+# lands; the r13-prep convention): the whole 33-entry last-green-r10
+# stale generation + the alphabetically-first 17 of the 49-entry r11
+# generation brought forward = exactly 50, ZERO slack — round 14 is
+# the round-11 regime: ALL operator/oracle churn on main must stay at
+# zero; prepared fixes ride side branches, and a forced re-gate
+# (advice fix touching a non-window entry) displaces a bring-forward
+# or spends the retirement reserve.  Computed by simulating a green
+# r13 over fingerprint.last_green_rounds() seeded with the actual
+# CORRECTNESS_r01-r12; RE-VERIFY against the actual
+# CORRECTNESS_r13.json when landing this branch — a red r13 row
+# changes the owed set.
 #
-# ROUND-14 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# ROUND-15 BUDGET (the cycle arithmetic, written BEFORE it binds —
 # standing VERDICT item; distribution computed round 13 by simulating
-# a green r13 window over fingerprint.last_green_rounds() seeded with
-# the actual CORRECTNESS_r01-r12): after a green r13, the
-# oracle-backed last-green distribution is
-# {r10: 33, r11: 49, r12: 50, r13: 50} = 182 (the 14 brought-forward
-# r10 refreshes shrink r10 47 -> 33; the six new r12-pre-built entries
-# land in the r13 generation; rows-only sketch_daily_user_hll stays
-# the r4 exception outside the oracle-backed count).  Round 14
-# therefore OWES 33 stale slots, leaving 50 - 33 = 17 for changed-code
-# re-gates, new entries, and/or r11 bring-forward.  Round 15 then owes
-# the 49-entry r11 generation minus r14's bring-forward — r14 should
-# bring forward ~14 r11 entries with its free slots, or r15 binds.
-# At 182 oracle-backed entries / 50 slots the 4-round cutoff needs an
-# average 45.5 refresh slots per round — holding only while re-gates +
-# new entries stay <= ~4 per round; the catalog stays FLAT from here
-# (new entries only into measured slack), and the retirement reserve
-# is unchanged: bonus_categorize_expr (one of three U1 parity faces)
-# then events_props_map_stats (subsumable by events_scalar_features).
-# NOTE: branch `r14-prep` (built late round 13) spends all 17 free
-# slots on r11 bring-forward — r14 lands ZERO slack, so the two tiers
-# PRE-BUILT round 13 are ROUND-15 candidates: (a) the tokenizer
-# fertility report (operators/tokenizer_health.py — per-source BPE
-# fertility/compression, template oracle nesting the proven
-# corpus_bpe_token_counts SQL, two-SF-diffed by
-# tests/test_tokenizer_health.py) and (b) the quality-gate agreement
+# green r13 AND r14 windows): after a green r14, the oracle-backed
+# last-green distribution is {r11: 32, r12: 50, r13: 50, r14: 50} =
+# 182 (the 17 brought-forward r11 refreshes shrink r11 49 -> 32;
+# rows-only sketch_daily_user_hll stays the r4 exception outside the
+# oracle-backed count).  Round 15 therefore OWES 32 stale slots,
+# leaving 50 - 32 = 18 for changed-code re-gates, new entries, and/or
+# r12 bring-forward.  Round 16 then owes the 50-entry r12 generation
+# minus r15's bring-forward — r15 should bring forward ~15 r12
+# entries with its free slots, or r16 binds at zero slack again.  At
+# 182 oracle-backed entries / 50 slots the 4-round cutoff needs an
+# average 45.5 refresh slots per round; the catalog stays FLAT (new
+# entries only into measured slack), and the retirement reserve is
+# unchanged: bonus_categorize_expr (one of three U1 parity faces,
+# and an r14 bring-forward — retiring it frees an in-window slot if
+# a forced re-gate pushes the union past 50) then
+# events_props_map_stats (subsumable by events_scalar_features).
+# Named candidates for r15's 18 slots, cheapest-risk first (all three
+# PRE-BUILT round 13 — new modules, zero fingerprint churn, template
+# oracles two-SF-diffed): (a) the tokenizer fertility report
+# (operators/tokenizer_health.py — per-source BPE fertility/
+# compression; oracle nests the proven corpus_bpe_token_counts SQL;
+# tests/test_tokenizer_health.py), (b) the quality-gate agreement
 # audit (operators/gate_agreement.py — heuristic-vs-trained shadow
-# comparison, template oracle nesting text_quality_classifier +
-# ORACLE_MODEL_SCORES, two-SF-diffed by tests/test_gate_agreement.py)
-# and (c) the UniMax mixture budget allocator
-# (operators/mixture_budget.py — closed-form water-filling of a token
-# budget across sources under an epoch cap, Chung et al. ICLR 2023;
-# template oracle nesting text_token_counts, two-SF-diffed by
+# comparison; oracle nests text_quality_classifier +
+# ORACLE_MODEL_SCORES; tests/test_gate_agreement.py) and (c) the
+# UniMax mixture budget allocator (operators/mixture_budget.py —
+# closed-form water-filling of a token budget across sources under an
+# epoch cap, Chung et al. ICLR 2023; oracle nests text_token_counts;
 # tests/test_mixture_budget.py); each costs one QuerySpec of
-# boilerplate and zero fingerprint churn.
+# boilerplate.  (d) r12 bring-forward with every remaining slot (the
+# r16 zero-slack note above).
 _WINDOW = [
-    # ---- never-driver-gated (rule 1): the round-12 pre-built tiers -------
-    "docs_boilerplate_scrub",  # segment scrub (full rewritten text)
-    "docs_boilerplate_loss",  # per-source scrub loss report
-    "ann_adc_refine_topk",  # ADC shortlist + exact-L2 re-rank
-    "ann_adc_refine_recall",  # raw-ADC vs refined recall@k vs truth
-    "quality_model_scores",  # trained LR classifier-filter scores
-    "quality_model_report",  # per-source calibration (n_docs vs scored)
-    # ---- the whole last-green-r9 stale generation (rule 3, 30) -----------
-    "dedup_cluster_histogram",
-    "dedup_components",
-    "dedup_cross_source_matrix",
-    "dedup_exact_substring",
-    "dedup_incremental_ingest",
-    "dedup_keep_best_quality",
-    "dedup_keep_canonical",
-    "dedup_minhash_estimate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_split_leakage",
-    "embedding_norm_audit",
-    "events_funnel_conversion",
-    "events_key_skew_report",
-    "events_profile_columns",
-    "multimodal_png_features",
-    "pipeline_curated_modern",
-    "q2_spend_deciles_scalable",
-    "q2b_avg_days_between_orders",
-    "q3b_customer_brand_unpivot",
-    "quality_score_calibration",
-    "retrieval_bm25_indexed",
-    "retrieval_bm25_multi_query",
-    "sketch_count_min_heavy_hitters",
-    "star_disjunctive_branch_revenue",
-    "star_min_cost_supplier",
-    "star_promo_part_suppliers",
-    "text_contamination_check",
-    "text_language_audit",
-    "text_quality_classifier",
-    # ---- r10 refreshes brought forward (rule 3; alphabetically first 14
-    # ---- of the 47-entry r10 generation — two slots ceded to the
-    # ---- quality-filter pair above — shrinking round 14's debt to 33;
-    # ---- see the ROUND-14 BUDGET above) ----------------------------------
-    "agg_revenue_decimal_exact",
-    "bonus_categorize_python_udf",
-    "corpus_bpe_merges",
-    "corpus_bpe_segment",
-    "corpus_bpe_token_counts",
-    "corpus_bpe_vocab",
-    "corpus_epoch_mixture",
-    "corpus_priority_sample",
-    "corpus_truncation_report",
-    "dedup_exact",
-    "dedup_simhash",
-    "events_error_bursts_midnight_merged",
-    "events_ewma_per_user",
-    "events_hourly_rollup",
+    # ---- the whole last-green-r10 stale generation (rule 3, 33) ----------
+    "events_interval_error_burst_join",
+    "events_running_stats",
+    "events_session_attribution",
+    "events_sliding_10min_5min",
+    "events_top_users_per_type",
+    "events_tumbling_5min",
+    "events_type_hour_cube",
+    "events_type_percentiles",
+    "events_user_sessions",
+    "multimodal_decoded_metadata",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "pack_documents",
+    "pack_documents_bpe",
+    "pack_efficiency_report",
+    "pipeline_surviving_docs",
+    "q1_corpus_stats",
+    "q1_word_length_histogram",
+    "q2_order_count_thresholds",
+    "q2_spend_distribution",
+    "q2_top_customers_by_spend",
+    "q2a_customer_summary",
+    "set_except_buyers_without_events",
+    "set_intersect_buyers_with_events",
+    "set_union_active_users",
+    "skew_salted_count",
+    "star_anti_join_dormant_customers",
+    "star_semi_join_big_spenders",
+    "temporal_click_error_pairs",
+    "temporal_clicks_trailing_5min",
+    "text_document_fingerprints",
+    "text_token_counts",
+    "training_shard_manifest",
+    # ---- r11 refreshes brought forward (rule 3; alphabetically first 17
+    # ---- of the 49-entry r11 generation, shrinking round 15's debt to
+    # ---- 32 — see the ROUND-15 BUDGET above) -----------------------------
+    "ann_brute_force_topk",
+    "ann_ivf_assign",
+    "ann_ivf_build_kmeans",
+    "ann_ivf_cell_stats",
+    "ann_ivf_pq_search_indexed",
+    "ann_ivf_search",
+    "ann_partitioned_topk",
+    "ann_pq_adc_topk",
+    "ann_recall_curve",
+    "bonus_categorize_expr",
+    "bonus_left_join",
+    "corpus_dsir_sample",
+    "corpus_length_profile",
+    "corpus_ngram_diversity",
+    "corpus_vocabulary",
+    "drift_numeric_psi",
+    "embedding_cluster_balanced_sample",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering
