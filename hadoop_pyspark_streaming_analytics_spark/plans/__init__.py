@@ -63,37 +63,43 @@ STALENESS_ROUNDS = 4
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 14
-# ROUND-14 ROTATION (parked on r14-prep until CORRECTNESS_r13.json
-# lands; the r13-prep convention): the whole 33-entry last-green-r10
-# stale generation + the alphabetically-first 17 of the 49-entry r11
-# generation brought forward = exactly 50, ZERO slack — round 14 is
-# the round-11 regime: ALL operator/oracle churn on main must stay at
-# zero; prepared fixes ride side branches, and a forced re-gate
-# (advice fix touching a non-window entry) displaces a bring-forward
-# or spends the retirement reserve.  Computed by simulating a green
-# r13 over fingerprint.last_green_rounds() seeded with the actual
-# CORRECTNESS_r01-r12; RE-VERIFY against the actual
-# CORRECTNESS_r13.json when landing this branch — a red r13 row
-# changes the owed set.
+# ROUND-14 ROTATION (prepared on r14-prep round 13, landed round 14
+# after re-verifying the owed set against the actual 50/50-green
+# CORRECTNESS_r13 — the parked arithmetic held unchanged): the whole
+# 33-entry last-green-r10 stale generation + an alphabetical prefix
+# of the r11 generation brought forward = exactly 50, ZERO slack —
+# round 14 is the round-11 regime: ALL operator/oracle churn on main
+# must stay at zero; prepared fixes ride side branches, and a forced
+# re-gate (advice fix touching a non-window entry) displaces a
+# bring-forward or spends the retirement reserve.  Executed in-round
+# (r13 VERDICT item 3): the retirement reserve's
+# bonus_categorize_expr — alphabetically inside the bring-forward
+# prefix, so itself an r14 slot-holder — was RETIRED (near-twin: one
+# of three U1 parity faces sharing one oracle; the python_udf /
+# pandas_udf twins keep the U1 surface driver-covered and the
+# categorize_expr function stays pytest-pinned), freeing its slot for
+# one more r11 bring-forward (embedding_near_duplicates_lsh).  Final
+# window: 33 r10-stale + the alphabetically-first 17 of the 48-entry
+# post-retirement r11 generation = 50.
 #
 # ROUND-15 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; distribution computed round 13 by simulating
-# green r13 AND r14 windows): after a green r14, the oracle-backed
-# last-green distribution is {r11: 32, r12: 50, r13: 50, r14: 50} =
-# 182 (the 17 brought-forward r11 refreshes shrink r11 49 -> 32;
-# rows-only sketch_daily_user_hll stays the r4 exception outside the
-# oracle-backed count).  Round 15 therefore OWES 32 stale slots,
-# leaving 50 - 32 = 18 for changed-code re-gates, new entries, and/or
-# r12 bring-forward.  Round 16 then owes the 50-entry r12 generation
-# minus r15's bring-forward — r15 should bring forward ~15 r12
-# entries with its free slots, or r16 binds at zero slack again.  At
-# 182 oracle-backed entries / 50 slots the 4-round cutoff needs an
-# average 45.5 refresh slots per round; the catalog stays FLAT (new
-# entries only into measured slack), and the retirement reserve is
-# unchanged: bonus_categorize_expr (one of three U1 parity faces,
-# and an r14 bring-forward — retiring it frees an in-window slot if
-# a forced re-gate pushes the union past 50) then
-# events_props_map_stats (subsumable by events_scalar_features).
+# standing VERDICT item; recomputed at the round-14 retirement):
+# after a green r14, the oracle-backed last-green distribution is
+# {r11: 31, r12: 50, r13: 50, r14: 50} = 181 (the 17 brought-forward
+# r11 refreshes + the retirement shrink r11 49 -> 31; rows-only
+# sketch_daily_user_hll stays the r4 exception outside the
+# oracle-backed count; catalog total 184 = 181 + the 3 oracle-less
+# HLL sketches, sketch_daily_user_hll among them).  Round 15
+# therefore OWES 31 stale slots, leaving 50 - 31 = 19 for
+# changed-code re-gates, new entries, and/or r12 bring-forward.
+# Round 16 then owes the 50-entry r12 generation minus r15's
+# bring-forward — r15 should bring forward ~15 r12 entries with its
+# free slots, or r16 binds at zero slack again.  At 181 oracle-backed
+# entries / 50 slots the 4-round cutoff needs an average 45.25
+# refresh slots per round; the
+# catalog stays FLAT (new entries only into measured slack), and the
+# retirement reserve's next name is events_props_map_stats
+# (subsumable by events_scalar_features).
 # Named candidates for r15's 18 slots, cheapest-risk first (all three
 # PRE-BUILT round 13 — new modules, zero fingerprint churn, template
 # oracles two-SF-diffed): (a) the tokenizer fertility report
@@ -156,7 +162,6 @@ _WINDOW = [
     "ann_partitioned_topk",
     "ann_pq_adc_topk",
     "ann_recall_curve",
-    "bonus_categorize_expr",
     "bonus_left_join",
     "corpus_dsir_sample",
     "corpus_length_profile",
@@ -164,6 +169,7 @@ _WINDOW = [
     "corpus_vocabulary",
     "drift_numeric_psi",
     "embedding_cluster_balanced_sample",
+    "embedding_near_duplicates_lsh",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering
