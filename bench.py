@@ -1122,15 +1122,25 @@ def _bench_streaming_segment_scrub_multibatch(
         best = {arm: min(runs, key=lambda r: r[0]) for arm, runs in samples.items()}
         return {
             "streaming_segment_scrub_multibatch_batches": n_batches,
+            # wall_sec is the full drain INCLUSIVE of the in-handler
+            # compaction folds (the fold runs inside foreachBatch, so it
+            # is genuinely on the drain's critical path); fold_sec below
+            # reports the same folds' accumulated wall SEPARATELY, not
+            # additionally — compare arms on wall, or on the derived
+            # wall_minus_fold_sec for scrub-work parity (ADVICE r13).
             "streaming_segment_scrub_multibatch_wall_sec": {
                 arm: best[arm][0] for arm in samples
             },
             "streaming_segment_scrub_multibatch_wall_raw_sec": {
                 arm: [r[0] for r in runs] for arm, runs in samples.items()
             },
-            # accumulated fold wall across the drain, its own stage
             "streaming_segment_scrub_multibatch_fold_sec": {
                 arm: best[arm][1] for arm in samples
+            },
+            # the scrub-only wall: what the arm spent NOT compacting —
+            # the like-for-like parity figure between arms.
+            "streaming_segment_scrub_multibatch_wall_minus_fold_sec": {
+                arm: round(best[arm][0] - best[arm][1], 3) for arm in samples
             },
         }
     finally:

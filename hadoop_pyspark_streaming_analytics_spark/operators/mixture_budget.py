@@ -30,10 +30,12 @@ one row per source.
 Degrade-per-row: a source whose documents are all NULL/untokenizable has
 no token mass — it stays VISIBLE in the output with NULL cap/allocation
 (never silently dropped, never a crash) and does not participate in the
-water-filling.  If the budget exceeds the total capped mass, every
-source saturates its cap and the shortfall is visible as
-``budget_unfilled`` > 0 on every row (a scalar broadcast, the honest
-"your budget is bigger than your data" signal).
+water-filling; ALL its allocation columns are NULL, ``budget_unfilled``
+included (NULL-discipline pinned on both engines by
+tests/test_mixture_budget.py, ADVICE r13).  If the budget exceeds the
+total capped mass, every source saturates its cap and the shortfall is
+visible as ``budget_unfilled`` > 0 on every ALLOCATED row (a scalar
+broadcast, the honest "your budget is bigger than your data" signal).
 
 Zero-churn module (the length_policy / segment_dedup pattern):
 registration deferred to a measured window (ROUND-15 budget candidate).
@@ -234,7 +236,12 @@ SELECT p.source, p.tokens_available,
        round(al.a + 1e-8, 4) AS allocated_tokens,
        round(al.a / al.tokens_available + 1e-8, 4) AS epochs_used,
        round(al.a / al.budget + 1e-8, 4) AS budget_share,
-       round(CASE WHEN al.budget > al.total_cap
+       -- NULL-preserve for tokenless sources (ADVICE r13): after the
+       -- visibility LEFT JOIN al.* is NULL and a bare CASE's NULL WHEN
+       -- falls through to ELSE 0.0, diverging from the builder's NULL;
+       -- round(NULL + 1e-8) keeps the NULL once the first arm fires.
+       round(CASE WHEN al.source IS NULL THEN NULL
+                  WHEN al.budget > al.total_cap
                   THEN al.budget - al.total_cap ELSE 0.0 END + 1e-8, 4)
          AS budget_unfilled
 FROM per_source p LEFT JOIN alloc al ON p.source = al.source"""

@@ -87,6 +87,46 @@ def test_tokenless_source_visible_not_dropped(spark):
     assert e.tokens_available is None
     assert e.cap_tokens is None and e.allocated_tokens is None
     assert e.epochs_used is None and e.budget_share is None
+    # budget_unfilled follows the same NULL discipline — the one column
+    # where builder and oracle diverged before the ADVICE r13 fix (the
+    # oracle's bare CASE fell through to ELSE 0.0 on the NULL-joined row).
+    assert e.budget_unfilled is None
+    # ... and an allocated row keeps the scalar 0.0, not NULL.
+    assert rep["a"].budget_unfilled == 0.0
+
+
+def test_template_oracle_tokenless_null_discipline():
+    """The oracle side of the degenerate path, pinned directly in DuckDB:
+    the real SFs have no fully-tokenless source, so the two-SF diffs
+    cannot see this branch (ADVICE r13 medium) — a synthetic corpus with
+    one tokenless source must yield NULL budget_unfilled (matching the
+    builder) and 0.0 on every allocated row."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE documents AS SELECT * FROM (VALUES
+             (1,'a'),(2,'b'),(3,'c'),(4,'empty')) t(doc_id, source)"""
+    )
+    con.execute(
+        """CREATE TABLE tok AS SELECT * FROM (VALUES
+             (1,100),(2,300),(3,600)) t(doc_id, bpe_ish_tokens)"""
+    )
+    sql = oracle_unimax_allocation(
+        "SELECT doc_id, bpe_ish_tokens FROM tok"
+    )
+    rows = {
+        r[0]: r
+        for r in con.execute(
+            f"SELECT * FROM ({sql}) q ORDER BY q.source"
+        ).fetchall()
+    }
+    # columns: source, tokens_available, cap_tokens, allocated_tokens,
+    #          epochs_used, budget_share, budget_unfilled
+    assert rows["empty"][1:] == (None,) * 6
+    third = round(500 / 3 + 1e-8, 4)
+    assert rows["a"][3] == third and rows["a"][6] == 0.0
+    assert rows["c"][3] == third and rows["c"][6] == 0.0
 
 
 @pytest.mark.parametrize(
