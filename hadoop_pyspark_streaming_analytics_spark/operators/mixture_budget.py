@@ -76,6 +76,14 @@ def unimax_of(
         .join(counts.select("doc_id", "bpe_ish_tokens"), "doc_id", "left")
         .groupBy("source")
         .agg(F.sum("bpe_ish_tokens").cast("bigint").alias("tokens_available"))
+        # Three consumers, one corpus scan (the corpus.py:260 convention):
+        # alloc_in, totals, and the final visibility join all re-read this
+        # source-count-sized frame — without lineage truncation Spark
+        # re-executes the corpus-sized token-count aggregate once PER
+        # consumer (plan-audited at 3x before this pin; at 100 TB that is
+        # two needless full-corpus scans).  localCheckpoint over cache so
+        # the replayed plan cannot silently fall back to recompute.
+        .localCheckpoint(eager=True)
     )
     alloc_in = per_source.where(
         F.col("tokens_available").isNotNull()

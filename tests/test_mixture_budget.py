@@ -129,6 +129,23 @@ def test_template_oracle_tokenless_null_discipline():
     assert rows["c"][3] == third and rows["c"][6] == 0.0
 
 
+def test_single_corpus_scan_behind_checkpoint(spark):
+    """Scale pin: the water-filling's three consumers of per_source
+    (alloc_in, totals, the visibility join) must read the checkpointed
+    source-count-sized frame, NOT re-execute the corpus-sized token
+    aggregate — pre-pin the plan audited 3x the two-scan subtree (six
+    parquet scans; two needless full-corpus passes at 100 TB).  With the
+    localCheckpoint in place the returned plan carries ZERO file scans:
+    all corpus work ran exactly once, inside the eager checkpoint."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.mixture_budget import (
+        unimax_allocation,
+    )
+
+    df = unimax_allocation(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+
+
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
