@@ -20,11 +20,15 @@ side and is excluded from the agreement fraction (which covers
 both-scored docs only, reported as ``n_both_scored``); a source where
 no doc is both-scored reports NULL agree_frac (0/0 -> NULL).
 
-Zero-churn module (the length_policy / segment_dedup pattern):
-registration deferred to a measured window (ROUND-15 budget candidate).
-The oracle is a TEMPLATE (:func:`oracle_gate_agreement`) nesting both
-gates' proven oracles verbatim at registration time — single source of
-truth, no SQL duplicated here.
+Built round 13 as a zero-churn module (the length_policy /
+segment_dedup pattern); REGISTERED round 15 as
+``quality_gate_agreement`` into the measured window, deliberately
+OFF-headline (it runs the trained gate's 8-step GD, inheriting the
+quality-model pair's ~9 s floor — 10.38 s warm at sf0.1, on record in
+SCALE.md before the QuerySpec landed).  The oracle is a TEMPLATE
+(:func:`oracle_gate_agreement`) that llm_catalog.py instantiates with
+both gates' proven oracles — single source of truth, no SQL duplicated
+here.
 """
 
 from __future__ import annotations

@@ -37,10 +37,12 @@ total capped mass, every source saturates its cap and the shortfall is
 visible as ``budget_unfilled`` > 0 on every ALLOCATED row (a scalar
 broadcast, the honest "your budget is bigger than your data" signal).
 
-Zero-churn module (the length_policy / segment_dedup pattern):
-registration deferred to a measured window (ROUND-15 budget candidate).
-The oracle is a TEMPLATE (:func:`oracle_unimax_allocation`) nesting the
-proven text_token_counts oracle verbatim at registration time.
+Built round 13 as a zero-churn module (the length_policy /
+segment_dedup pattern); REGISTERED round 15 as ``unimax_allocation``
+into the measured window (sf0.1 cost 1.43 s warm, on record in SCALE.md
+before the QuerySpec landed).  The oracle is a TEMPLATE
+(:func:`oracle_unimax_allocation`) that llm_catalog.py instantiates
+with the catalog's proven text_token_counts oracle.
 """
 
 from __future__ import annotations

@@ -24,13 +24,15 @@ the LEFT join; a source with zero tokenizable docs reports NULL
 fertility / chars_per_token (0/0 -> NULL, never a crash), with its
 ``n_docs`` still visible.
 
-Zero-churn module (the length_policy / segment_dedup pattern): new file,
-no registered entry depends on it, so registration is deferred to a
-measured window (ROUND-15 budget candidate).  The oracle is a TEMPLATE
-(:func:`oracle_fertility_report`) that nests the proven
-corpus_bpe_token_counts oracle verbatim at registration time — the house
-convention for composed entries, kept single-source-of-truth by taking
-the nested SQL as an argument instead of duplicating it here.
+Built round 13 as a zero-churn module (the length_policy /
+segment_dedup pattern); REGISTERED round 15 as
+``tokenizer_fertility_report`` into the measured window (sf0.1 cost
+2.63 s warm, on record in SCALE.md before the QuerySpec landed).  The
+oracle is a TEMPLATE (:func:`oracle_fertility_report`) that
+llm_catalog.py instantiates with the catalog's proven
+corpus_bpe_token_counts oracle — the house convention for composed
+entries, kept single-source-of-truth by taking the nested SQL as an
+argument instead of duplicating it here.
 """
 
 from __future__ import annotations

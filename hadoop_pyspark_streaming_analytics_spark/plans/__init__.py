@@ -62,114 +62,102 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 14
-# ROUND-14 ROTATION (prepared on r14-prep round 13, landed round 14
-# after re-verifying the owed set against the actual 50/50-green
-# CORRECTNESS_r13 — the parked arithmetic held unchanged): the whole
-# 33-entry last-green-r10 stale generation + an alphabetical prefix
-# of the r11 generation brought forward = exactly 50, ZERO slack —
-# round 14 is the round-11 regime: ALL operator/oracle churn on main
-# must stay at zero; prepared fixes ride side branches, and a forced
-# re-gate (advice fix touching a non-window entry) displaces a
-# bring-forward or spends the retirement reserve.  Executed in-round
-# (r13 VERDICT item 3): the retirement reserve's
-# bonus_categorize_expr — alphabetically inside the bring-forward
-# prefix, so itself an r14 slot-holder — was RETIRED (near-twin: one
-# of three U1 parity faces sharing one oracle; the python_udf /
-# pandas_udf twins keep the U1 surface driver-covered and the
-# categorize_expr function stays pytest-pinned), freeing its slot for
-# one more r11 bring-forward (embedding_near_duplicates_lsh).  Final
-# window: 33 r10-stale + the alphabetically-first 17 of the 48-entry
-# post-retirement r11 generation = 50.
+ROTATION_ROUND = 15
+# ROUND-15 ROTATION (prepared on r15-prep round 14, the r13/r14-prep
+# convention — land once CORRECTNESS_r14.json is on disk, after
+# re-verifying the owed set against it: a red r14 row changes the
+# sets below, which were computed by simulating a green r14 over
+# fingerprint.last_green_rounds() seeded with the actual
+# CORRECTNESS_r01-r13).  The window: the whole 31-entry
+# last-green-r11 owed generation (rule 3) + the 3 NEW round-15
+# registrations (rule 1 never-gated: tokenizer_fertility_report /
+# quality_gate_agreement / unimax_allocation, all pre-built round 13,
+# two-SF-diffed since, sf0.1 costs on record in SCALE.md before the
+# QuerySpecs landed) + the alphabetically-first 16 of the 50-entry
+# r12 generation brought forward (rule 3, shrinking round 16's owed
+# generation 50 -> 34).  31 + 3 + 16 = exactly 50.
 #
-# ROUND-15 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; recomputed at the round-14 retirement):
-# after a green r14, the oracle-backed last-green distribution is
-# {r11: 31, r12: 50, r13: 50, r14: 50} = 181 (the 17 brought-forward
-# r11 refreshes + the retirement shrink r11 49 -> 31; rows-only
-# sketch_daily_user_hll stays the r4 exception outside the
-# oracle-backed count; catalog total 184 = 181 + the 3 oracle-less
-# HLL sketches, sketch_daily_user_hll among them).  Round 15
-# therefore OWES 31 stale slots, leaving 50 - 31 = 19 for
-# changed-code re-gates, new entries, and/or r12 bring-forward.
-# Round 16 then owes the 50-entry r12 generation minus r15's
-# bring-forward — r15 should bring forward ~15 r12 entries with its
-# free slots, or r16 binds at zero slack again.  At 181 oracle-backed
-# entries / 50 slots the 4-round cutoff needs an average 45.25
-# refresh slots per round; the
-# catalog stays FLAT (new entries only into measured slack), and the
-# retirement reserve's next name is events_props_map_stats
-# (subsumable by events_scalar_features).
-# Named candidates for r15's 18 slots, cheapest-risk first (all three
-# PRE-BUILT round 13 — new modules, zero fingerprint churn, template
-# oracles two-SF-diffed): (a) the tokenizer fertility report
-# (operators/tokenizer_health.py — per-source BPE fertility/
-# compression; oracle nests the proven corpus_bpe_token_counts SQL;
-# tests/test_tokenizer_health.py), (b) the quality-gate agreement
-# audit (operators/gate_agreement.py — heuristic-vs-trained shadow
-# comparison; oracle nests text_quality_classifier +
-# ORACLE_MODEL_SCORES; tests/test_gate_agreement.py) and (c) the
-# UniMax mixture budget allocator (operators/mixture_budget.py —
-# closed-form water-filling of a token budget across sources under an
-# epoch cap, Chung et al. ICLR 2023; oracle nests text_token_counts;
-# tests/test_mixture_budget.py); each costs one QuerySpec of
-# boilerplate.  (d) r12 bring-forward with every remaining slot (the
-# r16 zero-slack note above).
+# (Round-14 history: the r14-prep window — 33 r10-stale + an
+# alphabetical r11 prefix, zero slack — landed after the parked
+# arithmetic held against the 50/50-green CORRECTNESS_r13; the
+# retirement reserve's bonus_categorize_expr was retired in-round,
+# its freed slot taking one more r11 bring-forward, final window
+# 33 + 17-of-48 = 50.)
+#
+# ROUND-16 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# standing VERDICT item; distribution computed round 14 by simulating
+# green r14 AND r15 windows): after a green r15, the oracle-backed
+# last-green distribution is {r12: 34, r13: 50, r14: 50, r15: 50} =
+# 184 (the 16 brought-forward r12 refreshes shrink r12 50 -> 34; the
+# 3 new registrations land at r15; rows-only sketch_daily_user_hll
+# stays the r4 exception outside the oracle-backed count; catalog
+# total 187 = 184 + the 3 oracle-less HLL sketches).  Round 16
+# therefore OWES 34 stale slots, leaving 50 - 34 = 16 for
+# changed-code re-gates, new entries, and/or r13 bring-forward —
+# round 17 then owes the 50-entry r13 generation minus r16's
+# bring-forward, so r16 should spend most of its 16 free slots on r13
+# bring-forward or r17 binds near zero.  At 184 oracle-backed entries
+# / 50 slots the 4-round cutoff needs an average 46 refresh slots per
+# round — the ceiling the round-10 arithmetic warned about; the
+# catalog stays FLAT from here (new entries ONLY by displacing a
+# retirement), and the retirement reserve's next name is
+# events_props_map_stats (subsumable by events_scalar_features).
 _WINDOW = [
-    # ---- the whole last-green-r10 stale generation (rule 3, 33) ----------
-    "events_interval_error_burst_join",
-    "events_running_stats",
-    "events_session_attribution",
-    "events_sliding_10min_5min",
-    "events_top_users_per_type",
-    "events_tumbling_5min",
-    "events_type_hour_cube",
-    "events_type_percentiles",
-    "events_user_sessions",
-    "multimodal_decoded_metadata",
-    "multimodal_frame_sample",
-    "multimodal_png_decode",
-    "pack_documents",
-    "pack_documents_bpe",
-    "pack_efficiency_report",
-    "pipeline_surviving_docs",
-    "q1_corpus_stats",
-    "q1_word_length_histogram",
-    "q2_order_count_thresholds",
-    "q2_spend_distribution",
-    "q2_top_customers_by_spend",
-    "q2a_customer_summary",
-    "set_except_buyers_without_events",
-    "set_intersect_buyers_with_events",
-    "set_union_active_users",
-    "skew_salted_count",
-    "star_anti_join_dormant_customers",
-    "star_semi_join_big_spenders",
-    "temporal_click_error_pairs",
-    "temporal_clicks_trailing_5min",
-    "text_document_fingerprints",
-    "text_token_counts",
-    "training_shard_manifest",
-    # ---- r11 refreshes brought forward (rule 3; alphabetically first 17
-    # ---- of the 49-entry r11 generation, shrinking round 15's debt to
-    # ---- 32 — see the ROUND-15 BUDGET above) -----------------------------
-    "ann_brute_force_topk",
-    "ann_ivf_assign",
-    "ann_ivf_build_kmeans",
-    "ann_ivf_cell_stats",
-    "ann_ivf_pq_search_indexed",
-    "ann_ivf_search",
-    "ann_partitioned_topk",
-    "ann_pq_adc_topk",
-    "ann_recall_curve",
-    "bonus_left_join",
-    "corpus_dsir_sample",
-    "corpus_length_profile",
-    "corpus_ngram_diversity",
-    "corpus_vocabulary",
-    "drift_numeric_psi",
-    "embedding_cluster_balanced_sample",
-    "embedding_near_duplicates_lsh",
+    # ---- the whole last-green-r11 owed generation (rule 3, 31) -----------
+    "embedding_semdedup",
+    "embedding_staleness_audit",
+    "events_resample_hourly_locf",
+    "events_values_winsorized",
+    "multimodal_image_ahash_dedup",
+    "q1_word_count_top20",
+    "q2b_customer_orders_window",
+    "q3a_product_statistics",
+    "q3b_customer_brand_pivot",
+    "retrieval_hybrid_mmr_pipeline",
+    "retrieval_hybrid_multi_query",
+    "retrieval_prf_expansion",
+    "star_bracketed_discount_revenue",
+    "star_customer_order_distribution",
+    "star_forecast_revenue_change",
+    "star_inactive_rich_customers",
+    "star_large_volume_customers",
+    "star_local_supplier_volume",
+    "star_nation_trade_volume",
+    "star_order_priority_returns",
+    "star_pricing_summary",
+    "star_promo_revenue_share",
+    "star_region_market_share",
+    "star_returned_item_losses",
+    "star_shipping_priority",
+    "star_small_quantity_revenue",
+    "star_top_supplier",
+    "star_waiting_suppliers",
+    "stratified_sample",
+    "temporal_asof_last_click",
+    "temporal_point_in_time_value",
+    # ---- the 3 NEW round-15 registrations (rule 1 never-gated) -----------
+    "tokenizer_fertility_report",
+    "quality_gate_agreement",
+    "unimax_allocation",
+    # ---- r12 refreshes brought forward (rule 3; alphabetically first 16
+    # ---- of the 50-entry r12 generation, shrinking round 16's debt to
+    # ---- 34 — see the ROUND-16 BUDGET above) -----------------------------
+    "agg_order_baskets",
+    "bonus_categorize_pandas_udf",
+    "bonus_inner_join",
+    "chunk_documents",
+    "chunk_documents_udtf",
+    "corpus_bigram_surprisal",
+    "corpus_boilerplate_ngrams",
+    "corpus_difficulty_bins",
+    "corpus_language_mixture",
+    "corpus_repetition_scores",
+    "corpus_select_token_budget",
+    "corpus_source_report",
+    "corpus_tfidf_similar_pairs",
+    "corpus_tfidf_top_terms",
+    "corpus_unigram_surprisal",
+    "corpus_vocab_coverage_scalable",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

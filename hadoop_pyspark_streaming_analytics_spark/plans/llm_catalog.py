@@ -15,8 +15,10 @@ from ..operators import (
     chunking,
     corpus,
     dedup,
+    gate_agreement,
     graph,
     length_policy,
+    mixture_budget,
     model_filter,
     multimodal,
     profiling,
@@ -28,6 +30,7 @@ from ..operators import (
     similarity,
     sketches,
     timeseries,
+    tokenizer_health,
 )
 from ..operators.quality import LANG_MARKERS
 from ..operators.text import STOP_WORDS
@@ -3946,4 +3949,59 @@ LLM_CATALOG.append(
         _monitor_rollup_sql(),
         tags=("llm", "profiling", "drift", "alerting"),
     )
+)
+
+
+# --- ROUND-15 registrations (all three PRE-BUILT round 13 as zero-churn
+# --- modules, two-SF-diffed by their test files since; sf0.1 costs
+# --- measured round 14 and recorded in SCALE.md before any QuerySpec
+# --- landed — the round-13 pattern).  Each oracle instantiates the
+# --- module's TEMPLATE with the catalog's own proven nested SQL
+# --- (single source of truth — the house convention for composed
+# --- entries, same spelling the tests diff at sf0.001 AND sf0.01). ---
+LLM_CATALOG.extend(
+    [
+        QuerySpec(
+            "tokenizer_fertility_report",
+            tokenizer_health.tokenizer_fertility_report,
+            tokenizer_health.oracle_fertility_report(
+                next(
+                    s.oracle
+                    for s in LLM_CATALOG
+                    if s.name == "corpus_bpe_token_counts"
+                )
+            ),
+            tags=("llm", "tokenizer", "report"),
+            headline=True,  # 2.63 s warm at sf0.1 (SCALE.md r14 preview)
+        ),
+        QuerySpec(
+            "quality_gate_agreement",
+            gate_agreement.quality_gate_agreement,
+            gate_agreement.oracle_gate_agreement(
+                next(
+                    s.oracle
+                    for s in LLM_CATALOG
+                    if s.name == "text_quality_classifier"
+                ),
+                model_filter.ORACLE_MODEL_SCORES,
+            ),
+            tags=("llm", "quality", "trained", "report"),
+            # deliberately OFF-headline: runs the trained gate's 8-step
+            # GD, inheriting the quality-model pair's ~9 s floor
+            # (10.38 s warm at sf0.1 — SCALE.md r14 preview).
+        ),
+        QuerySpec(
+            "unimax_allocation",
+            mixture_budget.unimax_allocation,
+            mixture_budget.oracle_unimax_allocation(
+                next(
+                    s.oracle
+                    for s in LLM_CATALOG
+                    if s.name == "text_token_counts"
+                )
+            ),
+            tags=("llm", "mixture", "curation"),
+            headline=True,  # 1.43 s warm at sf0.1 (SCALE.md r14 preview)
+        ),
+    ]
 )

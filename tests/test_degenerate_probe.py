@@ -33,12 +33,14 @@ probe = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(probe)
 
 
-# Per-suite selection floors, set just under the round-13 counts
-# (documents 87 / embeddings 23 / events 42 / tpch 47 after the six new
-# round-13 registrations): a shrinking pick means the relevance filter
-# broke or a tier silently lost its oracle-table read, either of which
-# would green-wash the probe.  Raise these as the catalog grows.
-_SUITE_FLOORS = {"documents": 80, "embeddings": 20, "events": 38, "tpch": 42}
+# Per-suite selection floors, set just under the round-15 counts
+# (documents 90 / embeddings 23 / events 42 / tpch 46 after the three
+# round-15 registrations — all documents-suite — and the round-14
+# bonus_categorize_expr retirement): a shrinking pick means the
+# relevance filter broke or a tier silently lost its oracle-table read,
+# either of which would green-wash the probe.  Raise these as the
+# catalog grows.
+_SUITE_FLOORS = {"documents": 83, "embeddings": 20, "events": 38, "tpch": 42}
 
 
 @pytest.mark.parametrize("suite", ["documents", "embeddings", "events", "tpch"])
