@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import categorize_expr, categorize_pandas_udf, categorize_python_udf
+from ..functions.udfs import categorize_pandas_udf, categorize_python_udf
 from ..operators import (
     intervals,
     nested,

@@ -144,6 +144,11 @@ def test_single_corpus_scan_behind_checkpoint(spark):
     df = unimax_allocation(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0, plan
+    # Positive marker (ADVICE r14): the zero-FileScan assert alone would
+    # pass vacuously if a Spark upgrade renamed the scan node (DSv2
+    # "BatchScan") — also require the checkpoint's RDD scan to be the
+    # visible source, so a renamed file-scan node can't fake a pass.
+    assert "Scan ExistingRDD" in plan, plan
 
 
 @pytest.mark.parametrize(
