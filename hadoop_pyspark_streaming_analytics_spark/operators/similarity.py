@@ -1373,11 +1373,22 @@ def semdedup(
     cross-engine float discipline as the assignment step.
 
     Plan shape at 100 TB: the trained assignment (:func:`kmeans_centroids`
-    is k broadcast rows) rides the corpus scan; members repartition ON the
-    cell id, so the self-join is per-cell-local; the drop set aggregates
-    to DISTINCT ids (bounded by the duplicate count, << corpus) and joins
-    back as a small side.  Cell skew bounds the quadratic term — which is
-    why :func:`ivf_cell_stats` (skew report) is the operational companion.
+    is k broadcast rows) rides the corpus scan, and the argmax agg CARRIES
+    the embedding through (``first`` over a vec_id group is total — one
+    emb row per id fans out over k broadcast centroids, so every group row
+    holds the same vector), so no corpus x corpus re-attach join exists.
+    ``members`` is then ``localCheckpoint``-pinned (the corpus.py:260
+    "N consumers, one scan" convention): its three consumers — both self-
+    join sides and the final keep projection — read the one materialized
+    cell-tagged frame instead of re-executing the scan+assign subtree.
+    Pre-pin the executedPlan audited FIVE parquet scans of the embeddings
+    corpus (self-join 2x2 via the re-attach join + the final projection's
+    re-scan) — four needless full-corpus passes at 100 TB; post-pin the
+    returned plan carries ZERO file scans (test_similarity plan pin).  The
+    drop set aggregates to DISTINCT ids (bounded by the duplicate count,
+    << corpus) and joins back as a small side.  Cell skew bounds the
+    quadratic term — which is why :func:`ivf_cell_stats` (skew report) is
+    the operational companion.
     ``k=None`` (default) derives k from the corpus size with the paper's
     rule (:func:`semdedup_default_k`: one cheap count, k ≈ N/5000,
     floor 8), so cells stay ~constant-sized at ANY corpus scale without a
@@ -1394,8 +1405,34 @@ def semdedup(
     if k is None:
         k = semdedup_default_k(emb.count())
     cents = kmeans_centroids(spark, sf_dir, k, rounds)
-    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
-    members = assign.join(emb, "vec_id").repartition("centroid_id")
+    # Inline variant of :func:`_assign_to_centroids` (same 6dp pre-round,
+    # same highest-cos-then-lowest-id argmax struct) that CARRIES the
+    # embedding through the agg — ``first`` is total here because the
+    # group key is vec_id and the corpus holds one embedding per vec_id.
+    # Kept local to semdedup so the shared assignment helper's plan (used
+    # by the training loop, where dragging vectors through the shuffle
+    # would be pure waste) is untouched.
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", F.round(cosine_expr("embedding", "c_emb") + F.lit(1e-8), 6)
+    )
+    members = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("cos"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                )
+            ).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg_id")).cast("bigint").alias("centroid_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
     a = members.select(
         "centroid_id",
         F.col("vec_id").alias("vec_a"),
@@ -1420,7 +1457,9 @@ def semdedup(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return assign.join(dropped, "vec_id", "left").select(
+    return members.select("vec_id", "centroid_id").join(
+        dropped, "vec_id", "left"
+    ).select(
         "vec_id",
         F.col("centroid_id").cast("bigint").alias("centroid_id"),
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),

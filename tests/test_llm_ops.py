@@ -1719,6 +1719,21 @@ def test_bigram_surprisal_counts_and_backoff_bounds(spark):
         assert s > 0.0
 
 
+def test_semdedup_single_corpus_scan_behind_checkpoint(spark):
+    """Scale pin (round 15): semdedup's ``members`` frame has THREE
+    consumers (both self-join sides + the final keep projection) — the
+    pre-pin executedPlan re-executed the scan+assign subtree per consumer
+    AND re-attached embeddings with a corpus x corpus join: FIVE parquet
+    scans of the embeddings corpus, four needless full passes at 100 TB.
+    With the carry-the-embedding argmax + localCheckpoint in place the
+    returned plan carries ZERO file scans; the positive ExistingRDD
+    marker keeps a Spark scan-node rename from faking the zero."""
+    df = similarity.semdedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_semdedup_survivor_set_is_id_minimal_independent(spark):
     """SemDeDup pruning invariants, checked against an independently
     computed within-cell cosine matrix: (a) every DROPPED vector has a
