@@ -513,12 +513,22 @@ def language_mixture_temperature_sample(
     scan for per-language token totals (map-side combinable), a
     LANGUAGE-grain rate table (bounded by the ISO code space → broadcast
     is provably safe), one scan for the keep filter.  At 100 TB both scans
-    parallelize perfectly and nothing corpus-sized shuffles."""
+    parallelize perfectly and nothing corpus-sized shuffles.
+
+    The language-grain totals frame has TWO consumers (the min_tokens
+    scalar and the rate crossJoin), so it is ``localCheckpoint``-pinned
+    (the corpus.py:260 "N consumers, one scan" convention) — the unpinned
+    plan re-executed the corpus-sized totals pass per consumer (3 parquet
+    scans; one needless full-corpus pass at 100 TB).  Post-pin the
+    returned plan carries exactly ONE file scan, the keep filter's
+    (test_llm_ops plan pin)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(_tokens_col()).alias("n_tokens")
     )
-    lang_tokens = docs.groupBy("lang").agg(
-        F.sum("n_tokens").alias("lang_tokens")
+    lang_tokens = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("lang_tokens"))
+        .localCheckpoint(eager=True)
     )
     min_toks = lang_tokens.agg(F.min("lang_tokens").alias("min_tokens"))
     lang_rates = (

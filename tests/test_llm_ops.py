@@ -1499,6 +1499,24 @@ def test_ivf_pq_search_indexed_parity_and_partition_pruning(spark, tmp_path):
     assert all("embedding" not in b for b in codes_scans)
 
 
+def test_language_mixture_single_totals_scan_behind_checkpoint(spark):
+    """Scale pin (round 15): the language-grain totals frame has two
+    consumers (min_tokens + the rate crossJoin) — unpinned, the plan
+    re-executed the corpus-sized totals pass per consumer (3 parquet
+    scans; one needless full-corpus pass at 100 TB).  Checkpointed, the
+    returned plan carries exactly ONE file scan (the keep filter's) plus
+    the checkpoint's ExistingRDD — the positive marker keeps a Spark
+    scan-node rename from faking the count."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.quality import (
+        language_mixture_temperature_sample,
+    )
+
+    df = language_mixture_temperature_sample(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_language_mixture_temperature_semantics(spark):
     """α=0.5 temperature rebalancing invariants: the rarest language keeps
     EVERYTHING (rate_10k == 10000 — downsampling-only, so the mixture
