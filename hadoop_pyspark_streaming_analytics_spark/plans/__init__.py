@@ -62,102 +62,105 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 15
-# ROUND-15 ROTATION (prepared on r15-prep round 14, the r13/r14-prep
-# convention — land once CORRECTNESS_r14.json is on disk, after
-# re-verifying the owed set against it: a red r14 row changes the
-# sets below, which were computed by simulating a green r14 over
+ROTATION_ROUND = 16
+# ROUND-16 ROTATION (prepared on r16-prep round 15, the standing prep
+# convention — land once CORRECTNESS_r15.json is on disk, after
+# re-verifying the owed set against it: a red r15 row changes the
+# sets below, which were computed by simulating a green r15 over
 # fingerprint.last_green_rounds() seeded with the actual
-# CORRECTNESS_r01-r13).  The window: the whole 31-entry
-# last-green-r11 owed generation (rule 3) + the 3 NEW round-15
-# registrations (rule 1 never-gated: tokenizer_fertility_report /
-# quality_gate_agreement / unimax_allocation, all pre-built round 13,
-# two-SF-diffed since, sf0.1 costs on record in SCALE.md before the
-# QuerySpecs landed) + the alphabetically-first 16 of the 50-entry
-# r12 generation brought forward (rule 3, shrinking round 16's owed
-# generation 50 -> 34).  31 + 3 + 16 = exactly 50.
+# CORRECTNESS_r01-r14).  The window executes the pre-written ROUND-16
+# BUDGET exactly: the whole 34-entry last-green-r12 owed generation
+# (rule 3; the r12 generation minus round 15's 16 bring-forwards) +
+# the alphabetically-first 16 of the 50-entry r13 generation brought
+# forward (rule 3, shrinking round 17's owed generation 50 -> 34 —
+# all 16 free slots spent on bring-forward, per the budget's "r17
+# binds near zero" warning; NO new registrations, catalog stays
+# FLAT).  34 + 16 = exactly 50, zero slack: round 16's operator/
+# oracle churn must stay inside this window (round 15's census fixes
+# — embedding_semdedup, corpus_language_mixture — were absorbed
+# in-window the same way).
 #
-# (Round-14 history: the r14-prep window — 33 r10-stale + an
-# alphabetical r11 prefix, zero slack — landed after the parked
-# arithmetic held against the 50/50-green CORRECTNESS_r13; the
-# retirement reserve's bonus_categorize_expr was retired in-round,
-# its freed slot taking one more r11 bring-forward, final window
-# 33 + 17-of-48 = 50.)
+# (Round-15 history: the r15-prep window — 31 r11-stale + the 3 new
+# registrations (tokenizer_fertility_report / quality_gate_agreement /
+# unimax_allocation) + 16 r12 bring-forwards — landed after
+# CORRECTNESS_r14 came back 50/50 green; the round's scan census then
+# re-stamped embedding_semdedup + corpus_language_mixture in-window.)
 #
-# ROUND-16 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; distribution computed round 14 by simulating
-# green r14 AND r15 windows): after a green r15, the oracle-backed
-# last-green distribution is {r12: 34, r13: 50, r14: 50, r15: 50} =
-# 184 (the 16 brought-forward r12 refreshes shrink r12 50 -> 34; the
-# 3 new registrations land at r15; rows-only sketch_daily_user_hll
-# stays the r4 exception outside the oracle-backed count; catalog
-# total 187 = 184 + the 3 oracle-less HLL sketches).  Round 16
-# therefore OWES 34 stale slots, leaving 50 - 34 = 16 for
-# changed-code re-gates, new entries, and/or r13 bring-forward —
-# round 17 then owes the 50-entry r13 generation minus r16's
-# bring-forward, so r16 should spend most of its 16 free slots on r13
-# bring-forward or r17 binds near zero.  At 184 oracle-backed entries
+# ROUND-17 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# standing VERDICT item; distribution computed round 15 by simulating
+# green r15 AND r16 windows): after a green r16, the oracle-backed
+# last-green distribution is {r13: 34, r14: 50, r15: 50, r16: 50} =
+# 184 (the 16 brought-forward r13 refreshes shrink r13 50 -> 34;
+# rows-only sketch_daily_user_hll stays the r4 exception outside the
+# oracle-backed count; catalog total 187 = 184 + the 3 oracle-less
+# HLL sketches).  Round 17 therefore OWES 34 stale slots, leaving
+# 50 - 34 = 16 free — the steady state the round-10 arithmetic
+# predicted (34 owed + 16 bring-forward each round, every generation
+# refreshed on a 4-round cycle with zero slack for surprises).  Spend
+# r17's 16 on r14 bring-forward unless a retirement frees a slot for
+# a new entry; the retirement reserve's next name remains
+# events_props_map_stats (subsumable by events_scalar_features — and
+# sitting in THIS round's window, so a green r16 gives the freshest
+# possible baseline for retiring it in round 17).  At 184 oracle-backed entries
 # / 50 slots the 4-round cutoff needs an average 46 refresh slots per
 # round — the ceiling the round-10 arithmetic warned about; the
 # catalog stays FLAT from here (new entries ONLY by displacing a
-# retirement), and the retirement reserve's next name is
-# events_props_map_stats (subsumable by events_scalar_features).
+# retirement).
 _WINDOW = [
-    # ---- the whole last-green-r11 owed generation (rule 3, 31) -----------
-    "embedding_semdedup",
-    "embedding_staleness_audit",
-    "events_resample_hourly_locf",
-    "events_values_winsorized",
-    "multimodal_image_ahash_dedup",
-    "q1_word_count_top20",
-    "q2b_customer_orders_window",
-    "q3a_product_statistics",
-    "q3b_customer_brand_pivot",
-    "retrieval_hybrid_mmr_pipeline",
-    "retrieval_hybrid_multi_query",
-    "retrieval_prf_expansion",
-    "star_bracketed_discount_revenue",
-    "star_customer_order_distribution",
-    "star_forecast_revenue_change",
-    "star_inactive_rich_customers",
-    "star_large_volume_customers",
-    "star_local_supplier_volume",
-    "star_nation_trade_volume",
-    "star_order_priority_returns",
-    "star_pricing_summary",
-    "star_promo_revenue_share",
-    "star_region_market_share",
-    "star_returned_item_losses",
-    "star_shipping_priority",
-    "star_small_quantity_revenue",
-    "star_top_supplier",
-    "star_waiting_suppliers",
-    "stratified_sample",
-    "temporal_asof_last_click",
-    "temporal_point_in_time_value",
-    # ---- the 3 NEW round-15 registrations (rule 1 never-gated) -----------
-    "tokenizer_fertility_report",
-    "quality_gate_agreement",
-    "unimax_allocation",
-    # ---- r12 refreshes brought forward (rule 3; alphabetically first 16
-    # ---- of the 50-entry r12 generation, shrinking round 16's debt to
-    # ---- 34 — see the ROUND-16 BUDGET above) -----------------------------
-    "agg_order_baskets",
-    "bonus_categorize_pandas_udf",
-    "bonus_inner_join",
-    "chunk_documents",
-    "chunk_documents_udtf",
-    "corpus_bigram_surprisal",
-    "corpus_boilerplate_ngrams",
-    "corpus_difficulty_bins",
-    "corpus_language_mixture",
-    "corpus_repetition_scores",
-    "corpus_select_token_budget",
-    "corpus_source_report",
-    "corpus_tfidf_similar_pairs",
-    "corpus_tfidf_top_terms",
-    "corpus_unigram_surprisal",
-    "corpus_vocab_coverage_scalable",
+    # ---- the whole last-green-r12 owed generation (rule 3, 34) -----------
+    "dedup_containment",
+    "dedup_edit_distance_verify",
+    "docs_length_cap",
+    "docs_truncation_loss",
+    "drift_event_type_psi",
+    "drift_value_quantile_shift",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_props_avg_k",
+    "events_props_map_stats",
+    "events_props_typed",
+    "events_scalar_features",
+    "events_user_value_scd2",
+    "events_value_anomalies_zscore",
+    "events_value_histogram",
+    "events_weekly_change",
+    "graph_pagerank_docs",
+    "merge_upsert_customers",
+    "mixture_sample_by_source",
+    "monitor_alert_rollup",
+    "multimodal_png_resize",
+    "multimodal_video_frame_features",
+    "multimodal_wav_features",
+    "quality_weighted_sample",
+    "star_fk_integrity_audit",
+    "star_segment_contribution",
+    "stratified_fixed_n_sample",
+    "temporal_asof_next_click",
+    "text_language_id",
+    "text_pii_redaction",
+    "text_quality_scores",
+    "train_split_assign",
+    "training_shard_assignment",
+    # ---- r13 refreshes brought forward (rule 3; alphabetically first 16
+    # ---- of the 50-entry r13 generation, shrinking round 17's debt to
+    # ---- 34 — see the ROUND-17 BUDGET above) -----------------------------
+    "agg_revenue_decimal_exact",
+    "ann_adc_refine_recall",
+    "ann_adc_refine_topk",
+    "bonus_categorize_python_udf",
+    "corpus_bpe_merges",
+    "corpus_bpe_segment",
+    "corpus_bpe_token_counts",
+    "corpus_bpe_vocab",
+    "corpus_epoch_mixture",
+    "corpus_priority_sample",
+    "corpus_truncation_report",
+    "dedup_cluster_histogram",
+    "dedup_components",
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_exact_substring",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering
