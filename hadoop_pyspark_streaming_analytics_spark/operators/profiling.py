@@ -529,9 +529,11 @@ def monitor_alert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``by=("batch_id",)`` — grouped-equals-per-group is pytest-pinned),
     then roll up through :func:`monitor_alert_rollup_from_reports`.
 
-    Plan shape: two scans of events (categorical counts; per-batch exact
-    quantiles + null counts share the second), category/probe-grain
-    everything after, one tiny window for first-breach."""
+    Plan shape: four scans of events — per time-half, one for the
+    categorical counts and one for the value aggregates (per-batch exact
+    quantiles + null counts fused in a single groupBy) — category/
+    probe-grain everything after (checkpoint-pinned, see below), one
+    tiny window for first-breach."""
     e = _events_with_split(spark, sf_dir)
     ref = e.filter(F.col("is_ref"))
     cur = e.filter(~F.col("is_ref")).withColumn(
@@ -540,11 +542,27 @@ def monitor_alert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- categorical PSI per pseudo-batch (category space = per-batch
     # union of reference and batch categories, the monitor's contract)
+    # Round-15 census fix: the report-grain frames below are each
+    # consumed MORE THAN ONCE (cur_counts by batches + the full_outer
+    # join; counts twice inside psi_report's totals/probs split; the
+    # batch-grain quantile+profile agg by both the qshift and the
+    # null-rate faces), and unpinned the plan re-executed the
+    # corpus-sized subtree per consumer — 18 events scans in the
+    # executedPlan, i.e. ~8 needless full passes at 100 TB.  Each is
+    # localCheckpoint-pinned (the corpus.py:260 "N consumers, one scan"
+    # convention; all three are batch x category / batch-grain,
+    # metadata-sized by construction), and the quantile + null-rate
+    # aggregates FUSE into one groupBy so the cur half is scanned once
+    # for both.  Post-fix the events corpus is read exactly 4 times —
+    # two passes per time-half (counts + quantiles), the minimum these
+    # different-grain aggregates admit — pytest plan-pinned.
     ref_counts = ref.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_ref")
     )
-    cur_counts = cur.groupBy("batch_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n_cur")
+    cur_counts = (
+        cur.groupBy("batch_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .localCheckpoint(eager=True)
     )
     batches = cur_counts.select("batch_id").distinct()
     counts = (
@@ -556,24 +574,30 @@ def monitor_alert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=True)
     )
     psi = psi_report(counts, "event_type", by=("batch_id",))
 
-    # --- binless quantile shift per pseudo-batch vs the frozen ref array
+    # --- binless quantile shift per pseudo-batch vs the frozen ref
+    # array, FUSED with the profile (null rate) agg: same batch_id
+    # grain, one cur scan feeds both report faces off the checkpoint
     arr = ", ".join(repr(q) + "D" for q in DRIFT_QS)
     rq = ref.agg(F.expr(f"percentile(value, array({arr}))").alias("rq"))
-    cq = cur.groupBy("batch_id").agg(
-        F.expr(f"percentile(value, array({arr}))").alias("cq")
+    cq_prof = (
+        cur.groupBy("batch_id")
+        .agg(
+            F.expr(f"percentile(value, array({arr}))").alias("cq"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        )
+        .localCheckpoint(eager=True)
     )
     qshift = _quantile_report_from(
-        cq.crossJoin(F.broadcast(rq)), DRIFT_QS, by=("batch_id",)
+        cq_prof.select("batch_id", "cq").crossJoin(F.broadcast(rq)),
+        DRIFT_QS,
+        by=("batch_id",),
     )
-
-    # --- profile (null rate) per pseudo-batch, profile_frame's schema
-    profile = cur.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
-    ).select(
+    profile = cq_prof.select(
         "batch_id", F.lit("value").alias("col_name"), "n_rows", "n_null"
     )
 

@@ -1017,3 +1017,25 @@ def test_multi_query_entries_contain_single_query_parity(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1)) and ranks
         for r in hyb:
             assert r.lex_rank is not None or r.vec_rank is not None
+
+
+def test_monitor_rollup_corpus_scans_behind_checkpoints(spark, sf_dir):
+    """Scale pin (round 15 census): the rollup's report-grain frames are
+    each consumed more than once (cur_counts by batches + the full_outer
+    join, counts twice inside psi_report, the fused quantile/profile agg
+    by two report faces) — unpinned, the executedPlan re-executed the
+    corpus-sized subtree per consumer: EIGHTEEN events scans, ~8 needless
+    full passes at 100 TB.  Checkpoint-pinned, the returned plan carries
+    exactly TWO column-pruned ref-side scans (the frozen quantile array's
+    ts+value read and the split threshold's ts-only read); every
+    heavy-column pass runs once, inside an eager checkpoint.  The
+    ExistingRDD marker keeps a Spark scan-node rename from faking the
+    count."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.profiling import (
+        monitor_alert_rollup,
+    )
+
+    df = monitor_alert_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan
