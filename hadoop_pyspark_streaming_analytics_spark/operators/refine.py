@@ -44,9 +44,19 @@ DEFAULT_K = 10
 
 
 def _corpus_and_queries(spark, sf_dir, query_ids):
+    # The query set is consumed by every arm (ADC pipeline, exact
+    # ground truth, re-rank broadcast) — checkpoint-pinned so each
+    # consumer reads |query_ids| materialized rows instead of re-running
+    # the pushdown scan per arm (round-15 census; the corpus.py:260
+    # "N consumers, one scan" convention).
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = (
+        emb.filter(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        .localCheckpoint(eager=True)
     )
     return emb, queries
 
@@ -150,10 +160,23 @@ def adc_refine_recall_report(
     top-k).  Three candidate-bounded arms joined on the query grain."""
     shortlist = shortlist or SHORTLIST_FACTOR * k
     emb, queries = _corpus_and_queries(spark, sf_dir, query_ids)
-    truth = _exact_topk(emb, queries, k).select("query_id", "vec_id")
+    # Round-15 census fix: ``truth`` has THREE consumers (both hit
+    # semi-joins + the per-query denominator) and ``adc`` TWO (the
+    # refine re-rank + the raw-ADC top-k arm) — unpinned, each consumer
+    # re-executed its corpus-sized arm (the exact crossJoin three times,
+    # the whole ADC code pipeline twice): SIXTEEN embeddings scans in
+    # the executedPlan.  Both frames are |queries| x k/shortlist rows —
+    # checkpoint-pinned, every corpus arm runs exactly once and the
+    # report tail joins metadata-sized frames (test_refine plan pin).
+    truth = (
+        _exact_topk(emb, queries, k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     adc = (
         adc_topk_for_queries(emb, queries, shortlist)
         .select("query_id", "vec_id", F.col("rk").alias("adc_rank"))
+        .localCheckpoint(eager=True)
     )
     refined = exact_rerank(emb, queries, adc, k).select(
         "query_id", "vec_id"

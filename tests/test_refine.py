@@ -148,3 +148,27 @@ def test_catalog_ready_builders_match_their_oracles(
         getattr(refine, oracle_name),
     )
     compare(spec, spark, sf_dir)
+
+
+def test_refine_corpus_arms_run_once_behind_checkpoints(spark):
+    """Scale pin (round 15 census): the recall report's ``truth`` frame
+    has three consumers and ``adc`` two — unpinned, each consumer
+    re-executed its corpus-sized arm (the exact crossJoin x3, the whole
+    ADC code pipeline x2): SIXTEEN embeddings scans in the executedPlan,
+    ~5 needless full corpus passes at 100 TB.  Checkpoint-pinned (both
+    frames are |queries| x k/shortlist rows), the returned recall plan
+    carries exactly ONE file scan — the re-rank's vec_id equi-join probe
+    — and the top-k entry drops its duplicated query-set scans (4 scans:
+    the ADC pipeline's own passes + the probe).  The ExistingRDD marker
+    keeps a Spark scan-node rename from faking the counts."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import refine
+
+    rec = refine.adc_refine_recall_report(spark, SF)
+    plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+    top = refine.adc_refine_topk(spark, SF)
+    tplan = top._jdf.queryExecution().executedPlan().toString()
+    assert tplan.count("FileScan parquet") == 4, tplan
+    assert "Scan ExistingRDD" in tplan, tplan
