@@ -438,20 +438,29 @@ def edit_distance_verify(
 
     Scale shape: Levenshtein is O(len_a x len_b) PER PAIR, so it must
     never run all-pairs — here it runs only on LSH candidates (bucketed
-    generation, corpus-size-independent pair count), with the text
-    re-attached via two joins against the candidate ids.  JVM built-in
-    (``levenshtein``), no Python."""
-    cands = minhash_lsh_candidates(spark, sf_dir)
+    generation, corpus-size-independent pair count).  Text re-attach
+    (round-15 census fix): the corpus is scanned ONCE for the DISTINCT
+    candidate-doc id set, and that candidate-bounded (id, text) frame is
+    checkpoint-pinned and joined twice — the unpinned two-direct-join
+    spelling read the heavy text column in two full corpus scans AND
+    re-executed the LSH candidate subtree per consumer (4 documents
+    scans total; now the LSH pipeline's own passes + one pruned text
+    attach).  JVM built-in (``levenshtein``), no Python."""
+    cands = minhash_lsh_candidates(spark, sf_dir).localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    needed = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    side_texts = docs.join(needed, "doc_id").localCheckpoint(eager=True)
     paired = (
         cands.join(
-            docs.select(
+            side_texts.select(
                 F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
             ),
             "doc_a",
         )
         .join(
-            docs.select(
+            side_texts.select(
                 F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
             ),
             "doc_b",

@@ -285,11 +285,19 @@ def categorical_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical PSI of the ``event_type`` mix between the two time
     halves — the schema-free twin of :func:`numeric_drift_psi` (the bin
     space is the observed category set, Laplace-smoothed by its own
-    size)."""
+    size).  The category-grain counts are checkpoint-pinned:
+    :func:`psi_report` consumes its input twice (totals + probs), and
+    unpinned each consumer re-executed the corpus pass — 4 events scans
+    in the executedPlan (round-15 census), now zero with the counts
+    materialized once."""
     e = _events_with_split(spark, sf_dir).select("event_type", "is_ref")
-    counts = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    counts = (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=True)
     )
     return psi_report(counts, "event_type")
 

@@ -295,6 +295,11 @@ def segment_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment")
         .agg(F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("segment_total"))
+        # Two consumers (the grand total + the final ratio join) over a
+        # segment-grain frame — checkpoint-pinned so the orders x
+        # customer join runs once, not per consumer (round-15 census:
+        # the unpinned plan scanned both tables twice).
+        .localCheckpoint(eager=True)
     )
     total = seg.agg(F.sum("segment_total").alias("grand_total"))
     return seg.crossJoin(F.broadcast(total)).select(

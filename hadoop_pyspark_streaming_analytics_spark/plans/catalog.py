@@ -133,7 +133,15 @@ def _merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-apply demo over the customer dim: every 10th customer gets a
     segment update plus a key-shifted insert; merge_upsert applies both."""
     cust = load_table(spark, sf_dir, "customer")
-    tenth = cust.filter(F.col("c_custkey") % 10 == 0)
+    # The synthesized CDC batch is consumed twice by merge_upsert (the
+    # anti-join key probe + the union) and its ``tenth`` base twice
+    # within the batch itself — unpinned, the plan re-scanned customer
+    # FIVE times (round-15 census).  Materializing the batch before the
+    # MERGE is exactly what table-format MERGE does with its source;
+    # post-pin the plan scans customer twice (target + the batch build).
+    tenth = cust.filter(F.col("c_custkey") % 10 == 0).localCheckpoint(
+        eager=True
+    )
     updates = tenth.withColumn("c_mktsegment", F.lit("UPDATED")).unionByName(
         tenth.withColumn(
             "c_custkey", F.col("c_custkey") + 10_000_000

@@ -996,3 +996,42 @@ def test_q20_promo_part_suppliers_shape(spark, sf_dir):
     ), part_scans
     # the two sum scopes are partials of one aggregate, not two passes
     assert "partial_sum" in plan
+
+
+def test_round15_census_multiscan_fixes_pinned(spark, sf_dir):
+    """Round-15 file-scan census pins (SCALE.md "round-15 window plan
+    audit"): four entries whose executedPlans re-executed corpus-sized
+    subtrees once per consumer, each fixed with the corpus.py:260
+    checkpoint convention.  Pre-fix scan counts: merge_upsert_customers
+    5x customer (CDC batch consumed by anti-probe + union, its base by
+    both branches), star_segment_contribution 2x orders + 2x customer
+    (segment agg consumed by grand total + ratio join),
+    drift_event_type_psi 4x events (psi_report's totals/probs split),
+    dedup_edit_distance_verify 4x documents (LSH subtree per consumer +
+    the heavy text column attached via two full corpus joins).  The
+    ExistingRDD assert keeps a Spark scan-node rename from faking the
+    zero/one counts."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.profiling import (
+        categorical_drift_report,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.operators.relational import (
+        segment_contribution,
+    )
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+
+    merge_builder = next(
+        s for s in CATALOG if s.name == "merge_upsert_customers"
+    ).builder
+
+    for df, max_scans in (
+        (merge_builder(spark, sf_dir), 1),  # target scan only
+        (segment_contribution(spark, sf_dir), 0),
+        (categorical_drift_report(spark, sf_dir), 0),
+        (edit_distance_verify(spark, sf_dir), 0),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") <= max_scans, plan
+        assert "Scan ExistingRDD" in plan, plan
