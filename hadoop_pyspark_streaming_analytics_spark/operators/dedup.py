@@ -495,7 +495,18 @@ def keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    qual = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    # Round-16 census fix: ``qual`` has two consumers (the winner rank
+    # and the survivor re-attach) and its subtree is a full text scan
+    # plus the feature expressions — unpinned, the plan ran that pass
+    # twice (3 documents scans total).  The pinned frame is the NARROW
+    # (doc_id, quality_score) projection — 16 bytes/doc of executor-
+    # local storage buys back a full text pass; the heavy text column
+    # never enters the checkpoint.
+    qual = (
+        quality_scores(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .localCheckpoint(eager=True)
+    )
     comp = duplicate_components(spark, sf_dir)
     w = Window.partitionBy("component").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
@@ -540,7 +551,15 @@ def split_leakage_check(
     verify touches only candidate pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(spark, sf_dir, n)
+    # Round-16 census fix: candidate_jaccard consumes ``cand`` twice
+    # (the intersection chain + the outer left join), and the LSH
+    # subtree itself scans documents twice (band self-join) — unpinned,
+    # the returned plan carried FOUR documents scans.  The candidate
+    # pair table is the LSH tier's own bounded output (bands cap the
+    # per-bucket fan-out); pinned, the LSH pass runs once.
+    cand = minhash_lsh_candidates(spark, sf_dir, n).localCheckpoint(
+        eager=True
+    )
     sh = doc_shingles(docs, n).localCheckpoint(eager=True)
 
     def split_of(col: str):
@@ -777,12 +796,14 @@ def incremental_ingest(
     retained — same fixpoint as min-of-cluster canonical keep on
     pairwise-verified chains).
 
-    Plan shape at 100 TB: one documents scan (checkpointed shingles →
-    checkpointed signatures, the estimator discipline); candidate
-    generation probes the band index WITH THE NEW DOCS ONLY (newb ⋈
-    all-bands — the batch analogue of the streaming band store: old×old
-    pairs are never formed); exact tier is one fingerprint shuffle;
-    verification is candidate-gated.
+    Plan shape at 100 TB: two text passes over documents, each run once
+    behind an eager checkpoint (the shingle pass feeding the signature
+    chain, and the narrow fingerprint/priority frame every id-grain
+    consumer reads — round-16 census fix; unpinned the plan carried
+    seven scans); candidate generation probes the band index WITH THE
+    NEW DOCS ONLY (newb ⋈ all-bands — the batch analogue of the
+    streaming band store: old×old pairs are never formed); exact tier
+    is one fingerprint shuffle; verification is candidate-gated.
     """
     docs = load_table(spark, sf_dir, "documents")
     prio_col = (
@@ -799,12 +820,21 @@ def incremental_ingest(
         prio_col.alias("prio"),
     )
     # --- exact tier: one shuffle on the fingerprint ---
+    # Round-16 census fix: ``fp`` feeds both the per-fingerprint min and
+    # the drop join, and every id-grain probe downstream (new-doc ids,
+    # the priority attaches, the final keep/drop spine) re-derived
+    # ``base`` from the parquet — SEVEN documents scans, two of them
+    # full text passes.  The narrow (doc_id, is_new, prio, fingerprint)
+    # frame is checkpointed once (the heavy text column never enters
+    # it) and every id-grain consumer below reads it instead of the
+    # source: exactly TWO text passes remain (this fingerprint pass +
+    # the checkpointed shingle pass), nothing else touches parquet.
     fp = base.select(
         "doc_id",
         "is_new",
         "prio",
         F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
-    )
+    ).localCheckpoint(eager=True)
     fmin = fp.groupBy("fingerprint").agg(F.min("prio").alias("min_prio"))
     exact_dropped = (
         fp.join(fmin, "fingerprint")
@@ -818,7 +848,7 @@ def incremental_ingest(
         eager=True
     )
     buckets = band_buckets_from_sigs(sigs)
-    new_ids = base.filter(F.col("is_new") == 1).select("doc_id")
+    new_ids = fp.filter(F.col("is_new") == 1).select("doc_id")
     newb = buckets.join(new_ids, "doc_id")
     cand = candidates_from_buckets(newb, buckets)
     ver = (
@@ -826,7 +856,7 @@ def incremental_ingest(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
     )
-    prios = base.select("doc_id", "is_new", "prio")
+    prios = fp.select("doc_id", "is_new", "prio")
     near_dropped = (
         ver.join(
             prios.select(
@@ -857,7 +887,7 @@ def incremental_ingest(
         .distinct()
     )
     return (
-        base.filter(F.col("is_new") == 1)
+        fp.filter(F.col("is_new") == 1)
         .join(exact_dropped.withColumn("is_exact", F.lit(1)), "doc_id", "left")
         .join(near_dropped.withColumn("is_near", F.lit(1)), "doc_id", "left")
         .select(

@@ -129,13 +129,18 @@ def profile_frame(
 
 def _events_with_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + ``is_ref`` (first time half).  The midpoint is a 1-row
-    aggregate attached by broadcast."""
+    aggregate attached by broadcast — checkpoint-pinned (round-16
+    census): every drift consumer that executes the split frame more
+    than once (numeric PSI's ref-bounds + binning passes, the rollup's
+    four report aggregates) was silently re-running the midpoint's own
+    full ts scan per execution.  Pinned, the midpoint costs exactly one
+    ts-only pass regardless of how many passes the consumer makes."""
     ev = load_events(spark, sf_dir)
     mid = ev.agg(
         (
             (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2.0)
         ).alias("mid")
-    )
+    ).localCheckpoint(eager=True)
     return ev.crossJoin(F.broadcast(mid)).withColumn(
         "is_ref", F.unix_micros(F.col("ts")) < F.col("mid")
     )
@@ -173,8 +178,17 @@ def _numeric_psi_from(
     reference mass lands in bin 0 and drifted current-half values clamp
     through the same least/greatest edges as any other outlier.  The
     oracle carries the identical CASE guard."""
-    rb = e.filter("is_ref").agg(
-        F.min("value").alias("rmin"), F.max("value").alias("rmax")
+    # Round-16 census fix: the report tail below consumes ``filled``
+    # twice (totals + probs) and ``rb`` feeds the corpus-sized binning
+    # pass — unpinned, the executedPlan re-ran the events subtree per
+    # consumer (8 scans; with the midpoint pin in _events_with_split the
+    # minimum this three-pass algorithm admits is midpoint → ref bounds
+    # → binned counts = 3).  Both frames are 1-row / n_bins-row — the
+    # corpus.py:260 "N consumers, one scan" checkpoint convention.
+    rb = (
+        e.filter("is_ref")
+        .agg(F.min("value").alias("rmin"), F.max("value").alias("rmax"))
+        .localCheckpoint(eager=True)
     )
     span = F.col("rmax") - F.col("rmin")
     width = F.when(span == 0, F.lit(1.0)).otherwise(span / n_bins)
@@ -202,6 +216,7 @@ def _numeric_psi_from(
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=True)
     )
     totals = filled.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
@@ -537,11 +552,12 @@ def monitor_alert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``by=("batch_id",)`` — grouped-equals-per-group is pytest-pinned),
     then roll up through :func:`monitor_alert_rollup_from_reports`.
 
-    Plan shape: four scans of events — per time-half, one for the
-    categorical counts and one for the value aggregates (per-batch exact
-    quantiles + null counts fused in a single groupBy) — category/
-    probe-grain everything after (checkpoint-pinned, see below), one
-    tiny window for first-breach."""
+    Plan shape: five passes over events total — the pinned midpoint's
+    ts-only scan (shared via :func:`_events_with_split`), then per
+    time-half one pass for the categorical counts and one for the value
+    aggregates (per-batch exact quantiles + null counts fused in a
+    single groupBy) — category/probe-grain everything after
+    (checkpoint-pinned, see below), one tiny window for first-breach."""
     e = _events_with_split(spark, sf_dir)
     ref = e.filter(F.col("is_ref"))
     cur = e.filter(~F.col("is_ref")).withColumn(

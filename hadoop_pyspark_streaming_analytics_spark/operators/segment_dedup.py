@@ -212,26 +212,37 @@ def boilerplate_loss_report(
     Token counts are segment-tokenizer-true (``size(split(segment))``), so
     short final segments are priced exactly."""
     segs = doc_segments(docs, n, source_col=source_col)
-    offenders = common_segments(segs, max_doc_freq)
+    # Round-16 census fix: the totals and drops aggregates each re-ran
+    # the segment explode (and the offender aggregate re-scanned on top)
+    # — 4 documents scans.  The scrub core's flag-join spelling fuses
+    # them: ONE segment pass flag-joins the (checkpoint-pinned, bounded
+    # boilerplate-vocabulary) offender set and a single per-source
+    # aggregate prices totals AND drops together.  Two source passes
+    # remain (the per-source doc census + this fused segment pass) plus
+    # the offender aggregate's own pass behind its checkpoint — 3 total.
+    offenders = common_segments(segs, max_doc_freq).localCheckpoint(
+        eager=True
+    )
     seg_tokens = F.size(F.split("segment", " "))
     # no broadcast hint — same adversarial-boilerplate rationale as
     # scrub_against_offenders (AQE broadcasts the small expected case)
-    hit = segs.join(offenders, "segment", "left_semi")
+    flagged = segs.join(
+        offenders.withColumn("_hit", F.lit(True)), "segment", "left"
+    )
     per_source = docs.groupBy(
         F.col(source_col).alias("source")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
-    totals = segs.groupBy("source").agg(
+    fused = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("_segments_total"),
         F.sum(seg_tokens).alias("_tokens_total"),
-    )
-    drops = hit.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("_docs_modified"),
-        F.count(F.lit(1)).alias("_segments_dropped"),
-        F.sum(seg_tokens).alias("_tokens_dropped"),
+        F.countDistinct(
+            F.when(F.col("_hit"), F.col("doc_id"))
+        ).alias("_docs_modified"),
+        F.count("_hit").alias("_segments_dropped"),
+        F.sum(F.when(F.col("_hit"), seg_tokens)).alias("_tokens_dropped"),
     )
     return (
-        per_source.join(totals, "source", "left")
-        .join(drops, "source", "left")
+        per_source.join(fused, "source", "left")
         .select(
             F.col("source").alias(source_col),
             "n_docs",

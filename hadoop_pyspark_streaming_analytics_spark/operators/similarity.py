@@ -377,12 +377,21 @@ def ivf_search(
     — tested against the brute-force baseline.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Round-16 census fix: the default branch built its assignment via
+    # ivf_assign (which derives its OWN centroid frame) and then derived
+    # a second, plan-distinct centroid frame for the probe ranking — the
+    # k-row pushdown scan ran twice and nothing shared.  One checkpointed
+    # k-row centroid frame now feeds both the assignment inner loop
+    # (_assign_to_centroids — the identical shape/tiebreak ivf_assign
+    # wraps, pytest-pinned equivalent) and the probe side.  The two FULL
+    # corpus passes that remain (assignment build + candidate scoring)
+    # are the IVF build+search minimum; at 100 TB the build pass is the
+    # stored index write, not a per-query cost.
     if centroids is not None:
         cents = centroids
-        assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
     else:
-        assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-        cents = lowid_centroids(emb, n_centroids)
+        cents = lowid_centroids(emb, n_centroids).localCheckpoint(eager=True)
+    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -511,7 +520,14 @@ def embedding_near_duplicates_lsh(
     bucket shuffle — at scale the pair table is orders of magnitude smaller
     than the corpus, so the array payload moves through the small side."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = _band_signatures(emb, bands, rows)
+    # Round-16 census fix: the band self-join consumes ``sigs`` twice,
+    # and unpinned each side re-ran the full corpus scan PLUS the
+    # 16-fold-dot signature projection (4 corpus scans total).  The
+    # signature frame is (vec_id, band_id, 4-char sig) — a ~20-byte/row
+    # proxy, bands× the corpus row count but WITHOUT the 64-float
+    # payload; checkpoint-pinned, the signature pass runs once and both
+    # join sides read the materialized rows.
+    sigs = _band_signatures(emb, bands, rows).localCheckpoint(eager=True)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(b, on=["band_id", "sig"])
@@ -668,7 +684,14 @@ def pq_adc_topk(
     queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return adc_topk_for_queries(emb, queries, k)
+    # Round-16 census fix: the ADC core consumes the codebook twice (the
+    # in-scan code assignment + the per-query distance tables), and
+    # unpinned each consumer re-ran the pushdown codebook scan (4
+    # embeddings scans total).  Pass a checkpointed PQ_K-row codebook so
+    # the shared core's both consumers read the materialized rows — the
+    # corpus scan itself already runs exactly once.
+    cents = pq_codebook(emb).localCheckpoint(eager=True)
+    return adc_topk_for_queries(emb, queries, k, cents=cents)
 
 
 #: Per-subspace squared-L2 template over two array columns (sub in scope).
@@ -1104,15 +1127,24 @@ def ivf_cell_stats(
     4dp (+1e-8) rounding on the float outputs is the cross-engine float
     discipline (averages inherit summation-order noise)."""
     assign = ivf_assign(spark, sf_dir, k).select("vec_id", "centroid_id", "cosine")
-    total = assign.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
+    # Round-16 census fix: ``assign`` had two consumers (the 1-row total
+    # + the per-cell aggregate), and unpinned each re-ran the whole
+    # assignment subtree — 4 embeddings scans.  The total is derivable
+    # from the k-row cell aggregate itself (every vector lands in
+    # exactly one cell, so sum(n_vecs) == count(assign)); checkpoint the
+    # k-row stats frame and the corpus pass runs exactly once.
+    stats = (
         assign.groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("cosine") + F.lit(1e-8), 4).alias("avg_cos"),
             F.round(F.min("cosine") + F.lit(1e-8), 4).alias("min_cos"),
         )
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=True)
+    )
+    total = stats.agg(F.sum("n_vecs").alias("n_total"))
+    return (
+        stats.crossJoin(F.broadcast(total))
         .select(
             "centroid_id",
             "n_vecs",
@@ -1549,10 +1581,24 @@ def ivf_recall_curve(
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     max_p = max(nprobes)
-    assign = ivf_assign(spark, sf_dir, n_centroids).select("vec_id", "centroid_id")
-    cents = lowid_centroids(emb, n_centroids)
-    queries = emb.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # Round-16 census fix (three pins): ``queries`` feeds the probe
+    # ranking AND the output grid, ``exact_ids`` is LEFT-SEMI-joined to
+    # the nprobe union — and Catalyst pushes a semi join below Union, so
+    # unpinned the whole brute-force ground-truth subtree re-executed
+    # inside EVERY curve point's branch (7 embeddings scans).  The
+    # shared centroid frame mirrors the ivf_search fix.  All three
+    # pinned frames are query-grain (|queries| or |queries|·k rows);
+    # post-fix the corpus is read exactly three times, once each —
+    # assignment build, candidate scoring, exact ground truth — the
+    # minimum a recall report against exact truth admits.
+    cents = lowid_centroids(emb, n_centroids).localCheckpoint(eager=True)
+    assign = _assign_to_centroids(emb, cents).select("vec_id", "centroid_id")
+    queries = (
+        emb.filter(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .localCheckpoint(eager=True)
     )
     probe_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", F.round(cosine_expr("q_emb", "c_emb") + F.lit(1e-8), 6)
@@ -1573,8 +1619,10 @@ def ivf_recall_curve(
         .select("query_id", "vec_id", "pr", "cosine")
         .localCheckpoint(eager=True)  # one scoring pass feeds every point
     )
-    exact_ids = brute_force_topk(spark, sf_dir, query_ids, k).select(
-        "query_id", "neighbor_id"
+    exact_ids = (
+        brute_force_topk(spark, sf_dir, query_ids, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     points = []
     for p in sorted(nprobes):

@@ -221,10 +221,18 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at runtime when the per-user aggregates are small (the
     plan test executes and checks the final adaptive plan)."""
     ev = load_events(spark, sf_dir)
+    # Round-16 census fix: each stage frame is consumed TWICE (the next
+    # stage's equi-join + its own step-count row), so unpinned the plan
+    # re-executed every upstream events pass per consumer — SIX events
+    # scans where the three type-filtered passes the funnel needs would
+    # do.  ``v`` and ``c`` are (user_id, first_ts) pairs — the minimal
+    # funnel state any engine materializes (it crosses a shuffle anyway
+    # to be joined); checkpoint-pinned, each pass runs exactly once.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -232,6 +240,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -63,22 +63,24 @@ STALENESS_ROUNDS = 4
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
 ROTATION_ROUND = 16
-# ROUND-16 ROTATION (prepared on r16-prep round 15, the standing prep
-# convention — land once CORRECTNESS_r15.json is on disk, after
-# re-verifying the owed set against it: a red r15 row changes the
-# sets below, which were computed by simulating a green r15 over
-# fingerprint.last_green_rounds() seeded with the actual
-# CORRECTNESS_r01-r14).  The window executes the pre-written ROUND-16
-# BUDGET exactly: the whole 34-entry last-green-r12 owed generation
-# (rule 3; the r12 generation minus round 15's 16 bring-forwards) +
-# the alphabetically-first 16 of the 50-entry r13 generation brought
-# forward (rule 3, shrinking round 17's owed generation 50 -> 34 —
-# all 16 free slots spent on bring-forward, per the budget's "r17
-# binds near zero" warning; NO new registrations, catalog stays
-# FLAT).  34 + 16 = exactly 50, zero slack: round 16's operator/
-# oracle churn must stay inside this window (round 15's census fixes
-# — embedding_semdedup, corpus_language_mixture — were absorbed
-# in-window the same way).
+# ROUND-16 ROTATION (prepared on r16-prep round 15, landed after
+# CORRECTNESS_r15 came back 50/50 green, then RE-CUT in-round for the
+# round-16 optimization work): the whole 34-entry last-green-r12 owed
+# generation (rule 3; the r12 generation minus round 15's 16
+# bring-forwards) + 13 changed-code re-gates (rule 2 — changed code
+# outranks refresh: the 2 r16-prep refine fixes plus the round's 11
+# census scan fixes, of which 5 are r13-generation
+# [dedup_incremental_ingest, dedup_keep_best_quality,
+# dedup_split_leakage, docs_boilerplate_loss, events_funnel_conversion]
+# and 6 r14-generation [ann_ivf_cell_stats, ann_ivf_search,
+# ann_pq_adc_topk, ann_recall_curve, drift_numeric_psi,
+# embedding_near_duplicates_lsh]) + the alphabetically-first 3 of the
+# remaining r13 generation brought forward (rule 3).  34 + 13 + 3 =
+# exactly 50; NO new registrations, catalog stays FLAT.  The original
+# parked plan spent all 16 free slots on alphabetical r13
+# bring-forward; the optimization round's census fixes pre-empt 13 of
+# them (5 of those ARE r13 entries, so r13 coverage this window is
+# 2 + 5 + 3 = 10).
 #
 # (Round-15 history: the r15-prep window — 31 r11-stale + the 3 new
 # registrations (tokenizer_fertility_report / quality_gate_agreement /
@@ -87,17 +89,16 @@ ROTATION_ROUND = 16
 # re-stamped embedding_semdedup + corpus_language_mixture in-window.)
 #
 # ROUND-17 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; distribution computed round 15 by simulating
-# green r15 AND r16 windows): after a green r16, the oracle-backed
-# last-green distribution is {r13: 34, r14: 50, r15: 50, r16: 50} =
-# 184 (the 16 brought-forward r13 refreshes shrink r13 50 -> 34;
-# rows-only sketch_daily_user_hll stays the r4 exception outside the
+# standing VERDICT item; recomputed when the round-16 window was
+# re-cut for the optimization fixes): after a green r16, the
+# oracle-backed last-green distribution is {r13: 40, r14: 44,
+# r15: 50, r16: 50} = 184 (this window's 10 r13 entries shrink r13
+# 50 -> 40 and its 6 r14 re-gates shrink r14 50 -> 44; rows-only
+# sketch_daily_user_hll stays the r4 exception outside the
 # oracle-backed count; catalog total 187 = 184 + the 3 oracle-less
-# HLL sketches).  Round 17 therefore OWES 34 stale slots, leaving
-# 50 - 34 = 16 free — the steady state the round-10 arithmetic
-# predicted (34 owed + 16 bring-forward each round, every generation
-# refreshed on a 4-round cycle with zero slack for surprises).  Spend
-# r17's 16 on r14 bring-forward unless a retirement frees a slot for
+# HLL sketches).  Round 17 therefore OWES 40 stale slots, leaving
+# 50 - 40 = 10 free.  Spend
+# r17's 10 on r14 bring-forward unless a retirement frees a slot for
 # a new entry; the retirement reserve's next name remains
 # events_props_map_stats (subsumable by events_scalar_features — and
 # sitting in THIS round's window, so a green r16 gives the freshest
@@ -142,25 +143,27 @@ _WINDOW = [
     "text_quality_scores",
     "train_split_assign",
     "training_shard_assignment",
-    # ---- r13 refreshes brought forward (rule 3; alphabetically first 16
-    # ---- of the 50-entry r13 generation, shrinking round 17's debt to
-    # ---- 34 — see the ROUND-17 BUDGET above) -----------------------------
-    "agg_revenue_decimal_exact",
+    # ---- changed-code re-gates (rule 2, 13): the r16-prep refine pair
+    # ---- plus the round-16 census scan fixes -----------------------------
     "ann_adc_refine_recall",
     "ann_adc_refine_topk",
+    "ann_ivf_cell_stats",
+    "ann_ivf_search",
+    "ann_pq_adc_topk",
+    "ann_recall_curve",
+    "dedup_incremental_ingest",
+    "dedup_keep_best_quality",
+    "dedup_split_leakage",
+    "docs_boilerplate_loss",
+    "drift_numeric_psi",
+    "embedding_near_duplicates_lsh",
+    "events_funnel_conversion",
+    # ---- r13 refreshes brought forward (rule 3; alphabetically first 3
+    # ---- of the r13 generation not already covered above — see the
+    # ---- ROUND-17 BUDGET arithmetic) -------------------------------------
+    "agg_revenue_decimal_exact",
     "bonus_categorize_python_udf",
     "corpus_bpe_merges",
-    "corpus_bpe_segment",
-    "corpus_bpe_token_counts",
-    "corpus_bpe_vocab",
-    "corpus_epoch_mixture",
-    "corpus_priority_sample",
-    "corpus_truncation_report",
-    "dedup_cluster_histogram",
-    "dedup_components",
-    "dedup_cross_source_matrix",
-    "dedup_exact",
-    "dedup_exact_substring",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

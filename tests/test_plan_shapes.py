@@ -1035,3 +1035,43 @@ def test_round15_census_multiscan_fixes_pinned(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") <= max_scans, plan
         assert "Scan ExistingRDD" in plan, plan
+
+
+def test_round16_census_multiscan_fixes_pinned(spark, sf_dir):
+    """Round-16 file-scan census pins (SCALE.md "round-15 full-catalog
+    scan census", deferred bucket — fixed this round): eleven entries
+    whose returned plans re-executed corpus-sized subtrees once per
+    consumer, each fixed with the checkpoint convention (or, for
+    ann_ivf_cell_stats, by deriving the 1-row total from the k-row cell
+    aggregate instead of a second corpus pass).  Pre-fix scan counts:
+    drift_numeric_psi 8 (pinned in test_retrieval_profiling),
+    dedup_incremental_ingest 7, ann_recall_curve 7 (Catalyst pushes the
+    ground-truth semi join below the nprobe Union — unpinned, the whole
+    brute-force subtree re-ran per curve point), events_funnel_conversion
+    6, ann_ivf_search 5, dedup_split_leakage 4, ann_pq_adc_topk 4,
+    ann_ivf_cell_stats 4, embedding_near_duplicates_lsh 4,
+    docs_boilerplate_loss 4, dedup_keep_best_quality 3.  Post-fix counts
+    below are the remaining DISTINCT single-execution passes (e.g.
+    ann_ivf_search keeps its assignment-build + candidate-scoring full
+    passes plus the pushdown query probe — the IVF build+search minimum).
+    The ExistingRDD assert keeps a Spark scan-node rename from faking
+    the counts."""
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+
+    builders = {s.name: s.builder for s in CATALOG}
+    for name, n_scans in (
+        ("dedup_incremental_ingest", 0),
+        ("ann_recall_curve", 0),
+        ("ann_ivf_cell_stats", 0),
+        ("dedup_split_leakage", 0),
+        ("events_funnel_conversion", 1),
+        ("dedup_keep_best_quality", 1),
+        ("ann_ivf_search", 3),
+        ("ann_pq_adc_topk", 2),
+        ("embedding_near_duplicates_lsh", 2),
+        ("docs_boilerplate_loss", 2),
+    ):
+        df = builders[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == n_scans, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)

@@ -1026,16 +1026,35 @@ def test_monitor_rollup_corpus_scans_behind_checkpoints(spark, sf_dir):
     by two report faces) — unpinned, the executedPlan re-executed the
     corpus-sized subtree per consumer: EIGHTEEN events scans, ~8 needless
     full passes at 100 TB.  Checkpoint-pinned, the returned plan carries
-    exactly TWO column-pruned ref-side scans (the frozen quantile array's
-    ts+value read and the split threshold's ts-only read); every
-    heavy-column pass runs once, inside an eager checkpoint.  The
-    ExistingRDD marker keeps a Spark scan-node rename from faking the
-    count."""
+    exactly ONE column-pruned ref-side scan (the frozen quantile array's
+    ts+value read; the split threshold's ts-only read moved behind the
+    round-16 midpoint pin in _events_with_split); every heavy-column
+    pass runs once, inside an eager checkpoint.  The ExistingRDD marker
+    keeps a Spark scan-node rename from faking the count."""
     from hadoop_pyspark_streaming_analytics_spark.operators.profiling import (
         monitor_alert_rollup,
     )
 
     df = monitor_alert_rollup(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_numeric_psi_corpus_scans_behind_checkpoints(spark, sf_dir):
+    """Scale pin (round-16 census): numeric PSI's report tail consumes
+    ``filled`` twice (totals + probs) and the binning pass re-ran the
+    midpoint + ref-bounds subtrees — unpinned, the executedPlan carried
+    EIGHT events scans (~5 needless full passes at 100 TB).  With the
+    midpoint, ref-bounds, and bin-spine checkpoints the returned plan
+    reads NO parquet at all: the three unavoidable passes (midpoint →
+    ref bounds → binned counts) run exactly once, eagerly, and the
+    report tail is bin-grain arithmetic over an ExistingRDD."""
+    from hadoop_pyspark_streaming_analytics_spark.operators.profiling import (
+        numeric_drift_psi,
+    )
+
+    df = numeric_drift_psi(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
