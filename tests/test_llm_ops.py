@@ -3018,3 +3018,26 @@ def test_cosine_three_way_differential_random_degenerate(spark):
     # the seeded mix really contains both populations on every leg
     assert sum(v is None for v in want.values()) == 30
     assert sum(j is None for j, _ in got.values()) == 50
+
+
+def test_assignment_paths_agree_ivf_assign_vs_shared_core(spark, sf_dir):
+    """Cross-path assignment parity (round-15 ADVICE item 3): ivf_assign
+    and _assign_to_centroids spell the same argmax (6dp pre-rounded
+    cosine, max(struct(cos, -centroid_id))) in two places — a tiebreak or
+    rounding edit to one would silently desynchronize the IVF search /
+    recall-curve assignments (which since round 16 call the shared core
+    with an externally built centroid frame) from the ivf_assign build
+    and from embedding_semdedup's carried-embedding variant.  Pin row
+    parity of the two spellings on the real corpus."""
+    from hadoop_pyspark_streaming_analytics_spark.operators import similarity as s
+    from hadoop_pyspark_streaming_analytics_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = 8
+    via_entry = s.ivf_assign(spark, sf_dir, k)
+    via_core = s._assign_to_centroids(emb, s.lowid_centroids(emb, k))
+    assert via_entry.columns == via_core.columns
+    diff = via_entry.exceptAll(via_core).unionAll(
+        via_core.exceptAll(via_entry)
+    )
+    assert diff.count() == 0
