@@ -961,22 +961,25 @@ def containment_pairs_from_shingles(
     proposed — by construction those docs are made of boilerplate seen in
     > df_cap other docs, exactly the pairs a near-dup pass should not
     spend verification on.
+
+    Pair-proposal spelling (round 16, guide §2.4): ONE groupBy(shingle)
+    builds the capped posting lists and the pairs explode map-side inside
+    them (doc_a < doc_b) — the per-group twin of the previous
+    df-filter-join + inverted-index self-join, which shuffled the postings
+    table three times (df aggregate, rare semi-join, self-join) to reach
+    the identical candidate set.  The posting arrays are <= df_cap
+    elements by construction, so the explode is bounded and skew-free.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = (
+    groups = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs") <= df_cap)
     )
-    sh_rare = sh.join(rare, "shingle")
-    a, b = sh_rare.alias("a"), sh_rare.alias("b")
     cand = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        groups.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     inter = (
