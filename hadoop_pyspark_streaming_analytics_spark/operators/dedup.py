@@ -209,9 +209,18 @@ def minhash_lsh_candidates(
     with high probability while unrelated docs almost never collide, so the
     bucket join is tiny even at corpus scale.
     """
+    # Round-17 census fix (staged on r17-prep): candidates_from_buckets'
+    # symmetric self-join consumes ``buckets`` on both sides, and
+    # unpinned each side re-ran the whole shingle -> minhash -> banding
+    # subtree — two full documents scans plus a duplicate signature
+    # computation for every batch consumer of this generator.  The
+    # bucket frame is the (doc_id, band_id, band_hash) proxy —
+    # bands x corpus rows of ~50 bytes, no text payload (the
+    # embedding_near_duplicates_lsh signature-pin trade); pinned, the
+    # signature pass runs exactly once.
     buckets = lsh_band_buckets(
         load_table(spark, sf_dir, "documents"), n, bands, rows
-    )
+    ).localCheckpoint(eager=True)
     return candidates_from_buckets(buckets)
 
 

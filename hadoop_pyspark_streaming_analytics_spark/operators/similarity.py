@@ -918,7 +918,14 @@ def adc_topk_for_queries(
         if emb is None:
             raise ValueError("need emb when codes/cents are not materialized")
         if cents is None:
-            cents = pq_codebook(emb)
+            # Round-17 census fix (staged on r17-prep): the self-derived
+            # codebook has TWO consumers below (the in-scan code
+            # assignment + the per-query distance tables) and unpinned
+            # each re-ran the PQ_K-row pushdown scan.  PQ_K rows —
+            # checkpoint-pinned, mirroring the cents= callers that pass
+            # a materialized codebook (pq_adc_topk since round 16, the
+            # indexed path since round 12).
+            cents = pq_codebook(emb).localCheckpoint(eager=True)
         if codes is None:
             # Deliberately NOT semi-join-gated by ``cand``: assigning codes
             # only to probed vectors reads as a saving (the argmin is the

@@ -62,25 +62,32 @@ STALENESS_ROUNDS = 4
 # between rotations (ADVICE r9 item 1).  The downgrade is one round
 # wide: ROTATION_ROUND < max means a whole driver round ran on a window
 # never rotated for it — hard red, the forgotten-rotation alarm.
-ROTATION_ROUND = 16
-# ROUND-16 ROTATION (prepared on r16-prep round 15, landed after
-# CORRECTNESS_r15 came back 50/50 green, then RE-CUT in-round for the
-# round-16 optimization work): the whole 34-entry last-green-r12 owed
-# generation (rule 3; the r12 generation minus round 15's 16
-# bring-forwards) + 13 changed-code re-gates (rule 2 — changed code
-# outranks refresh: the 2 r16-prep refine fixes plus the round's 11
-# census scan fixes, of which 5 are r13-generation
-# [dedup_incremental_ingest, dedup_keep_best_quality,
-# dedup_split_leakage, docs_boilerplate_loss, events_funnel_conversion]
-# and 6 r14-generation [ann_ivf_cell_stats, ann_ivf_search,
-# ann_pq_adc_topk, ann_recall_curve, drift_numeric_psi,
-# embedding_near_duplicates_lsh]) + the alphabetically-first 3 of the
-# remaining r13 generation brought forward (rule 3).  34 + 13 + 3 =
-# exactly 50; NO new registrations, catalog stays FLAT.  The original
-# parked plan spent all 16 free slots on alphabetical r13
-# bring-forward; the optimization round's census fixes pre-empt 13 of
-# them (5 of those ARE r13 entries, so r13 coverage this window is
-# 2 + 5 + 3 = 10).
+ROTATION_ROUND = 17
+# ROUND-17 ROTATION (parked on r17-prep round 16, the standing prep
+# convention — land once CORRECTNESS_r16.json is on disk, after
+# re-verifying the owed set against it: a red r16 row changes the sets
+# below, which were computed by simulating a green r16 over
+# fingerprint.last_green_rounds() seeded with the actual
+# CORRECTNESS_r01-r15).  Landing steps: rebase onto post-r16 main,
+# re-run scripts/update_entry_hashes.py so the 13 staged re-gates stamp
+# regate_round=17 (they stamp 16 on the parked branch, the r16-prep
+# precedent), confirm the designed reds resolve, suite green.  The
+# window: the whole 40-entry last-green-r13 owed generation (rule 3) +
+# the 9 changed-not-owed re-gates from the two staged shared-helper
+# scan fixes (rule 2: minhash_lsh_candidates now pins its bucket frame
+# — the symmetric self-join re-ran the shingle->minhash subtree per
+# side; adc_topk_for_queries pins its self-derived codebook — two
+# consumers re-ran the pushdown scan; the fingerprint reach is 13
+# entries, 4 of them already in the owed 40) + the alphabetically-first
+# 1 of the r14 generation brought forward (rule 3).  40 + 9 + 1 =
+# exactly 50; NO new registrations, catalog stays FLAT.
+#
+# (Round-16 history: the r16-prep window — 34 r12-owed + 16
+# alphabetical r13 bring-forwards, zero slack — landed after
+# CORRECTNESS_r15 came back 50/50 green, then was RE-CUT in-round for
+# the round-16 optimization work: 34 owed + 13 changed-code re-gates
+# [2 r16-prep refine fixes + 11 census scan fixes] + 3 r13
+# bring-forwards; r13 coverage 2 + 5 + 3 = 10.)
 #
 # (Round-15 history: the r15-prep window — 31 r11-stale + the 3 new
 # registrations (tokenizer_fertility_report / quality_gate_agreement /
@@ -88,82 +95,96 @@ ROTATION_ROUND = 16
 # CORRECTNESS_r14 came back 50/50 green; the round's scan census then
 # re-stamped embedding_semdedup + corpus_language_mixture in-window.)
 #
-# ROUND-17 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; recomputed when the round-16 window was
-# re-cut for the optimization fixes): after a green r16, the
-# oracle-backed last-green distribution is {r13: 40, r14: 44,
-# r15: 50, r16: 50} = 184 (this window's 10 r13 entries shrink r13
-# 50 -> 40 and its 6 r14 re-gates shrink r14 50 -> 44; rows-only
-# sketch_daily_user_hll stays the r4 exception outside the
-# oracle-backed count; catalog total 187 = 184 + the 3 oracle-less
-# HLL sketches).  Round 17 therefore OWES 40 stale slots, leaving
-# 50 - 40 = 10 free.  Spend
-# r17's 10 on r14 bring-forward unless a retirement frees a slot for
-# a new entry; the retirement reserve's next name remains
-# events_props_map_stats (subsumable by events_scalar_features — and
-# sitting in THIS round's window, so a green r16 gives the freshest
-# possible baseline for retiring it in round 17).  At 184 oracle-backed entries
-# / 50 slots the 4-round cutoff needs an average 46 refresh slots per
-# round — the ceiling the round-10 arithmetic warned about; the
-# catalog stays FLAT from here (new entries ONLY by displacing a
-# retirement).
+# ROUND-17 BUDGET (written round 16, executed by this window): after a
+# green r16 the oracle-backed last-green distribution is {r13: 40,
+# r14: 44, r15: 50, r16: 50} = 184 (the r16 window's 10 r13 entries
+# shrink r13 50 -> 40, its 6 r14 re-gates shrink r14 50 -> 44;
+# rows-only sketch_daily_user_hll stays the r4 exception outside the
+# oracle-backed count; catalog total 187 = 184 + the 3 oracle-less HLL
+# sketches).  Round 17 owes 40, leaving 10 free — this window spends
+# 9 of them on the staged shared-helper re-gates and 1 on r14
+# bring-forward.  The retirement reserve's next name remains
+# events_props_map_stats (subsumable by events_scalar_features; green
+# r16 baseline) — retiring it in round 17 frees its slot for one more
+# r14 bring-forward (the r17 builder executes this, the twice-slipped
+# VERDICT promise).
+#
+# ROUND-18 BUDGET (the cycle arithmetic, written BEFORE it binds —
+# standing VERDICT item; computed by simulating green r16 AND r17
+# windows): after a green r17 the distribution is {r14: 42, r15: 49,
+# r16: 43, r17: 50} = 184 (this window's r14 pair — ann_brute_force_
+# topk + ann_ivf_pq_search_indexed — shrinks r14 44 -> 42; its
+# retrieval_hybrid_multi_query re-gate shrinks r15 50 -> 49; its 7
+# re-gates of r16-window entries shrink r16 50 -> 43).  Round 18
+# therefore OWES the 42-entry r14 generation, leaving 50 - 42 = 8
+# free for changed-code re-gates and r15 bring-forward.  At 184
+# oracle-backed entries / 50 slots the 4-round cutoff needs an average
+# 46 refresh slots per round — the ceiling the round-10 arithmetic
+# warned about; the catalog stays FLAT (new entries ONLY by displacing
+# a retirement), and shared-helper churn like this round's staged
+# fixes must budget its fingerprint reach against the free slots
+# BEFORE editing (the round-16 discipline: compute the reach with
+# fingerprint.builder_deps, then cut the window).
 _WINDOW = [
-    # ---- the whole last-green-r12 owed generation (rule 3, 34) -----------
-    "dedup_containment",
-    "dedup_edit_distance_verify",
-    "docs_length_cap",
-    "docs_truncation_loss",
-    "drift_event_type_psi",
-    "drift_value_quantile_shift",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "events_cohort_retention",
-    "events_props_avg_k",
-    "events_props_map_stats",
-    "events_props_typed",
-    "events_scalar_features",
-    "events_user_value_scd2",
-    "events_value_anomalies_zscore",
-    "events_value_histogram",
-    "events_weekly_change",
-    "graph_pagerank_docs",
-    "merge_upsert_customers",
-    "mixture_sample_by_source",
-    "monitor_alert_rollup",
-    "multimodal_png_resize",
-    "multimodal_video_frame_features",
-    "multimodal_wav_features",
-    "quality_weighted_sample",
-    "star_fk_integrity_audit",
-    "star_segment_contribution",
-    "stratified_fixed_n_sample",
-    "temporal_asof_next_click",
-    "text_language_id",
-    "text_pii_redaction",
-    "text_quality_scores",
-    "train_split_assign",
-    "training_shard_assignment",
-    # ---- changed-code re-gates (rule 2, 13): the r16-prep refine pair
-    # ---- plus the round-16 census scan fixes -----------------------------
+    # ---- the whole last-green-r13 owed generation after a green r16
+    # ---- (rule 3, 40; includes the 4 dedup entries the staged shared-
+    # ---- helper fixes also change — changed ∩ owed counts once) ------
+    "corpus_bpe_segment",
+    "corpus_bpe_token_counts",
+    "corpus_bpe_vocab",
+    "corpus_epoch_mixture",
+    "corpus_priority_sample",
+    "corpus_truncation_report",
+    "dedup_cluster_histogram",
+    "dedup_components",
+    "dedup_cross_source_matrix",
+    "dedup_exact",
+    "dedup_exact_substring",
+    "dedup_keep_canonical",
+    "dedup_minhash_estimate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "docs_boilerplate_scrub",
+    "embedding_norm_audit",
+    "events_error_bursts_midnight_merged",
+    "events_ewma_per_user",
+    "events_hourly_rollup",
+    "events_key_skew_report",
+    "events_profile_columns",
+    "multimodal_png_features",
+    "pipeline_curated_modern",
+    "q2_spend_deciles_scalable",
+    "q2b_avg_days_between_orders",
+    "q3b_customer_brand_unpivot",
+    "quality_model_report",
+    "quality_model_scores",
+    "quality_score_calibration",
+    "retrieval_bm25_indexed",
+    "retrieval_bm25_multi_query",
+    "sketch_count_min_heavy_hitters",
+    "star_disjunctive_branch_revenue",
+    "star_min_cost_supplier",
+    "star_promo_part_suppliers",
+    "text_contamination_check",
+    "text_language_audit",
+    "text_quality_classifier",
+    # ---- changed-code re-gates not already owed (rule 2, 9): every
+    # ---- entry whose fingerprint the two staged shared-helper fixes
+    # ---- (minhash_lsh_candidates bucket pin, adc_topk_for_queries
+    # ---- codebook pin) reach ------------------------------------------
     "ann_adc_refine_recall",
     "ann_adc_refine_topk",
-    "ann_ivf_cell_stats",
-    "ann_ivf_search",
+    "ann_ivf_pq_search_indexed",
     "ann_pq_adc_topk",
-    "ann_recall_curve",
-    "dedup_incremental_ingest",
+    "dedup_edit_distance_verify",
     "dedup_keep_best_quality",
     "dedup_split_leakage",
-    "docs_boilerplate_loss",
-    "drift_numeric_psi",
-    "embedding_near_duplicates_lsh",
-    "events_funnel_conversion",
-    # ---- r13 refreshes brought forward (rule 3; alphabetically first 3
-    # ---- of the r13 generation not already covered above — see the
-    # ---- ROUND-17 BUDGET arithmetic) -------------------------------------
-    "agg_revenue_decimal_exact",
-    "bonus_categorize_python_udf",
-    "corpus_bpe_merges",
+    "graph_pagerank_docs",
+    "retrieval_hybrid_multi_query",
+    # ---- r14 refresh brought forward (rule 3; alphabetically first 1
+    # ---- of the r14 generation) ---------------------------------------
+    "ann_brute_force_topk",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering

@@ -158,9 +158,11 @@ def test_refine_corpus_arms_run_once_behind_checkpoints(spark):
     ~5 needless full corpus passes at 100 TB.  Checkpoint-pinned (both
     frames are |queries| x k/shortlist rows), the returned recall plan
     carries exactly ONE file scan — the re-rank's vec_id equi-join probe
-    — and the top-k entry drops its duplicated query-set scans (4 scans:
-    the ADC pipeline's own passes + the probe).  The ExistingRDD marker
-    keeps a Spark scan-node rename from faking the counts."""
+    — and the top-k entry drops to the ADC corpus pass + the re-rank
+    probe (2 scans; was 4 until the r17-prep codebook pin inside
+    adc_topk_for_queries removed the duplicated PQ_K pushdown scans).
+    The ExistingRDD marker keeps a Spark scan-node rename from faking
+    the counts."""
     from hadoop_pyspark_streaming_analytics_spark.operators import refine
 
     rec = refine.adc_refine_recall_report(spark, SF)
@@ -170,5 +172,5 @@ def test_refine_corpus_arms_run_once_behind_checkpoints(spark):
 
     top = refine.adc_refine_topk(spark, SF)
     tplan = top._jdf.queryExecution().executedPlan().toString()
-    assert tplan.count("FileScan parquet") == 4, tplan
+    assert tplan.count("FileScan parquet") == 2, tplan
     assert "Scan ExistingRDD" in tplan, tplan
