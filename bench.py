@@ -129,6 +129,12 @@ def main() -> None:
         "core_total": core_total,
         "core_n": sum(1 for n in timings if n in CORE_QUERIES),
         "sf": sf,
+        # $SPARK_GRAFT_CPUS uptake, auditable (VERDICT r16 item 2/3: the
+        # driver's 8-vs-32-core scaling check flagged suspect_cpus_ignored
+        # because nothing in the output PROVED the env-driven master took
+        # effect; these two fields are read from the live SparkContext).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         **streaming,
         **calibration,
         **calibration_pre,
@@ -144,8 +150,34 @@ def main() -> None:
     # which would silently disable the next round's normalized
     # comparison — the local .benchmarks/ copy is the durable history
     # _normalized_vs_prev reads first.
-    _persist_summary(summary, _round_id())
-    print(json.dumps(summary))
+    payload_path = _persist_summary(summary, _round_id())
+    # Contract line, COMPACT (VERDICT r16 item 2): the full summary line
+    # outgrew the driver's 2000-char stdout tail capture (BENCH_r15
+    # parsed: null — the line's START fell outside the window), which
+    # silently destroyed the round-over-round comparison.  Print only the
+    # contract fields ({metric, value, unit, queries, sf} + the scalar
+    # audit fields; ~1.7 KB at 44 queries, pytest-capped in
+    # tests/test_bench_history.py) as the FINAL stdout line and point at
+    # the persisted full payload (queries_raw, streaming splits,
+    # calibration history) committed under .benchmarks/.  Same queries,
+    # same SF, same min-of-N methodology — only the reporting envelope
+    # changed; the full payload still carries every previous field.
+    compact = {
+        "metric": summary["metric"],
+        "value": summary["value"],
+        "unit": summary["unit"],
+        "queries": timings,
+        "sf": sf,
+        "core_total": core_total,
+        "core_n": summary["core_n"],
+        "master": summary["master"],
+        "default_parallelism": summary["default_parallelism"],
+        "streaming_3query_wall_sec": summary.get("streaming_3query_wall_sec"),
+        "payload": os.path.relpath(
+            payload_path, os.path.dirname(os.path.abspath(__file__))
+        ),
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -381,3 +381,41 @@ def test_near_miss_takes_third_calibration_sample(
     assert calls == []
     assert "near_miss" not in out
     assert out["whole_suite_regression"]["drift_vs_calibration"] == 1.6
+
+
+def test_compact_contract_line_fits_driver_tail_capture():
+    """VERDICT r16 item 2: BENCH_r15's contract line outgrew the driver's
+    2000-char stdout tail (parsed: null — the line's start fell outside
+    the window), losing the round-over-round comparison.  bench.py now
+    prints a COMPACT final line (contract fields + scalar audit fields;
+    the full payload lives in .benchmarks/).  Pin the worst-case size:
+    every headline catalog query at a 4-digit-seconds timing must still
+    fit with margin, so adding a headline query cannot silently re-break
+    the capture."""
+    import json
+
+    sys.path.insert(0, _REPO)
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    headline = [s.name for s in CATALOG if s.headline]
+    assert headline, "no headline queries?"
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in headline},
+        "sf": 0.1,
+        "core_total": 9999.999,
+        "core_n": 24,
+        "master": "local[32]",
+        "default_parallelism": 32,
+        "streaming_3query_wall_sec": 9999.999,
+        "payload": ".benchmarks/bench_r17.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, (
+        f"compact contract line is {len(line)} chars — the driver tail "
+        "captures 2000; trim fields or move one to the payload"
+    )
