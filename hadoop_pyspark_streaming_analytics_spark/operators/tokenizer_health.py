@@ -7,17 +7,23 @@ budget).  The per-DOC numbers already exist (corpus.bpe_token_counts);
 this is the per-SOURCE calibration face an operator reads before
 adopting a token budget or mixture weight.
 
-Spark-first shape: one LEFT join from the documents table onto the
-per-doc token-count frame (the boilerplate_loss / quality_model_report
-visibility convention — sources full of untokenizable docs surface as a
-``docs_tokenized < n_docs`` gap, never silently vanish) and ONE
-map-side-combinable per-source aggregate.  Everything corpus-sized is
-inside bpe_token_counts, whose plan is already pinned (dictionary-sized
-segmentation join, AQE-broadcast); this report adds a single source-
-grained shuffle on top, plus a second documents scan for the source
-attach (self-contained-entry convention) that is column-pruned to
-(doc_id, source, length(text)) — trivial beside the tokenizer's own
-text scans.
+Spark-first shape (single-pass since round 17 — VERDICT r16 item 3,
+guide §2.3): the catalog builder carries (source, chars) THROUGH the
+tokenizer's own word-occurrence aggregate instead of re-attaching them
+with a second documents scan.  The old attach was NOT cheap at scale:
+``length(text)`` forces a full decode of the text column, so the
+"column-pruned" second scan re-read the corpus payload.  The carry
+widens the (doc_id, word) shuffle keys by ~14 bytes/row — orders of
+magnitude less than a second corpus pass.  The LEFT-visibility
+semantics are unchanged (the boilerplate_loss / quality_model_report
+convention — sources full of untokenizable docs surface as a
+``docs_tokenized < n_docs`` gap, never silently vanish):
+``explode_outer`` keeps word-less/NULL-text docs alive where the old
+shape kept them via the LEFT join, and the dictionary join stays
+row-equivalent to bpe_token_counts' inner join (non-dictionary words
+contribute NULL terms that every sum ignores).
+:func:`fertility_of` remains the two-frame API for callers that already
+hold a token-count frame.
 
 Degrade-per-row: NULL/untokenizable docs carry NULL word counts through
 the LEFT join; a source with zero tokenizable docs reports NULL
@@ -41,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .corpus import BPE_MERGES, bpe_token_counts
+from .corpus import BPE_MERGES, _bpe_train
 
 
 def fertility_of(docs: DataFrame, counts: DataFrame) -> DataFrame:
@@ -75,10 +81,71 @@ def tokenizer_fertility_report(
     documents table — total docs, docs the tokenizer could segment,
     word/token mass, ``fertility`` (BPE tokens per word — the headline
     fairness number) and ``chars_per_token`` (compression of the
-    tokenized documents' character mass)."""
-    return fertility_of(
-        load_table(spark, sf_dir, "documents"),
-        bpe_token_counts(spark, sf_dir, n_merges),
+    tokenized documents' character mass).
+
+    SINGLE documents pass (round 17): (source, chars) ride the word
+    aggregate as grouping keys (functionally dependent on doc_id —
+    identical groups, ~14 B/row wider shuffle) instead of a second
+    corpus scan + LEFT join.  The occurrence/segmentation spelling
+    below deliberately mirrors corpus._token_counts_of (adding a carry
+    parameter there would re-gate its out-of-window consumers); the
+    template oracle nests the canonical corpus_bpe_token_counts SQL, so
+    any drift between the two spellings fails the 2-SF oracle diff
+    (tests/test_tokenizer_health.py) before it can ship.
+
+    Row-equivalence to the old two-scan shape, case by case:
+
+    * doc with >= 1 dictionary word: ``explode_outer`` emits its words,
+      the LEFT dictionary join matches them, and the NULL-ignoring sums
+      equal bpe_token_counts' inner-join sums exactly;
+    * doc whose words are all outside the dictionary: every joined
+      ``n_subwords`` is NULL, so ``n_words``/``n_bpe_tokens`` aggregate
+      to NULL — the old shape's missing-from-counts LEFT-join NULL;
+    * word-less or NULL-text doc: ``explode_outer`` keeps one NULL-word
+      row, giving the same NULL counts while ``n_docs`` still sees the
+      doc.
+    """
+    _, syms = _bpe_train(spark, sf_dir, n_merges)
+    seg = syms.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("n_subwords")
+    )
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").alias("chars"),
+            F.explode_outer(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "source", "chars", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        occ.join(seg, "word", "left")
+        .groupBy("doc_id", "source", "chars")
+        .agg(
+            F.sum(
+                F.when(F.col("n_subwords").isNotNull(), F.col("c"))
+            ).alias("n_words"),
+            F.sum(F.col("c") * F.col("n_subwords")).alias("n_bpe_tokens"),
+        )
+    )
+    tokenized_chars = F.sum(
+        F.when(F.col("n_words").isNotNull(), F.col("chars"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_words").alias("docs_tokenized"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens") / F.sum("n_words") + F.lit(1e-8), 4
+        ).alias("fertility"),
+        F.round(
+            tokenized_chars / F.sum("n_bpe_tokens") + F.lit(1e-8), 4
+        ).alias("chars_per_token"),
     )
 
 

@@ -78,9 +78,25 @@ ROTATION_ROUND = 17
 # — the symmetric self-join re-ran the shingle->minhash subtree per
 # side; adc_topk_for_queries pins its self-derived codebook — two
 # consumers re-ran the pushdown scan; the fingerprint reach is 13
-# entries, 4 of them already in the owed 40) + the alphabetically-first
-# 1 of the r14 generation brought forward (rule 3).  40 + 9 + 1 =
-# exactly 50; NO new registrations, catalog stays FLAT.
+# entries, 4 of them already in the owed 40) + 1 in-round rule-2
+# re-gate.  40 + 9 + 1 = exactly 50; NO new registrations, catalog
+# stays FLAT.
+#
+# IN-ROUND RE-CUT (round 17, the r16 precedent): the parked window's
+# one discretionary slot — the alphabetically-first r14 bring-forward,
+# ann_brute_force_topk — is re-spent on tokenizer_fertility_report,
+# whose builder was rewritten this round as a single documents pass
+# (VERDICT r16 item 3: the old shape's second "column-pruned" attach
+# scan re-decoded the full text column for length(text); the fused
+# carry costs ~14 B/row of shuffle-key width instead of a corpus
+# pass).  Changed code outranks refresh (rule 2 > rule 3); the
+# bring-forward returns to the r18 owed set.  quality_gate_agreement —
+# item 3's second name — stays UNCHANGED this round: the window has
+# exactly one discretionary slot (40 owed + 9 helper re-gates are
+# immovable), and fertility wins it because its second scan re-read
+# the corpus payload while agreement's attach is a genuinely pruned
+# (doc_id, source) scan beside two full gate passes; its fix is the
+# same carry pattern, recorded in OPTIMIZATION_r17.md.
 #
 # (Round-16 history: the r16-prep window — 34 r12-owed + 16
 # alphabetical r13 bring-forwards, zero slack — landed after
@@ -110,14 +126,15 @@ ROTATION_ROUND = 17
 # VERDICT promise).
 #
 # ROUND-18 BUDGET (the cycle arithmetic, written BEFORE it binds —
-# standing VERDICT item; computed by simulating green r16 AND r17
-# windows): after a green r17 the distribution is {r14: 42, r15: 49,
-# r16: 43, r17: 50} = 184 (this window's r14 pair — ann_brute_force_
-# topk + ann_ivf_pq_search_indexed — shrinks r14 44 -> 42; its
-# retrieval_hybrid_multi_query re-gate shrinks r15 50 -> 49; its 7
-# re-gates of r16-window entries shrink r16 50 -> 43).  Round 18
-# therefore OWES the 42-entry r14 generation, leaving 50 - 42 = 8
-# free for changed-code re-gates and r15 bring-forward.  At 184
+# standing VERDICT item; recomputed for the in-round re-cut above):
+# after a green r17 the distribution is {r14: 43, r15: 48, r16: 43,
+# r17: 50} = 184 (this window's one r14 entry — ann_ivf_pq_search_
+# indexed — shrinks r14 44 -> 43; its retrieval_hybrid_multi_query
+# re-gate and the tokenizer_fertility_report re-cut shrink r15
+# 50 -> 48; its 7 re-gates of r16-window entries shrink r16 50 -> 43).
+# Round 18 therefore OWES the 43-entry r14 generation, leaving
+# 50 - 43 = 7 free for changed-code re-gates and r15 bring-forward.
+# At 184
 # oracle-backed entries / 50 slots the 4-round cutoff needs an average
 # 46 refresh slots per round — the ceiling the round-10 arithmetic
 # warned about; the catalog stays FLAT (new entries ONLY by displacing
@@ -182,9 +199,9 @@ _WINDOW = [
     "dedup_split_leakage",
     "graph_pagerank_docs",
     "retrieval_hybrid_multi_query",
-    # ---- r14 refresh brought forward (rule 3; alphabetically first 1
-    # ---- of the r14 generation) ---------------------------------------
-    "ann_brute_force_topk",
+    # ---- in-round rule-2 re-gate (round-17 re-cut; see the rotation
+    # ---- comment): single-pass rewrite of the fertility builder -------
+    "tokenizer_fertility_report",
 ]
 _window_set = set(_WINDOW)
 # Hard checks (not asserts: those vanish under `python -O`, and this ordering
