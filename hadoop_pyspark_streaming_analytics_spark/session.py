@@ -12,6 +12,20 @@ coalesce).
 Timezone is pinned to UTC so timestamp semantics are reproducible (the
 reference leaked a ``-05:00`` session offset into its golden CSVs —
 SURVEY.md §7).
+
+Checkpoint durability (SCALE.md "Checkpoint durability policy", round
+17): operators pin multiply-consumed frames with
+``localCheckpoint(eager=True)`` — executor-local, lineage-truncating,
+correct for local/bench runs where executor death is process death.  At
+cluster scale the CORPUS-GRAIN pins (the narrow per-doc/per-row proxy
+frames; per-entry byte budgets in SCALE.md) must become reliable
+``checkpoint()`` into a fault-tolerant directory: call
+``spark.sparkContext.setCheckpointDir(<HDFS/object-store path>)`` at
+session build and substitute ``.checkpoint(eager=True)`` at the same
+call sites — identical semantics and plans, durability instead of
+job-failure on executor loss.  Bounded (query/report-grain) and
+iterative-loop pins stay local at every scale; the three-tier decision
+rule is in SCALE.md.
 """
 
 from __future__ import annotations
