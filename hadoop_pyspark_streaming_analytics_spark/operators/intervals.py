@@ -130,16 +130,17 @@ def error_bursts_merged(ev: DataFrame, gap: str = "5 minutes") -> DataFrame:
     the GLOBAL single-window SQL spelling, so the equivalence is
     differentially verified, not argued."""
     gap_iv = F.expr(f"INTERVAL {gap}")
-    bursts = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy(F.to_date("ts").alias("d"), F.session_window("ts", gap))
-        .agg(
-            F.min("ts").alias("burst_start"),
-            F.max("ts").alias("burst_end"),
-            F.count(F.lit(1)).alias("n_errors"),
-        )
-        .select("burst_start", "burst_end", "n_errors")
-    )
+    # Checkpoint-pinned (round 17): the interior/boundary split below
+    # consumes the day-local bursts twice, and unpinned each side re-ran
+    # the error scan + sessionization (census: 2 events scans).  The
+    # frame is burst-grain — one row per day-local session, orders of
+    # magnitude below event grain — a bounded Tier-1 pin (SCALE.md
+    # "Checkpoint durability policy").  Phase 1 IS :func:`error_bursts`
+    # (previously inlined verbatim); calling it keeps the
+    # day-partitioned-sessionization contract testable on the unpinned
+    # subtree (test_intervals) now that the pin hides it from the
+    # returned plan.
+    bursts = error_bursts(ev, gap).localCheckpoint(eager=True)
     day_start = F.date_trunc("day", F.col("burst_start"))
     next_midnight = day_start + F.expr("INTERVAL 1 DAY")
     # backward-mergeable: some prev-day error (strictly before midnight)

@@ -723,10 +723,22 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ONE groupBy-percentile aggregate (|sources| rows, broadcastable
     join back), then the stateless cuts<value count — no per-source
     window, no global sort.
+
+    ``feats`` has TWO consumers (the cutpoint aggregate and the join
+    back), and each re-ran the full text scan + feature expressions
+    unpinned — the round-17 census caught 2 documents scans.  The
+    pinned frame is the narrow (doc_id, source, quality_score)
+    projection, ~20 B/doc — a Tier-2 proxy (SCALE.md "Checkpoint
+    durability policy"): 20 bytes/doc buys back a full corpus
+    text pass.
     """
-    feats = quality_features(
-        load_table(spark, sf_dir, "documents"), keep=("source",)
-    ).select("doc_id", "source", "quality_score")
+    feats = (
+        quality_features(
+            load_table(spark, sf_dir, "documents"), keep=("source",)
+        )
+        .select("doc_id", "source", "quality_score")
+        .localCheckpoint(eager=True)
+    )
     cuts = feats.groupBy("source").agg(
         F.expr(
             "transform(percentile(quality_score, array(0.25D, 0.5D, 0.75D)),"

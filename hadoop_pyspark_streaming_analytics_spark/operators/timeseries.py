@@ -570,11 +570,20 @@ def key_skew_report(
 
     Plan shape: one map-side-combined count per key, a 1-row percentile
     aggregate broadcast back, and a TakeOrderedAndProject top-K — no
-    global sort, no second scan; the report costs one aggregation at any
-    event volume.
+    global sort, one events pass at any volume.  ``counts`` has TWO
+    consumers below (the 1-row stats aggregate and the share/salt
+    projection), so it is checkpoint-pinned: unpinned, each consumer
+    re-ran the full events scan + count — the round-17 census caught
+    exactly that (2 events scans where this docstring claimed one).
+    The pinned frame is (user_id, n_events), ~16 B/key — a Tier-2
+    narrow proxy (SCALE.md "Checkpoint durability policy").
     """
     ev = load_events(spark, sf_dir)
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
     stats = counts.agg(
         F.expr("percentile(n_events, 0.5D)").alias("median_n"),
         F.sum("n_events").alias("total_n"),

@@ -188,14 +188,22 @@ def test_error_bursts_merged_plan_stays_day_partitioned(spark):
             for i, t in enumerate(rows)
         ]
     )
+    # Phase 1 (the error-grain work) is :func:`error_bursts`, which the
+    # merged twin checkpoint-pins since round 17 — the sessionization
+    # exchange therefore lives in the PINNED subtree's plan, not the
+    # returned one, so assert the day-partitioning contract on the
+    # unpinned phase-1 frame directly.
+    p1 = final_plan_of(error_bursts(ev, gap="5 minutes"))
+    assert (
+        "hashpartitioning(_groupingexpression" in p1
+        or "hashpartitioning(d" in p1
+    ), p1
     df = error_bursts_merged(ev, gap="5 minutes")
     plan = final_plan_of(df)
-    # day-partitioned sessionization (the grouping expression is the
-    # inlined to_date(ts) — matched by either spelling)
-    assert (
-        "hashpartitioning(_groupingexpression" in plan
-        or "hashpartitioning(d" in plan
-    ), plan
+    # the returned plan must read the burst-grain pin, never re-run the
+    # error scan (round-17 census fix)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan parquet" not in plan, plan
     # every single-partition exchange feeds the BURST-grain boundary
     # frame (burst_start columns), never raw error rows
     lines = plan.splitlines()

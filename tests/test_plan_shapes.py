@@ -1075,3 +1075,37 @@ def test_round16_census_multiscan_fixes_pinned(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == n_scans, (name, plan)
         assert "Scan ExistingRDD" in plan, (name, plan)
+
+
+def test_round17_census_multiscan_fixes_pinned(spark, sf_dir):
+    """Round-17 file-scan census pins: the landed shared-helper fixes
+    plus the round's in-window census finds, each fixed with the
+    checkpoint convention (or, for tokenizer_fertility_report, by
+    carrying (source, chars) through the word aggregate instead of a
+    second corpus pass).  Pre-fix scan counts: dedup_minhash_lsh 2
+    documents (minhash_lsh_candidates' band self-join re-ran the
+    signature subtree per side — same defect reached every LSH
+    consumer), ann_adc_refine_topk 4 (pinned in test_refine),
+    tokenizer_fertility_report 2 (the "pruned" attach re-decoded the
+    full text column for length(text)), quality_score_calibration 2
+    documents (cutpoints + join-back each re-ran the text-feature
+    scan), events_key_skew_report 2 events (stats + share projection
+    each re-ran the per-key count), events_error_bursts_midnight_merged
+    2 events (interior/boundary split re-ran the day-local
+    sessionization per side).  The ExistingRDD assert keeps a Spark
+    scan-node rename from faking the counts."""
+    from hadoop_pyspark_streaming_analytics_spark.plans.catalog import CATALOG
+
+    builders = {s.name: s.builder for s in CATALOG}
+    for name, n_scans in (
+        ("dedup_minhash_lsh", 0),
+        ("quality_score_calibration", 0),
+        ("events_key_skew_report", 0),
+        ("events_error_bursts_midnight_merged", 0),
+        # one remaining scan = the fused single documents pass
+        ("tokenizer_fertility_report", 1),
+    ):
+        df = builders[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == n_scans, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
