@@ -174,3 +174,42 @@ def test_refine_corpus_arms_run_once_behind_checkpoints(spark):
     tplan = top._jdf.queryExecution().executedPlan().toString()
     assert tplan.count("FileScan parquet") == 2, tplan
     assert "Scan ExistingRDD" in tplan, tplan
+
+
+def test_recall_report_join_arms_are_key_unique(spark):
+    """ADVICE r16: the fused recall tail counts hits via LEFT joins +
+    count(flag), which silently inflates both _n and the hit counts if
+    any arm ever yields duplicate (query_id, vec_id) rows; the old
+    left_semi spelling was immune.  The invariant holds because every
+    arm comes out of a row_number() <= k cut over a unique-scored frame
+    — enforce it so a future rewrite cannot break it silently.  Checks
+    the three arms exactly as the report builds them."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pyspark_streaming_analytics_spark.operators import refine
+
+    emb, queries = refine._corpus_and_queries(
+        spark, SF, refine.DEFAULT_QUERY_IDS
+    )
+    k = refine.DEFAULT_K
+    shortlist = refine.SHORTLIST_FACTOR * k
+    truth = refine._exact_topk(emb, queries, k).select("query_id", "vec_id")
+    adc = refine.adc_topk_for_queries(emb, queries, shortlist).select(
+        "query_id", "vec_id", F.col("rk").alias("adc_rank")
+    )
+    refined = refine.exact_rerank(emb, queries, adc, k).select(
+        "query_id", "vec_id"
+    )
+    adc_topk = adc.where(F.col("adc_rank") <= k).select("query_id", "vec_id")
+    for name, arm in (
+        ("truth", truth),
+        ("adc_topk", adc_topk),
+        ("refined", refined),
+    ):
+        dup = (
+            arm.groupBy("query_id", "vec_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, f"{name} arm has {dup} duplicate join keys"
