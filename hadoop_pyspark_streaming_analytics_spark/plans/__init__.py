@@ -119,11 +119,21 @@ ROTATION_ROUND = 17
 # oracle-backed count; catalog total 187 = 184 + the 3 oracle-less HLL
 # sketches).  Round 17 owes 40, leaving 10 free — this window spends
 # 9 of them on the staged shared-helper re-gates and 1 on r14
-# bring-forward.  The retirement reserve's next name remains
-# events_props_map_stats (subsumable by events_scalar_features; green
-# r16 baseline) — retiring it in round 17 frees its slot for one more
-# r14 bring-forward (the r17 builder executes this, the twice-slipped
-# VERDICT promise).
+# bring-forward.
+#
+# RETIREMENT DECISION (round 17, executed as a decision, not a
+# deletion): events_props_map_stats stays DECLARED.  The driver
+# contract treats a declared query that disappears as a REGRESSION
+# regardless of speed, and the retirement's only benefit — one freed
+# refresh slot — has no beneficiary this cycle can still use (the
+# ROUND-18 budget below closes at 43 owed / 7 free WITHOUT it, inside
+# the 4-round staleness cutoff).  The subsumption fact stands and is
+# the reserve if a future round needs a slot for a NEW registration:
+# retire events_props_map_stats (subsumed by events_scalar_features,
+# green r16 baseline) in the same commit that registers the
+# replacement, so the declared-query count never dips.  Arithmetic
+# with the retirement, precomputed for that round: 183 oracle-backed,
+# its generation count -1, everything else unchanged.
 #
 # ROUND-18 BUDGET (the cycle arithmetic, written BEFORE it binds —
 # standing VERDICT item; recomputed for the in-round re-cut above):
