@@ -94,9 +94,10 @@ ROTATION_ROUND = 17
 # item 3's second name — stays UNCHANGED this round: the window has
 # exactly one discretionary slot (40 owed + 9 helper re-gates are
 # immovable), and fertility wins it because its second scan re-read
-# the corpus payload while agreement's attach is a genuinely pruned
-# (doc_id, source) scan beside two full gate passes; its fix is the
-# same carry pattern, recorded in OPTIMIZATION_r17.md.
+# the corpus payload while agreement's two scans are DISTINCT
+# single-execution passes (gate features + the denominator attach,
+# which no gate output can supply) — adjudicated legitimate, not
+# deferred; analysis in OPTIMIZATION_r17.md / SCALE.md bucket 4.
 #
 # (Round-16 history: the r16-prep window — 34 r12-owed + 16
 # alphabetical r13 bring-forwards, zero slack — landed after
