@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--min-scans", type=int, default=0,
                     help="only print entries with at least this many scans")
+    ap.add_argument("--dups", action="store_true",
+                    help="group scan nodes by parquet path and print only "
+                         "entries scanning the SAME table more than once — "
+                         "raw scan counts include legitimate multi-table "
+                         "joins, so this is the amplification signal "
+                         "(round-17 census mode)")
     args = ap.parse_args()
 
     from hadoop_pyspark_streaming_analytics_spark.plans import CATALOG
@@ -57,6 +63,7 @@ def main() -> None:
         os.makedirs(args.dump_dir, exist_ok=True)
 
     node = re.compile(r"^\s*\(\d+\) (\w[\w ]*)", re.MULTILINE)
+    loc = re.compile(r"Location: \w+ \[file:([^\]]+)\]")
     rows = []
     for spec in specs:
         try:
@@ -69,6 +76,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - census must not abort
             rows.append((spec.name, None, None, None, f"{type(exc).__name__}: {exc}"))
             continue
+        if args.dups:
+            from collections import Counter
+
+            tables = Counter(
+                p.rsplit("/", 1)[-1] for p in loc.findall(plan)
+            )
+            dups = {t: c for t, c in tables.items() if c > 1}
+            if dups:
+                print(f"{spec.name:42s} {dups}")
+            continue
         heads = node.findall(plan)
         scans = sum(1 for h in heads if h.startswith("Scan parquet"))
         exch = sum(1 for h in heads if h.startswith("Exchange"))
@@ -79,7 +96,8 @@ def main() -> None:
             with open(out, "w") as f:
                 f.write(plan)
 
-    print(f"{'entry':42s} {'scans':>5s} {'exch':>4s} {'reuse':>5s}")
+    if not args.dups:
+        print(f"{'entry':42s} {'scans':>5s} {'exch':>4s} {'reuse':>5s}")
     for name, scans, exch, reused, err in rows:
         if err is not None:
             print(f"{name:42s}   ERR {err}")
