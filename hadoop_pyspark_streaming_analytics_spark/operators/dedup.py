@@ -694,7 +694,16 @@ def minhash_estimate_pairs(
     num_perm = bands * rows
     sh_raw = doc_shingles(docs, n, distinct=False).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh_raw, num_perm).localCheckpoint(eager=True)
-    cand = candidates_from_buckets(band_buckets_from_sigs(sigs, bands, rows))
+    # Round-17: ``cand`` has THREE consumers below (the estimate join
+    # chain + candidate_jaccard's intersection build + its left-join
+    # base), and unpinned each re-ran the band digest + self-join +
+    # distinct over the pinned signatures — no extra scans (the scan
+    # census is blind to it) but 3x the LSH candidate-generation
+    # shuffle per action.  Pair-grain, LSH-collision bounded — a
+    # Tier-1 pin (SCALE.md "Checkpoint durability policy").
+    cand = candidates_from_buckets(
+        band_buckets_from_sigs(sigs, bands, rows)
+    ).localCheckpoint(eager=True)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(num_perm)],

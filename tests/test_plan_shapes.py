@@ -1109,3 +1109,15 @@ def test_round17_census_multiscan_fixes_pinned(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") == n_scans, (name, plan)
         assert "Scan ExistingRDD" in plan, (name, plan)
+    # The scan census is blind to exchange-level re-execution:
+    # minhash_estimate_pairs consumed its candidate frame three times
+    # (estimate join chain + candidate_jaccard's intersection build +
+    # left-join base), re-running the band digest + self-join + distinct
+    # over the pinned signatures per consumer.  Pinned, the banding
+    # explode leaves the returned plan entirely — no Generate node may
+    # reappear (it would mean a consumer re-derives candidates inline).
+    for name in ("dedup_minhash_estimate", "dedup_cross_source_matrix"):
+        df = builders[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, (name, plan)
+        assert "Scan ExistingRDD" in plan, (name, plan)
